@@ -1,0 +1,290 @@
+"""Aggregation operators (SURVEY.md §2B).
+
+All grouped aggregates rely on Catalyst's partial (map-side) aggregation:
+HashAggregate(partial) -> shuffle on group keys -> HashAggregate(final),
+so the shuffle carries one row per (partition × group), not per input
+row — the property that makes these queries viable at 100 TB.
+
+Certification numerics: double sums go through the exact-decimal trick
+(functions/exact.py) so Spark and DuckDB agree bit-for-bit; stddev/var/
+corr are computed from exact decimal moments with an identical final
+double formula on both sides (engine-native Welford paths would differ in
+the last ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.exact import AVGD, SUMD, davg, dsum
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# agg_global
+# --------------------------------------------------------------------------
+
+_GLOBAL_ORACLE = f"""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+  {SUMD('l_quantity', 1)} AS sum_qty,
+  {SUMD('l_extendedprice')} AS sum_price,
+  MIN(l_extendedprice) AS min_price,
+  MAX(l_extendedprice) AS max_price,
+  {AVGD('l_extendedprice')} AS avg_price
+FROM lineitem
+"""
+
+
+@register("agg_global", _GLOBAL_ORACLE)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (no-key) aggregate over lineitem."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity", 1).alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_grouped  (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {SUMD('l_quantity', 1)} AS sum_qty,
+  {SUMD('l_extendedprice')} AS sum_base_price,
+  {SUMD('l_extendedprice * (1 - l_discount)', 6, 30)} AS sum_disc_price,
+  {SUMD('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8, 32)} AS sum_charge,
+  {AVGD('l_quantity', 1)} AS avg_qty,
+  {AVGD('l_extendedprice')} AS avg_price,
+  {AVGD('l_discount', 2, 10)} AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_grouped", _Q1_ORACLE)
+def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical partial-agg workload
+    (reference has nothing comparable; this is §2B's agg centerpiece)."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", 1).alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price, 6, 30).alias("sum_disc_price"),
+        dsum(charge, 8, 32).alias("sum_charge"),
+        davg("l_quantity", 1).alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", 2, 10).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_distinct
+# --------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = f"""
+SELECT
+  o_orderstatus,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_distinct_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_distinct", _DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT)/SUM(DISTINCT) — Catalyst expands to a two-phase
+    aggregate (Expand + two HashAggregates), still fully distributed."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("sum_distinct_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_having
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = f"""
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders, {SUMD('o_totalprice')} AS spent
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 12
+"""
+
+
+@register("agg_having", _HAVING_ORACLE)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spent"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_rollup / cube
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  {SUMD('o_totalprice')} AS revenue,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS is_status_total
+FROM orders
+GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderstatus)
+"""
+
+
+@register("agg_rollup", _ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy year -> status -> grand total; GROUPING() flags
+    distinguish NULL-as-subtotal from NULL data."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders").withColumn("o_year", F.year("o_orderdate"))
+    return o.rollup("o_year", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.grouping("o_orderstatus").cast("int").alias("is_status_total"),
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT
+  n.n_name AS nation,
+  c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  {SUMD('c.c_acctbal')} AS total_balance
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY CUBE (n.n_name, c.c_mktsegment)
+"""
+
+
+@register("agg_cube", _CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over nation×segment after a broadcast dim join."""
+    tune(spark)
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .cube(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_stats  (exact moments; engine-native Welford would not hash-match)
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = f"""
+WITH m AS (
+  SELECT
+    l_returnflag,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    {SUMD('l_extendedprice')} AS s1,
+    {SUMD('l_extendedprice * l_extendedprice', 4, 32, 0)} AS s2,
+    {SUMD('l_quantity', 1)} AS q1,
+    {SUMD('l_quantity * l_quantity', 1, 25)} AS q2,
+    {SUMD('l_extendedprice * l_quantity', 2, 32)} AS pq,
+    CAST(MEDIAN(l_quantity) AS DOUBLE) AS median_qty
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  (s2 - s1 * s1 / n) / (n - 1) AS var_price,
+  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_price,
+  (pq - s1 * q1 / n) / sqrt((s2 - s1 * s1 / n) * (q2 - q1 * q1 / n)) AS corr_price_qty,
+  median_qty
+FROM m
+"""
+
+
+@register("agg_stats", _STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev/corr from exact decimal moments, plus exact
+    median (l_quantity is integral so interpolation is exact).  The final
+    double formula is written identically on both engines -> bit-exact."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem")
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(price).alias("s1"),
+        dsum(price * price, 4, 32, 0).alias("s2"),
+        dsum(qty, 1).alias("q1"),
+        dsum(qty * qty, 1, 25).alias("q2"),
+        dsum(price * qty, 2, 32).alias("pq"),
+        F.median(qty).cast("double").alias("median_qty"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    q1, q2, pq = F.col("q1"), F.col("q2"), F.col("pq")
+    var_price = (s2 - s1 * s1 / n) / (n - 1)
+    return m.select(
+        "l_returnflag",
+        "n",
+        var_price.alias("var_price"),
+        F.sqrt(var_price).alias("stddev_price"),
+        ((pq - s1 * q1 / n) / F.sqrt((s2 - s1 * s1 / n) * (q2 - q1 * q1 / n))).alias(
+            "corr_price_qty"
+        ),
+        "median_qty",
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_approx  (HLL — approximate, rows-only check by design)
+# --------------------------------------------------------------------------
+
+
+@register("agg_approx")  # no oracle: approximate result, hash can't match
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) + approx percentile.  At 100 TB
+    these are the only viable forms of distinct-count / percentile: fixed
+    sketch memory per group, single shuffle, no sort."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory + per-query runtime tuning.
+
+Two paths:
+- ``get_spark()``: build a session for tests/bench (local[N], AQE, Arrow).
+- ``tune(spark)``: idempotently apply the *runtime* confs we depend on to a
+  session we did not create (the driver owns the session for ``queries()``)
+  — session timezone, AQE, shuffle parallelism.  Only runtime-settable
+  confs are touched, so this is safe on a live session.
+
+Scale posture: these defaults are for local[32] @ sf<=0.1.  On a real
+cluster the same code runs unchanged; shuffle partitions should be sized
+~2-3x total cores (or left to AQE coalescing, which we enable), and
+``spark.sql.files.maxPartitionBytes`` kept at 128-256 MB so a 100 TB scan
+yields ~500k-1M well-sized input splits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session that runs our queries.
+# UTC matters: the DuckDB oracle reads parquet timestamps as wall-clock;
+# a non-UTC Spark session shifts them on collect and breaks hash-matching.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] @ sf0.1: 32 matches core count; AQE coalesces tiny ones.
+    "spark.sql.shuffle.partitions": "32",
+    # 10 MB default is fine locally; keep explicit so plans are stable.
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs idempotently; never touches static confs."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — keep going
+    return spark
+
+
+def get_spark(app_name: str = "gpe-spark", cpus: int | None = None) -> SparkSession:
+    """Session for tests and bench.  local[N] stands in for a cluster; all
+    operator code is partition-aware and runs unchanged on multi-executor."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("GPE_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    spark = builder.getOrCreate()
+    return tune(spark)
