@@ -1,0 +1,133 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect — the 100 TB-honest way to time a distributed plan).
+Also measures the streaming ingest path's throughput (rows/s) against
+the reference's configured ~4,800 rec/s fleet ceiling (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import go_pulsar_elasticsearch_spark as gpe
+from go_pulsar_elasticsearch_spark.registry import QUERIES
+from go_pulsar_elasticsearch_spark.session import get_spark
+
+gpe.load_all()
+
+# Headline set: one per operator family, weighted toward shuffle-heavy
+# and scale-critical paths.
+HEADLINE = [
+    "join_multiway_star",
+    "agg_grouped",
+    "agg_rollup",
+    "join_left_outer",
+    "win_ranking",
+    "win_frame_agg",
+    "stream_tumbling_window_agg",
+    "stream_session_window",
+    "idempotent_upsert_by_key",
+    "exact_dedup",
+    "near_dedup_minhash",
+    "text_stats",
+    "token_count",
+    "similarity_topk",
+    "ann_lsh_bucketed",
+    "limit_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_stream_ingest(spark, sf_dir: str) -> float:
+    """Rows/s through the full ingest pipeline (decode -> derive -> dedup
+    -> dated sink) with an availableNow drain over events-as-json."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.streaming.stream import (
+        INGESTION_SCHEMA,
+        decode_json_payload,
+        file_stream,
+        run_ingest_pipeline,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gpe_bench_stream_")
+    try:
+        src_dir = os.path.join(tmp, "src")
+        ev = t(spark, sf_dir, "events")
+        n = ev.count()
+        payload = ev.select(
+            F.to_json(
+                F.struct(
+                    F.concat(F.lit("id-"), F.col("event_id")).alias("identifier"),
+                    F.col("event_type").alias("name"),
+                    F.concat(F.lit("uuid-"), F.col("event_id")).alias("uuid"),
+                    F.col("event_type").alias("type"),
+                    F.unix_millis("ts").alias("ingestion_time"),
+                )
+            ).alias("value")
+        )
+        payload.write.mode("overwrite").format("parquet").save(src_dir)
+        raw = file_stream(
+            spark, src_dir,
+            schema=payload.schema, max_files=32,
+        )
+        decoded = decode_json_payload(raw)
+        t0 = time.time()
+        q = run_ingest_pipeline(
+            spark,
+            decoded,
+            sink_dir=os.path.join(tmp, "sink"),
+            dlq_dir=os.path.join(tmp, "dlq"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        q.awaitTermination()
+        dt = time.time() - t0
+        return n / dt if dt > 0 else 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gpe-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/parquet footers once with the cheapest query
+    QUERIES["limit_topk"](spark, sf_dir).collect()
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    stream_rps = bench_stream_ingest(spark, sf_dir)
+
+    out = {
+        "metric": "headline query latency @ sf" + sf,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stream_ingest_rows_per_s": round(stream_rps, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,314 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four escalating strategies over `documents`:
+  exact_dedup          — content hash (sha256) groupBy
+  near_dedup_minhash   — char-5-gram shingles -> per-band min-hash
+                         signatures -> band-bucket join (MinHash+LSH)
+  near_dedup_simhash   — 32-bit SimHash over words + Hamming radius
+  ngram_jaccard        — exact word-3-gram Jaccard on gram-sharing pairs
+
+All four are DETERMINISTIC by construction (md5/sha2 are identical
+across engines) so every one is certified against the DuckDB oracle —
+no rows-only cop-out.
+
+100 TB posture:
+- exact: one shuffle on the 32-byte hash, map-side partial counts.
+- minhash: the band-bucket join IS the LSH trick — candidate pairs are
+  generated per (band, signature) bucket, never all-pairs.  Shuffle keys
+  are (band, sig): high cardinality, well spread.
+- simhash: the only all-pairs step is over 64-bit signatures (8 bytes/doc,
+  not the documents); at real scale replace the cross join with a
+  bit-sliced prefix bucket (split 32 bits into 4 bands of 8; Hamming<=6
+  pairs must agree exactly on >=1 band — same band-join shape as minhash).
+- jaccard: pair generation is via the inverted gram index (join on gram),
+  already sublinear for non-overlapping docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# exact_dedup
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT
+  sha256(text) AS content_sha,
+  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+@register("exact_dedup", _EXACT_ORACLE)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by sha256(content), keep lowest doc_id.
+    The shuffle carries (hash, doc_id) only — content never moves."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# near_dedup_minhash  (shingle -> minhash -> band -> bucket join)
+# --------------------------------------------------------------------------
+
+_N_BANDS = 8
+
+_MINHASH_ORACLE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), sigs AS (
+  SELECT doc_id, band,
+         MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (
+    SELECT doc_id, shingle, unnest(range(0, {_N_BANDS})) AS band
+    FROM shingles
+  )
+  GROUP BY doc_id, band
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bands_agree
+FROM sigs a
+JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("near_dedup_minhash", _MINHASH_ORACLE)
+def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8 salted min-hashes over distinct
+    word-3-gram shingles; docs colliding on any band are candidates.
+    n_bands_agree/8 estimates Jaccard similarity.
+
+    Plan shape for scale: all 8 band minima are computed in ONE
+    aggregation pass over the shingle set (8 conditional min aggregates,
+    map-side combined — the shuffle carries 8 hashes/doc, not 8x the
+    shingles), then unpivoted with stack() for the band-bucket join."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingles = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    band_mins = [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
+        for b in range(_N_BANDS)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*band_mins)
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(_N_BANDS))
+    sigs = wide.select(
+        "doc_id",
+        F.expr(f"stack({_N_BANDS}, {stack_args}) AS (band, sig)"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_agree"))
+    )
+
+
+# --------------------------------------------------------------------------
+# near_dedup_simhash  (32-bit, cross-engine bit extraction from md5)
+# --------------------------------------------------------------------------
+
+# bit i of word w  =  bit (i%4) of hex digit i//4 of md5(w).
+# Both engines extract it with the same string arithmetic; only the
+# integer-division spelling differs (Spark DIV, DuckDB //).
+
+_SIMHASH_ORACLE = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), bits AS (
+  SELECT doc_id, w, i,
+         ((strpos('0123456789abcdef',
+                  substr(md5(w), CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+          // CAST(pow(2, i % 4) AS INTEGER)) % 2 AS bit
+  FROM (SELECT doc_id, w, unnest(range(0, 32)) AS i FROM words)
+), sums AS (
+  SELECT doc_id, i, SUM(2 * bit - 1) AS s
+  FROM bits GROUP BY doc_id, i
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@register("near_dedup_simhash", _SIMHASH_ORACLE)
+def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signed-sum signature over distinct words,
+    pairs within Hamming distance 6.  The pair scan is over 8-byte
+    signatures only (see module docstring for the banded variant used at
+    scale instead of the cross join)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    bits = words.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, 31)")).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(
+            "((instr('0123456789abcdef',"
+            " substring(md5(w), CAST(i DIV 4 AS INT) + 1, 1)) - 1)"
+            " DIV CAST(pow(2, i % 4) AS INT)) % 2"
+        ).alias("bit"),
+    )
+    hashes = (
+        bits.groupBy("doc_id", "i")
+        .agg(F.sum(2 * F.col("bit") - 1).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") >= 0, F.pow(2, F.col("i")).cast("bigint")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+    )
+    a, b = hashes.alias("a"), hashes.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# --------------------------------------------------------------------------
+# ngram_jaccard  (exact, inverted-index pair generation)
+# --------------------------------------------------------------------------
+
+_JACCARD_ORACLE = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  doc_a, doc_b,
+  CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.2
+"""
+
+
+@register("ngram_jaccard", _JACCARD_ORACLE)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard >= 0.2.  Pairs come from the inverted
+    gram index (join on gram), so cost tracks shared-gram volume, not
+    n^2 — the standard exact-verify stage after MinHash candidates."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_inter", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )

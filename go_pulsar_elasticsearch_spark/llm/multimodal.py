@@ -1,0 +1,153 @@
+"""Multimodal columns: image/audio/video as opaque BinaryType payloads
+with typed metadata, processed via Arrow-batched pandas iterators.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+`decode_payload` raises NotImplementedError for real media types unless
+`fake=True`, in which case a deterministic fake decoder (byte statistics)
+runs instead.  Everything around the stub — schema, binary handling,
+mapInPandas batch shape, partitioning — is real and tested
+(tests/test_multimodal.py).
+
+100 TB posture: payloads dominate bytes; metadata-only queries must
+never deserialize them (columnar parquet gives that for free — the
+payload column is simply not read; check ReadSchema).  Feature
+extraction runs as mapInPandas so payload bytes stream through Arrow in
+batches, never materializing a full partition of media in Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize the multimodal shape from documents: utf-8 bytes of the
+    text stand in for the media payload; mime derived from source id."""
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    mime = (
+        F.when(src_num % 3 == 0, _MIMES[0])
+        .when(src_num % 3 == 1, _MIMES[1])
+        .otherwise(_MIMES[2])
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("byte_len"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_payload(payload: bytes, mime: str, fake: bool = False) -> dict:
+    """Decode one media payload.  Real codecs are not available in this
+    environment — callers must opt into the deterministic fake."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/librosa/av) not installed; pass fake=True "
+            "for the deterministic byte-statistics decoder"
+        )
+    n = len(payload)
+    return {
+        "byte_len": n,
+        "mean_byte": (sum(payload) / n) if n else 0.0,
+        "n_frames": (n + 255) // 256,
+        "head_hex": payload[:4].hex(),
+    }
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("n_frames", LongType()),
+        StructField("head_hex", StringType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over (payload, media_meta) — the
+    Arrow batch shape a real decoder plugs into."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_payload(p, m, fake=True)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "mime", pdf["mime"].values)
+            yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
+
+    flat = df.select(
+        "doc_id", F.col("media_meta.mime").alias("mime"), "payload"
+    )
+    return flat.mapInPandas(_extract, schema=_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# certified queries
+# --------------------------------------------------------------------------
+
+_META_ORACLE = """
+SELECT
+  doc_id,
+  CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 3
+    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
+  END AS mime,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks
+FROM documents
+"""
+
+
+@register("multimodal_meta", _META_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over multimodal rows: typed mime, exact payload
+    byte length, chunk count.  Must not touch payload bytes beyond the
+    length (and doesn't: length is computed at encode time)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    m = with_payload(docs)
+    return m.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        ((F.col("media_meta.byte_len") + 255) / 256)
+        .cast("bigint")
+        .alias("n_chunks"),
+    )
+
+
+@register("multimodal_features")  # rows-only: blob byte math isn't SQL-friendly
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode-stub pipeline: payload -> mapInPandas -> per-item
+    features (deterministic fake decoder).  Rows-only certification; the
+    deterministic values themselves are asserted in tests."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    return extract_features(with_payload(docs))

@@ -1,0 +1,308 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+Three operators:
+  similarity_topk        — brute-force exact cosine top-k (the baseline)
+  ann_lsh_bucketed       — random-hyperplane LSH bucket join (the scale
+                           path: candidates share a 12-bit code, so the
+                           join is equi on the code, never all-pairs)
+  embedding_cosine_neardup — near-duplicate pairs by cosine, blocked on
+                           `label` (the blocking key stands in for any
+                           coarse pre-cluster at scale)
+
+Exactness strategy: dot products and norms accumulate per-element
+products as DECIMAL(28,12) (exact, order-independent) so cosine is
+bit-identical across engines — all three operators are fully oracled,
+including the ANN path (its hyperplanes are integer-weight and derived
+from md5, so bucket codes are deterministic too).
+
+100 TB posture: brute-force is O(Q·N·d) and exists as the correctness
+baseline + re-ranker; the LSH operator is the shape that scales — code
+assignment is a narrow per-row pass (planes broadcast), and the
+candidate join shuffles on the bucket code.  For real workloads raise
+planes-per-band / add multi-probe; the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_DIM = 64
+
+# Exact decimal dot product of two float arrays (Spark SQL expression):
+# cast each element to double, multiply, round to DECIMAL(28,12) (both
+# engines round the same double identically at this scale), then add
+# decimals — associative, so Spark's evaluation order can't matter.
+_DOT_EXPR = (
+    "CAST(aggregate(zip_with({a}, {b},"
+    " (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),"
+    " CAST(0 AS DECIMAL(28,12)),"
+    " (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))"
+    " AS DOUBLE)"
+)
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT_EXPR.format(a=a, b=b))
+
+
+# DuckDB twin: unnest positions, sum the same decimals.
+def _DOT_SQL(a: str, b: str) -> str:
+    return (
+        f"CAST(SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" AS DECIMAL(28,12))) AS DOUBLE)"
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity_topk  (brute force, exact)
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+dots AS (
+  SELECT qid, vec_id AS vid, {_DOT_SQL('qe', 'embedding')} AS dot
+  FROM (
+    SELECT q.qid, q.qe, e.vec_id, e.embedding, unnest(range(1, {_DIM + 1})) AS i
+    FROM q, embeddings e
+    WHERE e.vec_id <> q.qid
+  )
+  GROUP BY qid, vec_id
+), scored AS (
+  SELECT qid, vid, dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = qid
+  JOIN norms nv ON nv.vec_id = vid
+)
+SELECT qid, vid, cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+"""
+
+
+@register("similarity_topk", _TOPK_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 10) against the full
+    table.  Dot products stay inside one JVM higher-order-function
+    expression (zip_with + aggregate) — no Python, no explode shuffle."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = q.join(emb, F.col("vec_id") != F.col("qid"))
+    scored = (
+        pairs.select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            _dot("qe", "embedding").alias("dot"),
+        )
+        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .select(
+            "qid", "vid", (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "vid", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_lsh_bucketed  (random-hyperplane LSH, deterministic planes)
+# --------------------------------------------------------------------------
+
+_N_PLANES = 12
+
+# Plane weights: integer in [-8, 7] from the first hex digit of
+# md5('p:<plane>:<dim>') — deterministic, identical in both engines.
+
+_ANN_ORACLE = f"""
+WITH elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+), proj AS (
+  SELECT vec_id, p,
+    CAST(SUM(CAST((strpos('0123456789abcdef',
+                   substr(md5('p:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 9)
+              * v AS DECIMAL(28,12))) AS DOUBLE) AS s
+  FROM (SELECT vec_id, i, v, unnest(range(0, {_N_PLANES})) AS p FROM elems)
+  GROUP BY vec_id, p
+), codes AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN s >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS code
+  FROM proj GROUP BY vec_id
+), norms AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), q AS (
+  SELECT c.vec_id AS qid, c.code, e.embedding AS qe
+  FROM codes c JOIN embeddings e ON e.vec_id = c.vec_id
+  WHERE c.vec_id < 10
+), cand AS (
+  SELECT q.qid, q.qe, c.vec_id AS vid, e.embedding AS ve
+  FROM q JOIN codes c ON c.code = q.code AND c.vec_id <> q.qid
+  JOIN embeddings e ON e.vec_id = c.vec_id
+), dots AS (
+  SELECT qid, vid, {_DOT_SQL('qe', 've')} AS dot
+  FROM (SELECT qid, qe, vid, ve, unnest(range(1, {_DIM + 1})) AS i FROM cand)
+  GROUP BY qid, vid
+), scored AS (
+  SELECT qid, vid, dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid
+)
+SELECT qid, vid, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+def _plane_weights() -> list[list[int]]:
+    """The 12x64 hyperplane matrix, derived from md5 exactly as the
+    oracle's SQL does (hex digit of md5('p:<plane>:<dim>') minus 8) —
+    data-independent, so it's computed once on the driver and inlined
+    as literals (broadcast by the plan, no per-row hashing)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"p:{p}:{i}".encode()).hexdigest()[0], 16) - 8
+            for i in range(1, _DIM + 1)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+@register("ann_lsh_bucketed", _ANN_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: 12 random hyperplanes -> 12-bit bucket code -> candidates are
+    bucket-mates only -> exact cosine re-rank, top-3.  The all-pairs scan
+    of similarity_topk becomes an equi-join on `code`, and code
+    assignment is a single narrow projection (no explode, no shuffle):
+    12 zip_with/aggregate expressions against literal weight arrays."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+
+    def plane_dot(weights: list[int]) -> F.Column:
+        warr = F.array(*[F.lit(w) for w in weights])
+        prods = F.zip_with(
+            F.col("embedding"), warr,
+            lambda x, y: (x.cast("double") * y).cast("decimal(28,12)"),
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(28,12)"),
+            lambda acc, v: (acc + v).cast("decimal(28,12)"),
+        ).cast("double")
+
+    code = None
+    for p, row in enumerate(_plane_weights()):
+        bit = F.when(plane_dot(row) >= 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        code = bit if code is None else code + bit
+    codes = emb.select("vec_id", code.alias("code"))
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    q = (
+        codes.filter(F.col("vec_id") < 10)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("qid"), "code", F.col("embedding").alias("qe"))
+    )
+    cand = (
+        q.join(codes.alias("c"), (F.col("c.code") == q.code) & (F.col("c.vec_id") != F.col("qid")))
+        .join(emb.alias("e"), F.col("e.vec_id") == F.col("c.vec_id"))
+        .select("qid", "qe", F.col("c.vec_id").alias("vid"), F.col("e.embedding").alias("ve"))
+    )
+    scored = (
+        cand.select("qid", "vid", _dot("qe", "ve").alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .select("qid", "vid", (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vid", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding_cosine_neardup  (blocked near-duplicate pairs)
+# --------------------------------------------------------------------------
+
+_NEARDUP_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT id_a, id_b, label, {_DOT_SQL('ea', 'eb')} AS dot
+  FROM (SELECT id_a, id_b, label, ea, eb, unnest(range(1, {_DIM + 1})) AS i FROM pairs)
+  GROUP BY id_a, id_b, label
+)
+SELECT id_a, id_b, CAST(label AS INTEGER) AS label,
+       dot / sqrt(na.n2 * nb.n2) AS cosine
+FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / sqrt(na.n2 * nb.n2) >= 0.3
+"""
+
+
+@register("embedding_cosine_neardup", _NEARDUP_ORACLE)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicates: cosine >= 0.3 within label blocks.
+    Blocking turns the quadratic pair scan into per-block quadratics —
+    at scale the block key comes from LSH codes (ann_lsh_bucketed) or a
+    coarse k-means, same join shape."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.label").alias("label"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    scored = (
+        pairs.select("id_a", "id_b", "label", _dot("ea", "eb").alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("id_a"), F.col("n2").alias("na")), "id_a")
+        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("label").cast("int").alias("label"),
+            (F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= 0.3)

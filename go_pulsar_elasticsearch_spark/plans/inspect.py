@@ -1,0 +1,78 @@
+"""Plan inspection: assert the physical properties every operator is
+designed for (SURVEY.md §4) instead of eyeballing .explain output.
+
+Used by tests/test_plans.py and tools/explain_all.py:
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema)
+- small dims broadcast (BroadcastHashJoin), big joins shuffle (SMJ/SHJ)
+- aggregates are two-phase (partial HashAggregate before the exchange)
+- top-k compiles to TakeOrderedAndProject, never a global Sort
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan's PushedFilters mentions `fragment`."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            cols += [c.split(":")[0].strip() for c in inner.split(",") if ":" in c]
+    return cols
+
+
+def join_kinds(df: DataFrame) -> list[str]:
+    plan = formatted_plan(df)
+    kinds = []
+    for marker in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+    ):
+        if marker in plan:
+            kinds.append(marker)
+    return kinds
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Two-phase agg: a HashAggregate below the exchange (map-side
+    combine), recognizable by partial_ function prefixes."""
+    return "partial_" in formatted_plan(df)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the metric to
+    minimize at 100 TB."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line and "BroadcastExchange" not in line
+    )

@@ -1,0 +1,63 @@
+"""Pulsar source adapter (reference: pkg/pulsar/pulsar.go).
+
+The reference subscribes Shared to one topic with an Avro schema,
+bounded receive queue, nack redelivery delay and retry+DLQ policy
+(`pulsar.go:80-111`, options `pulsar.go:27-37`).  In Spark these are
+connector options, not engine code; this module builds the option dict
+for the StreamNative pulsar-spark connector and falls back loudly when
+the connector jar isn't on the classpath (it isn't in this container —
+tests use the file/rate stand-ins in streaming/stream.py, which exercise
+the identical downstream pipeline).
+
+Config parity map (reference .env -> connector option):
+  PULSAR_URL                  -> service.url
+  TOPIC_NAME                  -> topics
+  SUBSCRIPTION_NAME           -> predefinedSubscription
+  PULSAR_QUEUE_SIZE (.env:7)  -> pulsar.reader.receiverQueueSize
+  INSERT_RETRY_DELAY (.env:20)-> (DLQ policy is broker-side in Spark;
+  RETRIES -> MaxDeliveries       handled by checkpoint replay + explicit
+                                 DLQ branch in foreachBatch instead)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class PulsarOptions:
+    """Mirror of the reference's PulsarOptions (pulsar.go:27-37)."""
+
+    service_url: str = "pulsar://localhost:6650"
+    admin_url: str = "http://localhost:8080"
+    topic: str = "persistent://public/default/index_topic"
+    subscription: str = "spark-ingest"
+    receiver_queue_size: int = 1000  # .env:7
+
+    def to_options(self) -> dict[str, str]:
+        return {
+            "service.url": self.service_url,
+            "admin.url": self.admin_url,
+            "topics": self.topic,
+            "predefinedSubscription": self.subscription,
+            "pulsar.reader.receiverQueueSize": str(self.receiver_queue_size),
+        }
+
+
+def pulsar_stream(spark: SparkSession, opts: PulsarOptions) -> DataFrame:
+    """readStream from Pulsar.  Raises a clear error when the connector
+    isn't installed; callers in tests use streaming/stream.py's
+    file_stream instead."""
+    reader = spark.readStream.format("pulsar")
+    for k, v in opts.to_options().items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as exc:  # connector jar missing
+        raise RuntimeError(
+            "pulsar-spark connector not on classpath; add "
+            "io.streamnative.connectors:pulsar-spark-connector and retry "
+            "(local tests use the file/rate source stand-ins)"
+        ) from exc

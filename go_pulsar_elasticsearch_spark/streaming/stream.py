@@ -1,0 +1,208 @@
+"""Structured Streaming form of the reference's pipeline (SURVEY.md §3.2).
+
+Reference chain (`main.go:131-202`):
+  Pulsar consume -> Avro decode -> project/derive -> count/time micro-batch
+  -> ES bulk upsert by uuid -> ack/nack -> DLQ.
+
+Spark chain (this module):
+  readStream (file/rate locally, Pulsar connector in prod)
+  -> decode (from_json / from_avro)            [R3]
+  -> derive_ingest_cols                        [R5]
+  -> withWatermark + dropDuplicates(key)       [R8, stateful form]
+  -> trigger(processingTime|availableNow)      [R6 ≡ gobatch]
+  -> foreachBatch: DLQ split + dated-partition upsert sink  [R4, R9, R11]
+
+Checkpointing replaces the ack/nack loop: a failed batch replays whole,
+and the key-addressed sink makes the replay idempotent — the corrected
+semantics of the reference's buggy `found` flag (`main.go:184`, never
+reset; see SURVEY.md R9).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from go_pulsar_elasticsearch_spark.ingest.pipeline import (
+    derive_ingest_cols,
+    dlq_split,
+    upsert_last_write_wins,
+)
+
+# The reference's Avro record IngestionData
+# (/root/reference/schema/pulsar/avro/index_topic.avro:1-52): the union
+# ["null", array<Tag>] maps to a nullable ArrayType — no map wrapper
+# (the Go binding's Tags["array"] dance, model.go:40, disappears).
+INGESTION_SCHEMA = StructType(
+    [
+        StructField("identifier", StringType()),
+        StructField("name", StringType()),
+        StructField("uuid", StringType()),
+        StructField("type", StringType()),
+        StructField("ingestion_time", LongType()),  # epoch millis
+        StructField(
+            "tags",
+            ArrayType(
+                StructType(
+                    [StructField("type", StringType()), StructField("value", StringType())]
+                ),
+                containsNull=False,
+            ),
+            nullable=True,
+        ),
+    ]
+)
+
+
+def decode_json_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """R3/R4: permissive decode of a JSON payload into IngestionData;
+    undecodable rows keep a NULL struct and flow to the DLQ branch
+    (reference logs+drops at main.go:131-143, then DLQ via nack)."""
+    parsed = raw.withColumn(
+        "parsed", F.from_json(F.col(value_col).cast("string"), INGESTION_SCHEMA)
+    )
+    # PERMISSIVE from_json yields an all-null struct for garbage, not NULL;
+    # a record without the uuid doc-id (es.go:186) is unindexable either
+    # way, so normalize both cases to parsed IS NULL -> DLQ branch.
+    parsed = parsed.withColumn(
+        "parsed",
+        F.when(F.col("parsed.uuid").isNotNull(), F.col("parsed")),
+    )
+    return parsed.select(
+        F.col(value_col).cast("string").alias("raw_value"), "parsed", "parsed.*"
+    )
+
+
+def file_stream(spark: SparkSession, path: str, schema: StructType,
+                fmt: str = "parquet", max_files: int = 1) -> DataFrame:
+    """Local stand-in for the Pulsar source: directory stream with rate
+    limiting (maxFilesPerTrigger ≡ receiver queue bounds, .env:7)."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", str(max_files))
+        .load(path)
+    )
+
+
+@dataclass
+class StreamMetrics:
+    """The reference's 5 Prometheus counters (pkg/metrics/metrics.go:9-41)
+    accumulated from foreachBatch — error, index-error, dlq, received,
+    indexed."""
+
+    received: int = 0
+    indexed: int = 0
+    dlq: int = 0
+    errors: int = 0
+    index_errors: int = 0
+    batches: list = field(default_factory=list)
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    sink_dir: str,
+    dlq_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ingestion_time",
+    tiebreak: str = "uuid",
+    watermark: str = "10 minutes",
+    metrics: StreamMetrics | None = None,
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+):
+    """Wire the full ingest stream.  `source` must already contain
+    IngestionData columns plus a nullable `parsed` marker column (from
+    decode_json_payload); rows with parsed IS NULL go to the DLQ sink.
+
+    Returns the started StreamingQuery.  Trigger default availableNow
+    (drain-and-stop, used by tests); production uses processingTime ≡
+    the reference's BATCH_MAX_TIME=30s flush (.env:14)."""
+    key_cols = key_cols or ["uuid"]
+    m = metrics if metrics is not None else StreamMetrics()
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # R4: split decodable vs poison rows.
+        main_df, dlq_df = dlq_split(batch_df, F.col("parsed").isNotNull())
+        n_dlq = dlq_df.count()
+        if n_dlq:
+            (dlq_df.select("raw_value")
+             .write.mode("append").format("parquet").save(dlq_dir))
+        # R5 + R8: derive, then last-write-wins within the batch (the sink
+        # dir is keyed by uuid on read — see read_upserted below).
+        derived = derive_ingest_cols(
+            main_df.drop("parsed", "raw_value"), ms_col=ts_col
+        )
+        n_main = derived.count()  # messages sent to the sink (pre-collapse,
+        # matching the reference's Indexed counter — ES collapses doc-ids)
+        deduped = upsert_last_write_wins(
+            derived, key_cols, "ingestion_time", tiebreak
+        )
+        # R11: dated partitions behind the stable sink path ("alias").
+        (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
+         .write.mode("append").partitionBy("ingest_date").format("parquet")
+         .save(sink_dir))
+        m.received += n_main + n_dlq
+        m.indexed += n_main
+        m.dlq += n_dlq
+        m.batches.append({"epoch": epoch_id, "main": n_main, "dlq": n_dlq})
+
+    writer = (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_upserted(spark: SparkSession, sink_dir: str,
+                  key_cols: list[str] | None = None) -> DataFrame:
+    """Reader-side view of the key-addressed sink: replays/duplicates
+    across batches collapse to last-write-wins, exactly like ES doc-id
+    indexing collapses re-delivered messages (`es.go:186`)."""
+    key_cols = key_cols or ["uuid"]
+    df = spark.read.parquet(sink_dir)
+    return upsert_last_write_wins(df, key_cols, "ingestion_time", "uuid")
+
+
+def streaming_dedup(source: DataFrame, key_cols: list[str],
+                    event_time: str, watermark: str) -> DataFrame:
+    """R8 stateful form: dropDuplicates with a watermark bounds state —
+    the streaming equivalent of the uuid doc-id upsert."""
+    return source.withWatermark(event_time, watermark).dropDuplicates(
+        key_cols
+    )
+
+
+def windowed_counts(source: DataFrame, event_time: str = "ingestion_time",
+                    window: str = "1 minute",
+                    watermark: str = "2 minutes") -> DataFrame:
+    """Event-time tumbling aggregation with late-data handling — streaming
+    twin of stream_tumbling_window_agg (batch-certified)."""
+    return (
+        source.withWatermark(event_time, watermark)
+        .groupBy(F.window(event_time, window), "type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "type",
+            "n_events",
+        )
+    )

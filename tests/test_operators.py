@@ -1,0 +1,73 @@
+"""Operator smoke + spot-semantic tests at sf0.001 (the full DuckDB
+cross-check runs in tools/check_oracle.py; these are fast invariants)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import go_pulsar_elasticsearch_spark as gpe
+from go_pulsar_elasticsearch_spark.catalog import TABLES
+from go_pulsar_elasticsearch_spark.registry import ORACLES, QUERIES
+
+gpe.load_all()
+
+
+def test_every_query_runs_and_has_stable_schema(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.schema == fn(spark, sf_dir).schema, name
+        assert df.count() >= 0, name
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+    # rows-only ops must be the known exceptions, nothing silently dropped
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {"agg_approx", "multimodal_features"}
+
+
+@pytest.mark.parametrize("name", ["agg_grouped", "join_multiway_star", "win_ranking"])
+def test_spot_oracle_match(spark, sf_dir, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    spdf = QUERIES[name](spark, sf_dir).toPandas()
+    odf = con.sql(ORACLES[name]).df()
+    assert len(spdf) == len(odf)
+    cols = sorted(spdf.columns)
+    assert cols == sorted(odf.columns)
+    a = spdf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), name
+
+
+def test_dedup_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.ingest.pipeline import upsert_last_write_wins
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 1, 10.0),
+            ("k1", 3, 30.0),  # winner: latest ts
+            ("k1", 2, 20.0),
+            ("k2", 1, 99.0),
+        ],
+        "uuid string, ts long, payload double",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts") * 1000))
+    out = upsert_last_write_wins(df, ["uuid"], "ts", "payload").collect()
+    got = {r["uuid"]: r["payload"] for r in out}
+    assert got == {"k1": 30.0, "k2": 99.0}
+
+
+def test_dlq_split_is_partition(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.ingest.pipeline import dlq_split
+
+    ev = t(spark, sf_dir, "events")
+    main_df, dlq_df = dlq_split(ev, F.col("value") >= 1.0)
+    assert main_df.count() + dlq_df.count() == ev.count()
+    assert main_df.intersect(dlq_df).count() == 0

@@ -1,0 +1,72 @@
+"""Physical-plan assertions (SURVEY.md §4): the properties that make
+these operators viable at 100 TB, checked mechanically so regressions
+in plan shape fail CI, not a cluster bill."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import go_pulsar_elasticsearch_spark as gpe
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.plans.inspect import (
+    formatted_plan,
+    has_partial_aggregate,
+    has_pushed_filter,
+    join_kinds,
+    read_schema_columns,
+    uses_take_ordered,
+)
+from go_pulsar_elasticsearch_spark.registry import QUERIES
+
+gpe.load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["filter_predicates"](spark, sf_dir)
+    assert has_pushed_filter(df, "l_returnflag")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["project_rename_cast"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+    assert "l_comment" not in cols and "l_partkey" not in cols
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["join_multiway_star"](spark, sf_dir)
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds
+
+
+def test_aggregate_is_two_phase(spark, sf_dir):
+    df = QUERIES["agg_grouped"](spark, sf_dir)
+    assert has_partial_aggregate(df)
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    df = QUERIES["limit_topk"](spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_metadata_query_prunes_payload(spark, sf_dir):
+    """multimodal_meta must not read payload bytes column-wise beyond the
+    text column it derives from — documents' parquet scan is pruned."""
+    df = QUERIES["multimodal_meta"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "text" in cols and "doc_id" in cols
+    # n_chars/lang never referenced
+    assert "n_chars" not in cols and "lang" not in cols
+
+
+def test_no_cartesian_in_ann(spark, sf_dir):
+    """ann_lsh_bucketed's candidate join is equi on the bucket code —
+    never a nested-loop over all pairs."""
+    df = QUERIES["ann_lsh_bucketed"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the candidate join must not be a cartesian product
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,221 @@
+"""Structured Streaming semantics the oracle can't certify: watermarks,
+stateful dedup across micro-batches, checkpoint replay idempotency, DLQ
+routing, and the metrics listener (reference R3-R9, R13)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.ingest.pipeline import upsert_last_write_wins
+from go_pulsar_elasticsearch_spark.streaming.stream import (
+    INGESTION_SCHEMA,
+    StreamMetrics,
+    decode_json_payload,
+    file_stream,
+    read_upserted,
+    run_ingest_pipeline,
+    windowed_counts,
+)
+
+
+def _payload(identifier, uuid, ms, typ="doc", name="n", tags=None):
+    d = {
+        "identifier": identifier,
+        "name": name,
+        "uuid": uuid,
+        "type": typ,
+        "ingestion_time": ms,
+    }
+    if tags is not None:
+        d["tags"] = tags
+    return json.dumps(d)
+
+
+@pytest.fixture()
+def ingest_dirs(tmp_path):
+    return {
+        "src": str(tmp_path / "src"),
+        "sink": str(tmp_path / "sink"),
+        "dlq": str(tmp_path / "dlq"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _write_batch(spark, src_dir, rows):
+    spark.createDataFrame([(r,) for r in rows], "value string").coalesce(1).write.mode(
+        "append"
+    ).format("parquet").save(src_dir)
+
+
+def _run(spark, d, metrics=None):
+    raw = file_stream(
+        spark, d["src"], schema="value string", fmt="parquet", max_files=1
+    )
+    q = run_ingest_pipeline(
+        spark,
+        decode_json_payload(raw),
+        sink_dir=d["sink"],
+        dlq_dir=d["dlq"],
+        checkpoint_dir=d["ckpt"],
+        metrics=metrics,
+    )
+    q.awaitTermination()
+    return q
+
+
+BASE_MS = 1_700_000_000_000
+
+
+def test_ingest_pipeline_end_to_end(spark, ingest_dirs):
+    """R3-R11 in one flow: decode, derive, upsert, DLQ, dated partitions."""
+    rows = [
+        _payload("a", "u1", BASE_MS),
+        _payload("b", "u1", BASE_MS + 5000),          # same uuid, later -> wins
+        _payload("c", "u2", BASE_MS + 86_400_000,     # next day partition
+                 tags=[{"type": "k", "value": "v"}]),
+        "{not json at all",                            # -> DLQ
+    ]
+    m = StreamMetrics()
+    _write_batch(spark, ingest_dirs["src"], rows)
+    _run(spark, ingest_dirs, metrics=m)
+
+    out = read_upserted(spark, ingest_dirs["sink"]).collect()
+    by_uuid = {r["uuid"]: r for r in out}
+    assert set(by_uuid) == {"u1", "u2"}
+    assert by_uuid["u1"]["identifier"] == "b"  # last write won
+    # R5 derivations present and typed
+    assert by_uuid["u2"]["ingestion_time"].day != by_uuid["u1"]["ingestion_time"].day
+    assert by_uuid["u1"]["persist_time"] is not None
+    assert json.loads(by_uuid["u2"]["tags_json"])[0]["value"] == "v"
+    # R11: two dated partition dirs
+    parts = {p for p in os.listdir(ingest_dirs["sink"]) if p.startswith("ingest_date=")}
+    assert len(parts) == 2
+    # R4: poison row in DLQ
+    dlq = spark.read.parquet(ingest_dirs["dlq"]).collect()
+    assert len(dlq) == 1 and dlq[0]["raw_value"].startswith("{not json")
+    # R13 counters
+    assert m.received == 4 and m.indexed == 3 and m.dlq == 1
+
+
+def test_replay_is_idempotent(spark, ingest_dirs):
+    """R8/R9: re-delivering the same payloads (new batch, same uuids) must
+    not duplicate — the key-addressed sink collapses replays."""
+    rows = [_payload("a", "u1", BASE_MS), _payload("c", "u2", BASE_MS)]
+    _write_batch(spark, ingest_dirs["src"], rows)
+    _run(spark, ingest_dirs)
+    _write_batch(spark, ingest_dirs["src"], rows)  # replay
+    _run(spark, ingest_dirs)
+    out = read_upserted(spark, ingest_dirs["sink"])
+    assert out.count() == 2
+    # raw sink holds 4 rows; the reader collapses them
+    assert spark.read.parquet(ingest_dirs["sink"]).count() == 4
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Stateful dropDuplicates with watermark dedupes across micro-batches
+    via the state store (unlike per-batch upsert)."""
+    src = str(tmp_path / "src")
+    out_table = "dedup_out"
+    for batch in (
+        [("u1", BASE_MS), ("u2", BASE_MS + 1000)],
+        [("u1", BASE_MS), ("u3", BASE_MS + 2000)],  # u1 is a cross-batch dup
+    ):
+        spark.createDataFrame(batch, "uuid string, ms long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("uuid string, ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ingestion_time", F.timestamp_millis("ms"))
+        .withWatermark("ingestion_time", "10 minutes")
+        .dropDuplicates(["uuid"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["uuid"] for r in spark.table(out_table).collect()}
+    assert got == {"u1", "u2", "u3"}
+    assert spark.table(out_table).count() == 3  # u1 emitted once
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Event-time tumbling window + watermark over a streaming source."""
+    src = str(tmp_path / "src")
+    # batch 1: the windows under test; batch 2: a much-later event that
+    # advances the watermark past them (append mode only emits windows
+    # the watermark has closed — a window flushes one batch later).
+    for batch in (
+        [("a", BASE_MS), ("a", BASE_MS + 10_000), ("b", BASE_MS + 70_000)],
+        [("c", BASE_MS + 3_600_000)],
+    ):
+        spark.createDataFrame(batch, "type string, ms long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("type string, ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ingestion_time", F.timestamp_millis("ms"))
+    )
+    agg = windowed_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["type"], r["n_events"]) for r in spark.table("win_out").collect()}
+    assert got == {("a", 2), ("b", 1)}
+
+
+def test_metrics_listener_health(spark, tmp_path):
+    """R13/R14: observe() counters surface through the listener; health()
+    mirrors the reference's HealthStatus shape."""
+    from go_pulsar_elasticsearch_spark.streaming.listener import (
+        MetricsListener,
+        with_counters,
+    )
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        rows = [_payload("a", "u1", BASE_MS), "garbage"]
+        _write_batch(spark, src, rows)
+        raw = file_stream(spark, src, schema="value string", fmt="parquet")
+        decoded = with_counters(decode_json_payload(raw))
+        q = (
+            decoded.writeStream.format("memory")
+            .queryName("obs_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+
+        for _ in range(40):  # listener events are async
+            if listener.received >= 2:
+                break
+            time.sleep(0.25)
+        assert listener.received == 2
+        assert listener.decode_errors == 1
+        h = listener.health(q)
+        assert set(h) >= {"status", "detail", "received", "decode_errors"}
+    finally:
+        spark.streams.removeListener(listener)
