@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 
 def dsum(
-    col: Column | str, scale: int = 2, precision: int = 25,
+    col: Column | str, scale: int = 2, precision: int = 18,
     out_scale: int | None = None,
 ) -> Column:
     """Order-independent SUM(double) -> double via exact decimal addition."""
@@ -45,7 +45,7 @@ def dsum(
     return s.cast("double")
 
 
-def davg(col: Column | str, scale: int = 2, precision: int = 25) -> Column:
+def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent AVG: exact decimal sum / count, double division."""
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, scale, precision) / F.count(c)
@@ -55,7 +55,7 @@ def davg(col: Column | str, scale: int = 2, precision: int = 25) -> Column:
 
 
 def SUMD(
-    expr: str, scale: int = 2, precision: int = 25, out_scale: int | None = None
+    expr: str, scale: int = 2, precision: int = 18, out_scale: int | None = None
 ) -> str:
     if out_scale is None:
         out_scale = min(scale, 2)
@@ -65,5 +65,5 @@ def SUMD(
     return f"CAST({s} AS DOUBLE)"
 
 
-def AVGD(expr: str, scale: int = 2, precision: int = 25) -> str:
+def AVGD(expr: str, scale: int = 2, precision: int = 18) -> str:
     return f"({SUMD(expr, scale, precision)} / COUNT({expr}))"

@@ -10,7 +10,7 @@ Three operators:
                            coarse pre-cluster at scale)
 
 Exactness strategy: dot products and norms accumulate per-element
-products as DECIMAL(28,12) (exact, order-independent) so cosine is
+products as DECIMAL(18,12) (exact, order-independent) so cosine is
 bit-identical across engines — all three operators are fully oracled,
 including the ANN path (its hyperplanes are integer-weight and derived
 from md5, so bucket codes are deterministic too).
@@ -34,14 +34,14 @@ from go_pulsar_elasticsearch_spark.session import tune
 _DIM = 64
 
 # Exact decimal dot product of two float arrays (Spark SQL expression):
-# cast each element to double, multiply, round to DECIMAL(28,12) (both
+# cast each element to double, multiply, round to DECIMAL(18,12) (both
 # engines round the same double identically at this scale), then add
 # decimals — associative, so Spark's evaluation order can't matter.
 _DOT_EXPR = (
     "CAST(aggregate(zip_with({a}, {b},"
-    " (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),"
-    " CAST(0 AS DECIMAL(28,12)),"
-    " (acc, v) -> CAST(acc + v AS DECIMAL(28,12)))"
+    " (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,12))),"
+    " CAST(0 AS DECIMAL(18,12)),"
+    " (acc, v) -> CAST(acc + v AS DECIMAL(18,12)))"
     " AS DOUBLE)"
 )
 
@@ -54,7 +54,7 @@ def _dot(a: str, b: str) -> F.Column:
 def _DOT_SQL(a: str, b: str) -> str:
     return (
         f"CAST(SUM(CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
-        f" AS DECIMAL(28,12))) AS DOUBLE)"
+        f" AS DECIMAL(18,12))) AS DOUBLE)"
     )
 
 
@@ -142,7 +142,7 @@ WITH elems AS (
   SELECT vec_id, p,
     CAST(SUM(CAST((strpos('0123456789abcdef',
                    substr(md5('p:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 9)
-              * v AS DECIMAL(28,12))) AS DOUBLE) AS s
+              * v AS DECIMAL(18,12))) AS DOUBLE) AS s
   FROM (SELECT vec_id, i, v, unnest(range(0, {_N_PLANES})) AS p FROM elems)
   GROUP BY vec_id, p
 ), codes AS (
@@ -206,12 +206,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         warr = F.array(*[F.lit(w) for w in weights])
         prods = F.zip_with(
             F.col("embedding"), warr,
-            lambda x, y: (x.cast("double") * y).cast("decimal(28,12)"),
+            lambda x, y: (x.cast("double") * y).cast("decimal(18,12)"),
         )
         return F.aggregate(
             prods,
-            F.lit(0).cast("decimal(28,12)"),
-            lambda acc, v: (acc + v).cast("decimal(28,12)"),
+            F.lit(0).cast("decimal(18,12)"),
+            lambda acc, v: (acc + v).cast("decimal(18,12)"),
         ).cast("double")
 
     code = None

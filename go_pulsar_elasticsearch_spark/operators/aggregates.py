@@ -65,11 +65,11 @@ SELECT
   l_linestatus,
   {SUMD('l_quantity', 1)} AS sum_qty,
   {SUMD('l_extendedprice')} AS sum_base_price,
-  {SUMD('l_extendedprice * (1 - l_discount)', 6, 30)} AS sum_disc_price,
-  {SUMD('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8, 32)} AS sum_charge,
+  {SUMD('l_extendedprice * (1 - l_discount)', 6, 18)} AS sum_disc_price,
+  {SUMD('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 8, 18)} AS sum_charge,
   {AVGD('l_quantity', 1)} AS avg_qty,
   {AVGD('l_extendedprice')} AS avg_price,
-  {AVGD('l_discount', 2, 10)} AS avg_disc,
+  {AVGD('l_discount', 2, 18)} AS avg_disc,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -90,11 +90,11 @@ def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", 1).alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
-        dsum(disc_price, 6, 30).alias("sum_disc_price"),
-        dsum(charge, 8, 32).alias("sum_charge"),
+        dsum(disc_price, 6, 18).alias("sum_disc_price"),
+        dsum(charge, 8, 18).alias("sum_charge"),
         davg("l_quantity", 1).alias("avg_qty"),
         davg("l_extendedprice").alias("avg_price"),
-        davg("l_discount", 2, 10).alias("avg_disc"),
+        davg("l_discount", 2, 18).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -108,7 +108,7 @@ SELECT
   o_orderstatus,
   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_distinct_price
+  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_distinct_price
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -123,7 +123,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count("*").alias("n_orders"),
-        F.sum_distinct(F.col("o_totalprice").cast("decimal(25,2)"))
+        F.sum_distinct(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_distinct_price"),
     )
@@ -220,10 +220,10 @@ WITH m AS (
     l_returnflag,
     CAST(COUNT(*) AS BIGINT) AS n,
     {SUMD('l_extendedprice')} AS s1,
-    {SUMD('l_extendedprice * l_extendedprice', 4, 32, 0)} AS s2,
+    {SUMD('l_extendedprice * l_extendedprice', 4, 18, 0)} AS s2,
     {SUMD('l_quantity', 1)} AS q1,
-    {SUMD('l_quantity * l_quantity', 1, 25)} AS q2,
-    {SUMD('l_extendedprice * l_quantity', 2, 32)} AS pq,
+    {SUMD('l_quantity * l_quantity', 1, 18)} AS q2,
+    {SUMD('l_extendedprice * l_quantity', 2, 18)} AS pq,
     CAST(MEDIAN(l_quantity) AS DOUBLE) AS median_qty
   FROM lineitem
   GROUP BY l_returnflag
@@ -250,10 +250,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         dsum(price).alias("s1"),
-        dsum(price * price, 4, 32, 0).alias("s2"),
+        dsum(price * price, 4, 18, 0).alias("s2"),
         dsum(qty, 1).alias("q1"),
-        dsum(qty * qty, 1, 25).alias("q2"),
-        dsum(price * qty, 2, 32).alias("pq"),
+        dsum(qty * qty, 1, 18).alias("q2"),
+        dsum(price * qty, 2, 18).alias("pq"),
         F.median(qty).cast("double").alias("median_qty"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")

@@ -189,7 +189,7 @@ SELECT
   r.r_name AS region,
   n.n_name AS nation,
   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-  {SUMD('l.l_extendedprice * (1 - l.l_discount)', 6, 30)} AS revenue
+  {SUMD('l.l_extendedprice * (1 - l.l_discount)', 6, 18)} AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -230,6 +230,6 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_lineitems"),
-            dsum(revenue, 6, 30).alias("revenue"),
+            dsum(revenue, 6, 18).alias("revenue"),
         )
     )

@@ -114,11 +114,11 @@ SELECT
   o_custkey,
   o_orderkey,
   date_trunc('day', o_orderdate) AS o_date,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS DOUBLE) AS running_spend,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
   ) AS DOUBLE) AS spend_3,
@@ -146,7 +146,7 @@ def win_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*ordering)
         .rowsBetween(-2, Window.currentRow)
     )
-    price_dec = F.col("o_totalprice").cast("decimal(25,2)")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     return o.select(
         "o_custkey",
         "o_orderkey",
