@@ -33,6 +33,7 @@ def load_all() -> None:
         joins,
         relational,
         setops,
+        sqlapi,
         sortlimit,
         windows,
     )
@@ -45,6 +46,7 @@ def load_all() -> None:
         text_analysis,
         udfs,
     )
+    from go_pulsar_elasticsearch_spark.streaming import stream  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import windows as swindows  # noqa: F401
 
     _LOADED = True

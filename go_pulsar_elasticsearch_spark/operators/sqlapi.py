@@ -1,0 +1,156 @@
+"""SQL-API surface + remaining §2B expression coverage: GROUPING SETS,
+collect_list/set aggregates, map functions, posexplode (lateral view),
+and a full TPC-H-Q3-shaped query through spark.sql() over registered
+views — proving the engine's second front door (SQL text) produces the
+same certified plans as the DataFrame API."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import register_views, t
+from go_pulsar_elasticsearch_spark.functions.exact import SUMD
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# agg_collect  (collect_list / collect_set, order-normalized)
+# --------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT
+  o_orderstatus,
+  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+  CAST(len(list(DISTINCT o_orderpriority)) AS INTEGER) AS n_priorities,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("agg_collect", _COLLECT_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + sort_array + array_join: set-valued aggregation with
+    deterministic ordering (collect_* order is partition-dependent, so
+    certified outputs always sort before use)."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    pris = F.array_sort(F.collect_set("o_orderpriority"))
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(pris, ",").alias("priorities"),
+        F.size(pris).alias("n_priorities"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# agg_grouping_sets  (SQL text API)
+# --------------------------------------------------------------------------
+
+_GSETS_SQL = f"""
+SELECT
+  c_mktsegment AS segment,
+  c_nationkey AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  {SUMD('c_acctbal')} AS total_balance
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+"""
+
+
+@register("agg_grouping_sets", _GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through spark.sql() — the identical SQL text
+    runs on DuckDB as the oracle."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# map_funcs
+# --------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+SELECT
+  event_id,
+  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+  CAST(props->>'k' AS INTEGER) AS k_val,
+  CAST(props->>'k' IS NOT NULL AS BOOLEAN) AS has_k
+FROM events
+"""
+
+
+@register("map_funcs", _MAP_ORACLE)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into MapType + map_keys/size/element_at — the dynamic-
+    schema twin of the struct-based map_json_funcs."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "k").isNotNull().alias("has_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# explode_positions  (posexplode / lateral view)
+# --------------------------------------------------------------------------
+
+_POSEXPLODE_ORACLE = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS token
+FROM (
+  SELECT doc_id, w, unnest(range(1, least(len(w), 5) + 1)) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+
+@register("explode_positions", _POSEXPLODE_ORACLE)
+def explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over the first 5 tokens per document (0-based position,
+    matching Spark's posexplode convention)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sql_surface_q3  (TPC-H Q3 shape through spark.sql)
+# --------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT
+  l.l_orderkey,
+  {SUMD('l.l_extendedprice * (1 - l.l_discount)', 6, 18)} AS revenue,
+  CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+  o.o_orderpriority
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+GROUP BY l.l_orderkey, year(o.o_orderdate), o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 20
+"""
+
+
+@register("sql_surface_q3", _Q3_SQL)
+def sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority) via spark.sql over temp views —
+    scan+filter+3-way join+agg+top-k in one SQL statement, same text on
+    both engines."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)

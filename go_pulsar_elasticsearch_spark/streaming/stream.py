@@ -206,3 +206,52 @@ def windowed_counts(source: DataFrame, event_time: str = "ingestion_time",
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# certified query: the whole streaming pipeline, drained (rows-only — the
+# persist_time column is processing-time and the sink path is a temp dir)
+# --------------------------------------------------------------------------
+
+from go_pulsar_elasticsearch_spark.registry import register  # noqa: E402
+
+
+@register("stream_ingest_e2e")
+def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R11 end-to-end under the driver: events rows are serialized to
+    IngestionData JSON, streamed through decode -> derive -> upsert ->
+    dated sink with availableNow, and the upserted sink contents are
+    returned.  Rows-only certification (persist_time is nondeterministic);
+    the per-stage transforms are separately oracled."""
+    import tempfile
+
+    from go_pulsar_elasticsearch_spark.catalog import t as _t
+    from go_pulsar_elasticsearch_spark.session import tune as _tune
+
+    _tune(spark)
+    tmp = tempfile.mkdtemp(prefix="gpe_stream_e2e_")
+    src_dir = os.path.join(tmp, "src")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    payload = ev.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("id-"), F.col("event_id")).alias("identifier"),
+                F.col("event_type").alias("name"),
+                # duplicate uuids on purpose: upsert collapses them
+                F.concat(F.lit("uuid-"), F.col("event_id") % 500).alias("uuid"),
+                F.col("event_type").alias("type"),
+                F.unix_millis("ts").alias("ingestion_time"),
+            )
+        ).alias("value")
+    )
+    payload.write.mode("overwrite").format("parquet").save(src_dir)
+    raw = file_stream(spark, src_dir, schema="value string", max_files=64)
+    q = run_ingest_pipeline(
+        spark,
+        decode_json_payload(raw),
+        sink_dir=os.path.join(tmp, "sink"),
+        dlq_dir=os.path.join(tmp, "dlq"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    q.awaitTermination()
+    return read_upserted(spark, os.path.join(tmp, "sink"))

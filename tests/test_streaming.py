@@ -219,3 +219,20 @@ def test_metrics_listener_health(spark, tmp_path):
         assert set(h) >= {"status", "detail", "received", "decode_errors"}
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_avro_adapter_gates_cleanly(spark):
+    """R3: without spark-avro on the classpath the adapter must raise a
+    clear remediation error, not an opaque analysis failure."""
+    from go_pulsar_elasticsearch_spark.ingest.avro import (
+        avro_available,
+        decode_avro_payload,
+    )
+
+    df = spark.createDataFrame([(b"\x00",)], "value binary")
+    if avro_available(spark):
+        out = decode_avro_payload(df)
+        assert "parsed" in out.columns
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            decode_avro_payload(df)
