@@ -36,6 +36,7 @@ def load_all() -> None:
         sqlapi,
         sortlimit,
         windows,
+        windows2,
     )
     from go_pulsar_elasticsearch_spark import ingest  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401

@@ -255,3 +255,29 @@ def stream_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_upserted(spark, os.path.join(tmp, "sink"))
+
+
+def with_retries(fn, retries: int = 10, base_delay_s: float = 0.1,
+                 sleep=None):
+    """R12 (`es.go:133-158`, `pulsar.go:65-78`): bounded retry with
+    exponential backoff for sink/side-effect calls inside foreachBatch —
+    delay doubles each attempt, re-raises after `retries` failures.
+    Spark task retry covers compute failures; this covers the external
+    system the task talks to."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+
+    def wrapped(*args, **kwargs):
+        delay = base_delay_s
+        for attempt in range(retries):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:
+                if attempt == retries - 1:
+                    raise
+                sleep(delay)
+                delay *= 2  # pulsar.go:75: sleep doubles each try
+        return None
+
+    return wrapped

@@ -24,7 +24,10 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
     # rows-only ops must be the known exceptions, nothing silently dropped
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"agg_approx", "multimodal_features", "stream_ingest_e2e"}
+    assert rows_only == {
+        "agg_approx", "multimodal_features", "stream_ingest_e2e",
+        "similarity_topk_fast",
+    }
 
 
 @pytest.mark.parametrize("name", ["agg_grouped", "join_multiway_star", "win_ranking"])

@@ -4,6 +4,8 @@ in plan shape fail CI, not a cluster bill."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 import go_pulsar_elasticsearch_spark as gpe
@@ -70,3 +72,40 @@ def test_no_cartesian_in_ann(spark, sf_dir):
     plan = formatted_plan(df)
     # the candidate join must not be a cartesian product
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key removes the shuffle entirely
+    — the 100 TB strategy for repeated orders⋈lineitem joins."""
+    from go_pulsar_elasticsearch_spark.plans.inspect import exchange_count
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in ("b_orders", "b_lineitem"):
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("b_lineitem"))
+    bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+    # disable broadcast so both plans use a shuffle-or-bucket join — at
+    # test scale everything broadcasts and hides the difference
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plain = o.join(li, o.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        # plain SMJ shuffles both join sides + the agg; bucketed only the agg
+        assert exchange_count(joined) < exchange_count(plain)
+        assert len(joined.collect()) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -236,3 +236,71 @@ def test_avro_adapter_gates_cleanly(spark):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             decode_avro_payload(df)
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches through the state store."""
+    from go_pulsar_elasticsearch_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    src = str(tmp_path / "src")
+    for batch in (
+        [(1, 10.0, BASE_MS), (1, 5.0, BASE_MS + 1000), (2, 1.0, BASE_MS)],
+        [(1, 2.5, BASE_MS + 2000)],
+    ):
+        spark.createDataFrame(
+            batch, "user_id long, value double, ms long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, value double, ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("state_out").collect()
+    # last emission per user wins (update mode re-emits on change)
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = r
+    assert latest[1]["total_events"] == 3
+    assert latest[1]["total_value"] == pytest.approx(17.5)
+    assert latest[1]["last_ms"] == BASE_MS + 2000
+    assert latest[2]["total_events"] == 1
+
+
+def test_retry_backoff_recovers_and_gives_up():
+    """R12: delay doubles per attempt; success stops retrying; exhaustion
+    re-raises."""
+    from go_pulsar_elasticsearch_spark.streaming.stream import with_retries
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient 503")
+        return "ok"
+
+    ok = with_retries(flaky, retries=5, base_delay_s=0.1, sleep=sleeps.append)()
+    assert ok == "ok" and calls["n"] == 3
+    assert sleeps == [0.1, 0.2]
+
+    def always_down():
+        raise IOError("down")
+
+    sleeps2 = []
+    with pytest.raises(IOError):
+        with_retries(always_down, retries=3, base_delay_s=0.1, sleep=sleeps2.append)()
+    assert sleeps2 == [0.1, 0.2]
