@@ -233,3 +233,45 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(revenue, 6, 18).alias("revenue"),
         )
     )
+
+
+_FULL_ORACLE = """
+SELECT
+  coalesce(a.k, b.k) AS k,
+  a.n_f AS n_f,
+  b.n_o AS n_o
+FROM (SELECT l_returnflag || '/' || l_linestatus AS k, CAST(COUNT(*) AS BIGINT) AS n_f
+      FROM lineitem GROUP BY 1) a
+FULL OUTER JOIN (SELECT o_orderstatus || '/' || 'O' AS k, CAST(COUNT(*) AS BIGINT) AS n_o
+      FROM orders GROUP BY 1) b
+  ON a.k = b.k
+"""
+
+
+@register("join_full_outer", _FULL_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregated keyspaces (flag/status vs
+    status/'O') — rows surviving from either side with nulls opposite.
+    Right outer is the mirrored plan; Catalyst normalizes both to the
+    same FULL/RIGHT SortMergeJoin family."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    a = (
+        li.groupBy(
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("k")
+        ).agg(F.count("*").alias("n_f"))
+    )
+    b = (
+        o.groupBy(F.concat_ws("/", "o_orderstatus", F.lit("O")).alias("k"))
+        .agg(F.count("*").alias("n_o"))
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.col("a.n_f").alias("n_f"),
+            F.col("b.n_o").alias("n_o"),
+        )
+    )

@@ -304,3 +304,41 @@ def test_retry_backoff_recovers_and_gives_up():
     with pytest.raises(IOError):
         with_retries(always_down, retries=3, base_delay_s=0.1, sleep=sleeps2.append)()
     assert sleeps2 == [0.1, 0.2]
+
+
+def test_rate_source_feeds_pipeline(spark, tmp_path):
+    """R1 stand-in: the rate source (Spark's built-in unbounded generator)
+    drives the same derive/dedup transforms — proves the pipeline is
+    source-agnostic (Pulsar connector swaps in via sources/pulsar.py)."""
+    from go_pulsar_elasticsearch_spark.ingest.pipeline import derive_ingest_cols
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .select(
+            F.concat(F.lit("uuid-"), F.col("value")).alias("uuid"),
+            F.unix_millis("timestamp").alias("ingestion_ms"),
+        )
+    )
+    derived = derive_ingest_cols(rate, ms_col="ingestion_ms")
+    q = (
+        derived.writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("rate_out").count() == 0:
+            time.sleep(0.5)
+        rows = spark.table("rate_out").collect()
+        assert len(rows) > 0
+        assert rows[0]["ingestion_time"] is not None
+        assert rows[0]["persist_time"] is not None
+        assert rows[0]["ingest_date"] is not None
+    finally:
+        q.stop()
