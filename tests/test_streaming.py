@@ -342,3 +342,92 @@ def test_rate_source_feeds_pipeline(spark, tmp_path):
         assert rows[0]["ingest_date"] is not None
     finally:
         q.stop()
+
+
+def test_checkpoint_recovers_after_sink_failure(spark, ingest_dirs):
+    """R9 done right: a sink crash fails the batch; restarting from the
+    checkpoint replays it; the key-addressed sink keeps the result exactly
+    -once.  (The reference nacks and redelivers per message — same goal,
+    but its `found` flag bug acks unindexed messages; see SURVEY R9.)"""
+    rows = [_payload("a", "u1", BASE_MS), _payload("b", "u2", BASE_MS)]
+    _write_batch(spark, ingest_dirs["src"], rows)
+
+    calls = {"n": 0}
+    from go_pulsar_elasticsearch_spark.streaming.stream import (
+        decode_json_payload as _dec,
+        file_stream as _fs,
+        run_ingest_pipeline as _run_pipe,
+    )
+
+    # wrap run_ingest_pipeline's sink via a failing foreachBatch first
+    raw = _fs(spark, ingest_dirs["src"], schema="value string", max_files=1)
+
+    def failing_batch(batch_df, epoch_id):
+        calls["n"] += 1
+        raise IOError("sink down")
+
+    q = (
+        _dec(raw)
+        .writeStream.foreachBatch(failing_batch)
+        .option("checkpointLocation", ingest_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert calls["n"] >= 1  # the batch ran and failed -> NOT committed
+
+    # restart with the healthy pipeline on the SAME checkpoint
+    q2 = _run_pipe(
+        spark,
+        _dec(_fs(spark, ingest_dirs["src"], schema="value string", max_files=1)),
+        sink_dir=ingest_dirs["sink"],
+        dlq_dir=ingest_dirs["dlq"],
+        checkpoint_dir=ingest_dirs["ckpt"],
+    )
+    q2.awaitTermination()
+    out = read_upserted(spark, ingest_dirs["sink"])
+    assert {r["uuid"] for r in out.collect()} == {"u1", "u2"}
+    assert out.count() == 2
+
+
+def test_session_window_streaming_mode(spark, tmp_path):
+    """session_window in streaming append mode: sessions close when the
+    watermark passes their end; the batch-certified stream_session_window
+    query uses the identical expression."""
+    src = str(tmp_path / "src")
+    for batch in (
+        # user 1: two events 1 min apart -> one session; user 2: one event
+        [(1, BASE_MS), (1, BASE_MS + 60_000), (2, BASE_MS)],
+        [(3, BASE_MS + 7_200_000)],  # 2h later: closes everything prior
+    ):
+        spark.createDataFrame(batch, "user_id long, ms long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis("ms"))
+        .withWatermark("ts", "5 minutes")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["n"]) for r in spark.table("sess_out").collect()}
+    assert (1, 2) in got and (2, 1) in got
+    for r in spark.table("sess_out").collect():
+        if r["user_id"] == 1:
+            # end = last event + gap
+            assert (r["e"] - r["s"]).total_seconds() == 60 + 600
