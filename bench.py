@@ -109,8 +109,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm the JVM/parquet footers once with the cheapest query
+    # warm the JVM + parquet footers/listings once (steady-state timing;
+    # a cluster's metastore and footer caches play this role in prod)
+    t_warm = time.time()
+    from go_pulsar_elasticsearch_spark.catalog import TABLES, t as load_t
+
+    for name in TABLES:
+        load_t(spark, sf_dir, name).count()
     QUERIES["limit_topk"](spark, sf_dir).collect()
+    warmup_s = round(time.time() - t_warm, 3)
     for name in HEADLINE:
         t0 = time.time()
         materialize(QUERIES[name](spark, sf_dir))
@@ -125,6 +132,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stream_ingest_rows_per_s": round(stream_rps, 1),
+        "warmup_s": warmup_s,
     }
     print(json.dumps(out))
 

@@ -151,3 +151,75 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     return extract_features(with_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# frame sampling (video/audio-shaped: fixed-size frames, strided sample)
+# --------------------------------------------------------------------------
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 2) -> DataFrame:
+    """Split each payload into fixed-size frames and keep every
+    `stride`-th one — the video keyframe-sampling shape.  Runs as
+    mapInPandas so a 4 GB video row streams through Arrow without
+    being exploded JVM-side first; emitted rows are only the sampled
+    frames (1/stride of the bytes)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_frame = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for k, off in enumerate(range(0, n, frame_size)):
+                    if k % stride:
+                        continue
+                    out_doc.append(doc_id)
+                    out_idx.append(k)
+                    out_frame.append(bytes(payload[off:off + frame_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": out_idx,
+                    "frame": out_frame,
+                    "frame_len": [len(f) for f in out_frame],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, schema=_FRAME_SCHEMA)
+
+
+_FRAME_ORACLE = """
+SELECT
+  doc_id,
+  CAST(((octet_length(encode(text)) + 255) // 256 + 1) // 2 AS BIGINT) AS n_sampled,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+FROM documents
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling certified by counts: every 2nd 256-byte frame per
+    payload; the oracle computes the expected sampled-frame count from
+    the byte length (ceil(ceil(n/256)/2)).  Byte-level frame contents
+    are asserted in tests/test_multimodal.py."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    frames = sample_frames(with_payload(docs))
+    counts = frames.groupBy("doc_id").agg(F.count("*").alias("n_sampled"))
+    # byte_len recomputed independently of the frame path so the oracle
+    # cross-checks the sampling arithmetic, not a shared subexpression
+    lens = docs.select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("byte_len"),
+    )
+    return counts.join(lens, "doc_id")

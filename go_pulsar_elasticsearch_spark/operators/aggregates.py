@@ -87,15 +87,28 @@ def agg_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
+    # averages derive from the exact sums post-aggregation (same doubles
+    # as davg, one decimal sum each instead of two)
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", 1).alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
         dsum(disc_price, 6, 18).alias("sum_disc_price"),
         dsum(charge, 8, 18).alias("sum_charge"),
-        davg("l_quantity", 1).alias("avg_qty"),
-        davg("l_extendedprice").alias("avg_price"),
-        davg("l_discount", 2, 18).alias("avg_disc"),
+        dsum("l_discount", 2, 18).alias("sum_disc_tmp"),
         F.count("*").alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / n).alias("avg_qty"),
+        (F.col("sum_base_price") / n).alias("avg_price"),
+        (F.col("sum_disc_tmp") / n).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -44,3 +44,22 @@ def test_extract_features_matches_local_decode(spark, sf_dir):
         assert got["mean_byte"] == pytest.approx(expect["mean_byte"])
         assert got["n_frames"] == expect["n_frames"]
         assert got["head_hex"] == expect["head_hex"]
+
+
+def test_frame_sampling_bytes(spark, sf_dir):
+    """Sampled frames carry the exact payload slices at the right
+    offsets (frame k covers bytes [k*256, (k+1)*256))."""
+    from go_pulsar_elasticsearch_spark.llm.multimodal import sample_frames
+
+    docs = t(spark, sf_dir, "documents").limit(5)
+    frames = sample_frames(with_payload(docs), frame_size=256, stride=2)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for row in docs.collect():
+        payload = row["text"].encode("utf-8")
+        expect = {
+            k: payload[k * 256:(k + 1) * 256]
+            for k in range(0, (len(payload) + 255) // 256, 2)
+        }
+        assert got[row["doc_id"]] == expect
