@@ -190,38 +190,34 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale instead of the cross join)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
+    # hash each distinct word ONCE; all 32 bit-sums are conditional
+    # aggregates over that hash in a single groupBy pass (2 shuffles
+    # total: distinct + group — the exploded-by-32 formulation costs 6)
     words = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
+        .select("doc_id", F.md5(F.col("w")).alias("h"))
     )
-    bits = words.select(
-        "doc_id",
-        F.explode(F.expr("sequence(0, 31)")).alias("i"),
-        "w",
-    ).select(
-        "doc_id",
-        "i",
-        F.expr(
-            "((instr('0123456789abcdef',"
-            " substring(md5(w), CAST(i DIV 4 AS INT) + 1, 1)) - 1)"
-            " DIV CAST(pow(2, i % 4) AS INT)) % 2"
-        ).alias("bit"),
-    )
-    hashes = (
-        bits.groupBy("doc_id", "i")
-        .agg(F.sum(2 * F.col("bit") - 1).alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") >= 0, F.pow(2, F.col("i")).cast("bigint")).otherwise(
-                    F.lit(0)
-                )
+    bit_sums = [
+        F.sum(
+            F.expr(
+                f"((instr('0123456789abcdef', substring(h, {i // 4 + 1}, 1)) - 1)"
+                f" DIV {1 << (i % 4)}) % 2"
             )
-            .cast("bigint")
-            .alias("simhash")
+            * 2
+            - 1
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    sums = words.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    )
+        simhash = term if simhash is None else simhash + term
+    hashes = sums.select("doc_id", simhash.alias("simhash"))
     a, b = hashes.alias("a"), hashes.alias("b")
     hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (
