@@ -308,3 +308,39 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_inter", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+# --------------------------------------------------------------------------
+# near_dedup_minhash_ml  (pyspark.ml MinHashLSH — the library path)
+# --------------------------------------------------------------------------
+
+
+@register("near_dedup_minhash_ml")  # rows-only: ml hash family != md5 path
+def near_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup via pyspark.ml.feature (HashingTF token vectors ->
+    MinHashLSH(seed=42) -> approxSimilarityJoin on Jaccard distance).
+    Deterministic for a fixed seed but its hash family has no SQL twin,
+    so certification is rows-only; the hand-rolled near_dedup_minhash is
+    the oracled equivalent.  At scale this is the same band-bucket join
+    executed inside ml's approxSimilarityJoin."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
+    # sparse term-presence vectors; 2^18 features keeps collisions rare
+    tf = HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(tokens)
+    tf = tf.filter(F.expr("aggregate(tokens, 0, (a, x) -> a + 1) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.8, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist").alias("jaccard_dist"),
+        )
+    )
