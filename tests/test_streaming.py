@@ -431,3 +431,72 @@ def test_session_window_streaming_mode(spark, tmp_path):
         if r["user_id"] == 1:
             # end = last event + gap
             assert (r["e"] - r["s"]).total_seconds() == 60 + 600
+
+
+def test_http_health_and_metrics_endpoints(spark, tmp_path):
+    """R14: /health /ready /metrics served over HTTP with the reference's
+    HealthStatus shape and Prometheus counter exposition; R16: the
+    shutdown handler stops the query and the server."""
+    import urllib.request
+
+    from go_pulsar_elasticsearch_spark.streaming.http_health import (
+        install_shutdown_handler,
+        serve_health,
+    )
+    from go_pulsar_elasticsearch_spark.streaming.listener import (
+        MetricsListener,
+        with_counters,
+    )
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    server = None
+    try:
+        src = str(tmp_path / "src")
+        _write_batch(spark, src, [_payload("a", "u1", BASE_MS), "junk"])
+        raw = file_stream(spark, src, schema="value string", fmt="parquet")
+        q = (
+            with_counters(decode_json_payload(raw))
+            .writeStream.format("memory")
+            .queryName("health_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+
+        for _ in range(40):
+            if listener.received >= 2:
+                break
+            time.sleep(0.25)
+
+        server, _, port = serve_health(listener, q)
+        health = json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health").read()
+        )
+        assert health["status"] in ("UP", "DOWN")
+        assert health["received"] == 2 and health["decode_errors"] == 1
+        ready = urllib.request.urlopen(f"http://127.0.0.1:{port}/ready")
+        assert ready.status == 200
+        metrics = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics"
+        ).read().decode()
+        assert "gpe_received_total 2" in metrics
+        assert "gpe_decode_errors_total 1" in metrics
+        assert "# TYPE gpe_received_total counter" in metrics
+        # 404 for unknown path
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # R16: direct invocation of the shutdown handler
+        handler = install_shutdown_handler([q], server)
+        handler()
+        assert not q.isActive
+    finally:
+        if server is not None:
+            server.server_close()
+        spark.streams.removeListener(listener)
