@@ -1,0 +1,177 @@
+"""End-to-end training-data curation pipeline: the LLM operators
+composed the way a real corpus build uses them, certified as ONE query.
+
+Stages (each individually oracled elsewhere; the pipeline proves they
+compose):
+  1. quality gate     — keep docs with quality >= 0.5 (quality_score)
+  2. language gate    — keep docs whose marker-based lang-ID is 'en'
+  3. exact dedup      — one doc per sha256(text), lowest doc_id wins
+  4. near-dup removal — drop the higher doc_id of every MinHash candidate
+                        pair with >= 6/8 bands agreeing
+  5. token accounting — BPE-ish token count per surviving doc + the
+                        running corpus total needed for budget cuts
+
+At 100 TB each gate is a narrow filter; the dedups are the only
+shuffles (hash groupBy + band-bucket join), and stage order puts the
+cheap selective filters first so the expensive stages see fewer rows —
+the same reasoning Catalyst applies to predicates, encoded at the
+pipeline level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE, _MARKERS, _STOPWORDS_RE
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_CURATION_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, text,
+    least(CAST(len(regexp_split_to_array(text, ' +')) AS DOUBLE) / 100.0, 1.0) * 0.5
+      + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text)) * 0.3
+      + least(CAST(len(regexp_extract_all(text, '{_STOPWORDS_RE}')) AS DOUBLE)
+              / len(regexp_split_to_array(text, ' +')) * 4.0, 1.0) * 0.2 AS q
+  FROM documents WHERE length(text) > 0
+), gated AS (
+  SELECT doc_id, text FROM quality
+  WHERE q >= 0.5
+    AND len(regexp_extract_all(text, '{_MARKERS["en"]}')) > 0
+    AND len(regexp_extract_all(text, '{_MARKERS["en"]}')) >=
+        greatest(len(regexp_extract_all(text, '{_MARKERS["de"]}')),
+                 len(regexp_extract_all(text, '{_MARKERS["fr"]}')),
+                 len(regexp_extract_all(text, '{_MARKERS["es"]}')))
+), exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY sha256(text)
+), kept AS (
+  SELECT g.doc_id, g.text FROM gated g JOIN exact e ON e.doc_id = g.doc_id
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)
+    WHERE len(w) >= 3
+  )
+), sigs AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM shingles)
+  GROUP BY doc_id, band
+), near_drop AS (
+  SELECT DISTINCT b.doc_id
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 6
+), survivors AS (
+  SELECT k.doc_id, k.text FROM kept k
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM near_drop)
+)
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}')))
+       OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS running_tokens
+FROM survivors
+"""
+
+
+@register("curation_pipeline", _CURATION_ORACLE)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality -> lang -> exact-dedup -> near-dedup -> token budget, as
+    one composed DataFrame plan (Catalyst fuses the three narrow gates
+    into the scan; only the dedup stages shuffle)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    # 1. quality gate (same formula as quality_score)
+    n_words = F.size(F.split("text", " +"))
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    stop_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit(_STOPWORDS_RE), 0)).cast("double")
+        / n_words
+    )
+    quality = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - punct_ratio) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.2
+    )
+    s = {
+        k: F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        for k, pat in _MARKERS.items()
+    }
+    gated = docs.filter(
+        (quality >= 0.5)
+        & (s["en"] > 0)
+        & (s["en"] >= F.greatest(s["de"], s["fr"], s["es"]))
+    ).select("doc_id", "text")
+
+    # 3. exact dedup: keep the lowest doc_id per content hash
+    keep_ids = gated.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    # kept is consumed by three downstream branches (shingling, the
+    # near-dup anti-join probe, and token accounting); cache the few-MB
+    # curated set instead of recomputing the regex gates three times
+    kept = gated.join(keep_ids, "doc_id").cache()
+
+    # 4. near-dup removal (MinHash bands, drop higher doc_id at >= 6/8)
+    w = F.split("text", " ")
+    shingles = (
+        kept.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    band_mins = [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
+        for b in range(8)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*band_mins)
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(8))
+    sigs = wide.select(
+        "doc_id", F.expr(f"stack(8, {stack_args}) AS (band, sig)")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    near_drop = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= 6)
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = kept.join(near_drop, "doc_id", "left_anti")
+
+    # 5. token accounting with a running corpus total
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("bigint")
+    # global-order window is intentional here: this is the corpus budget
+    # manifest (id + token count, a few rows per thousand input docs),
+    # not a data path — at extreme scale switch to a two-pass prefix sum
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return survivors.select("doc_id", n_tokens.alias("n_tokens")).select(
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(win).alias("running_tokens"),
+    )
