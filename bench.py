@@ -30,6 +30,10 @@ gpe.load_all()
 # and scale-critical paths.
 HEADLINE = [
     "join_multiway_star",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q18",
+    "curation_pipeline",
     "agg_grouped",
     "agg_rollup",
     "join_left_outer",

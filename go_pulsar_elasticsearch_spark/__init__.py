@@ -35,6 +35,7 @@ def load_all() -> None:
         setops,
         sqlapi,
         sortlimit,
+        tpch,
         windows,
         windows2,
     )
