@@ -30,6 +30,7 @@ def load_all() -> None:
     # Imports are side-effectful: each module registers its queries.
     from go_pulsar_elasticsearch_spark.operators import (  # noqa: F401
         aggregates,
+        events_analytics,
         joins,
         relational,
         setops,
@@ -42,6 +43,7 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark import ingest  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
+        components,
         curation,
         dedup,
         multimodal,

@@ -1,0 +1,166 @@
+"""Event-stream analytics over the `events` table: conversion funnel and
+retention cohorts — the queries an ES/Kibana user of the reference would
+run against the indexed stream, expressed (and certified) in the engine
+itself.
+
+Both are single-shuffle-per-stage shapes: funnel = per-user min-time per
+step then step-order conditions; retention = cohort (first-day) join
+back to activity days.  At 100 TB the user_id partitioning spreads both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# events_funnel  (view -> click -> purchase, ordered per user)
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), staged AS (
+  SELECT user_id,
+    CAST(t_view IS NOT NULL AS INTEGER) AS s1,
+    CAST(t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+         AS INTEGER) AS s2,
+    CAST(t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+         AND t_purchase IS NOT NULL AND t_purchase > t_click
+         AS INTEGER) AS s3
+  FROM per_user
+)
+SELECT
+  CAST(SUM(s1) AS BIGINT) AS n_viewed,
+  CAST(SUM(s2) AS BIGINT) AS n_clicked_after_view,
+  CAST(SUM(s3) AS BIGINT) AS n_purchased_after_click,
+  CAST(SUM(s3) AS DOUBLE) / SUM(s1) AS conversion
+FROM staged
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel: first view -> later first click -> later
+    first purchase, counted per user (conditional-min aggregation, one
+    shuffle on user_id)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    staged = per_user.select(
+        s1.cast("int").alias("s1"),
+        s2.cast("int").alias("s2"),
+        s3.cast("int").alias("s3"),
+    )
+    return staged.agg(
+        F.sum("s1").alias("n_viewed"),
+        F.sum("s2").alias("n_clicked_after_view"),
+        F.sum("s3").alias("n_purchased_after_click"),
+        (F.sum("s3").cast("double") / F.sum("s1")).alias("conversion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events_retention  (daily cohorts x day offset)
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+)
+SELECT
+  CAST(CAST(f.cohort_day AS TIMESTAMP) AS TIMESTAMP) AS cohort_day,
+  CAST(date_diff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM firsts f JOIN activity a ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_day, a.active_day) <= 7
+GROUP BY 1, 2
+"""
+
+
+@register("events_retention", _RETENTION_ORACLE)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    of their first 7 active day-offsets."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id", F.to_date("first_ts").alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("active_day")).distinct()
+    joined = firsts.join(activity, "user_id")
+    day_offset = F.datediff("active_day", "cohort_day")
+    return (
+        joined.select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            day_offset.alias("day_offset"),
+            "user_id",
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# --------------------------------------------------------------------------
+# fuzzy_match_levenshtein  (blocked edit-distance matching)
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH heads AS (
+  SELECT doc_id, source, substr(text, 1, 24) AS head FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+FROM heads a JOIN heads b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+"""
+
+
+@register("fuzzy_match_levenshtein", _FUZZY_ORACLE)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: edit distance over 24-char heads within source
+    blocks (blocking bounds the pair count; levenshtein's integer DP is
+    identical across engines)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    heads = docs.select("doc_id", "source", F.substring("text", 1, 24).alias("head"))
+    a, b = heads.alias("a"), heads.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
