@@ -32,6 +32,7 @@ def load_all() -> None:
         aggregates,
         events_analytics,
         joins,
+        rangejoin,
         relational,
         setops,
         sqlapi,

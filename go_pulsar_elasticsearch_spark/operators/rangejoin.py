@@ -1,0 +1,138 @@
+"""Range-join bucketization + as-of join (SURVEY.md §2B custom-operator
+slot: ops Spark lacks as primitives, built from compositions).
+
+`join_range_bucketed` rewrites a band/range theta-join into an equi-join
+on discretized buckets — the 100 TB answer to join_cross_theta's
+BroadcastNestedLoopJoin: each probe row lands in the buckets its band
+overlaps, the join is hash-partitioned on bucket id, and a residual
+filter restores exactness.  The oracle is the PLAIN range join, proving
+the rewrite is result-invisible.
+
+`events_asof_join` is the as-of join (latest matching event at-or-before
+each anchor) expressed as a running conditional-max window — one shuffle
+on the key, no point-in-time subquery per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# join_range_bucketed
+# --------------------------------------------------------------------------
+
+_BUCKET = 8  # p_size domain is 1..50; bands are 11 wide -> <=3 buckets/band
+
+# Oracle: the straightforward range join — bucketization must not change
+# the result.
+_RANGE_ORACLE = """
+SELECT
+  s.s_suppkey,
+  CAST(COUNT(*) AS BIGINT) AS n_parts_in_band,
+  CAST(MIN(p.p_size) AS INTEGER) AS min_size,
+  CAST(MAX(p.p_size) AS INTEGER) AS max_size
+FROM supplier s
+JOIN part p
+  ON p.p_size BETWEEN (s.s_suppkey % 20) AND (s.s_suppkey % 20 + 10)
+GROUP BY s.s_suppkey
+"""
+
+
+@register("join_range_bucketed", _RANGE_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query as join_cross_theta, executed as an equi-join: parts
+    hash into bucket floor(p_size/8); each supplier band explodes into
+    the 2-3 buckets it overlaps; the join key is the bucket id and a
+    residual BETWEEN filter keeps exact semantics.  At 100 TB this
+    shuffles on a well-spread integer key instead of nested-looping."""
+    tune(spark)
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part").withColumn(
+        "bucket", (F.col("p_size") / _BUCKET).cast("int")
+    )
+    lo = (F.col("s_suppkey") % 20).cast("int")
+    hi = lo + 10
+    s_banded = (
+        s.withColumn("lo", lo)
+        .withColumn("hi", hi)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    (F.col("lo") / _BUCKET).cast("int"),
+                    (F.col("hi") / _BUCKET).cast("int"),
+                )
+            ),
+        )
+    )
+    return (
+        s_banded.join(p, "bucket")
+        .filter(F.col("p_size").between(F.col("lo"), F.col("hi")))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count("*").alias("n_parts_in_band"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# events_asof_join
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS last_view_ts
+  FROM events
+)
+SELECT
+  user_id,
+  event_id AS purchase_id,
+  CAST(epoch_ms(ts) AS BIGINT) AS purchase_ms,
+  CAST(epoch_ms(last_view_ts) AS BIGINT) AS asof_view_ms,
+  CAST(epoch_ms(ts) - epoch_ms(last_view_ts) AS BIGINT) AS ms_since_view
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_asof_join", _ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    strictly-earlier view.  A per-row point-in-time lookup becomes one
+    running conditional-max window over the merged stream — single
+    shuffle on user_id, no per-row subquery.  (The two-table form merges
+    both sides with a tag column first; here both sides live in events.)"""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.unix_millis("ts").alias("purchase_ms"),
+            F.unix_millis("last_view_ts").alias("asof_view_ms"),
+            (F.unix_millis("ts") - F.unix_millis("last_view_ts")).alias(
+                "ms_since_view"
+            ),
+        )
+    )
