@@ -8,9 +8,11 @@ overlaps, the join is hash-partitioned on bucket id, and a residual
 filter restores exactness.  The oracle is the PLAIN range join, proving
 the rewrite is result-invisible.
 
-`events_asof_join` is the as-of join (latest matching event at-or-before
-each anchor) expressed as a running conditional-max window — one shuffle
-on the key, no point-in-time subquery per row.
+`events_asof_join` is the as-of join expressed as a running
+conditional-max window — one shuffle on the key, no point-in-time
+subquery per row.  Matching rule: the latest view STRICTLY PRECEDING the
+purchase in (ts, event_id) order — ts ties are broken by event_id, on
+both engines.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.operators.joins import _THETA_ORACLE
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -26,30 +29,27 @@ from go_pulsar_elasticsearch_spark.session import tune
 # join_range_bucketed
 # --------------------------------------------------------------------------
 
-_BUCKET = 8  # p_size domain is 1..50; bands are 11 wide -> <=3 buckets/band
+# p_size domain is 1..50, bands are 11 wide: width-4 buckets give 13
+# probe-side buckets with each band overlapping 3-4 — the key's spread
+# scales with domain/bucket_width, so size the width a fraction of the
+# band width, never a multiple of it.
+_BUCKET = 4
 
 # Oracle: the straightforward range join — bucketization must not change
-# the result.
-_RANGE_ORACLE = """
-SELECT
-  s.s_suppkey,
-  CAST(COUNT(*) AS BIGINT) AS n_parts_in_band,
-  CAST(MIN(p.p_size) AS INTEGER) AS min_size,
-  CAST(MAX(p.p_size) AS INTEGER) AS max_size
-FROM supplier s
-JOIN part p
-  ON p.p_size BETWEEN (s.s_suppkey % 20) AND (s.s_suppkey % 20 + 10)
-GROUP BY s.s_suppkey
-"""
+# the result.  SHARED with join_cross_theta: both operators certify the
+# same semantics, one via nested loop, one via the bucket rewrite.
+_RANGE_ORACLE = _THETA_ORACLE
 
 
 @register("join_range_bucketed", _RANGE_ORACLE)
 def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same query as join_cross_theta, executed as an equi-join: parts
-    hash into bucket floor(p_size/8); each supplier band explodes into
-    the 2-3 buckets it overlaps; the join key is the bucket id and a
-    residual BETWEEN filter keeps exact semantics.  At 100 TB this
-    shuffles on a well-spread integer key instead of nested-looping."""
+    """Same query as join_cross_theta (literally the same oracle SQL),
+    executed as an equi-join: parts hash into bucket floor(p_size/4);
+    each supplier band explodes into the 3-4 buckets it overlaps; the
+    join key is the bucket id and a residual BETWEEN filter keeps exact
+    semantics.  The shuffle key's cardinality is domain/bucket_width —
+    size the width well below the band width so the join spreads (a
+    compound key with a salt handles domains this small at scale)."""
     tune(spark)
     s = t(spark, sf_dir, "supplier")
     p = t(spark, sf_dir, "part").withColumn(
@@ -108,13 +108,19 @@ WHERE event_type = 'purchase'
 
 @register("events_asof_join", _ASOF_ORACLE)
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each purchase matched to the user's most recent
-    strictly-earlier view.  A per-row point-in-time lookup becomes one
-    running conditional-max window over the merged stream — single
-    shuffle on user_id, no per-row subquery.  (The two-table form merges
-    both sides with a tag column first; here both sides live in events.)"""
+    """As-of join: each purchase matched to the user's latest view that
+    strictly precedes it in (ts, event_id) order (ties on ts break by
+    event_id — the same total order the oracle uses).  A per-row
+    point-in-time lookup becomes one running conditional-max window —
+    single shuffle on user_id, no per-row subquery.  (The two-table form
+    merges both sides with a tag column first; here both live in
+    events.)  Only the two participating event types enter the window:
+    other types can neither match nor anchor, so filtering them first
+    shrinks the shuffle+sort by their share of the stream."""
     tune(spark)
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
