@@ -30,13 +30,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-# Dimensions small enough to broadcast at ANY scale factor (they grow with
-# the TPC-H spec far slower than the fact tables; region/nation are fixed).
-BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
-
-
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 

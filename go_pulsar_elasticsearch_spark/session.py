@@ -29,21 +29,32 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # local[32] @ sf0.1: 32 matches core count; AQE coalesces tiny ones.
-    "spark.sql.shuffle.partitions": "32",
     # 10 MB default is fine locally; keep explicit so plans are stable.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
 }
 
+# Only the timezone is load-bearing for CORRECTNESS (the oracle compares
+# wall-clock values); a failure to set it must surface, not be skipped.
+_REQUIRED_CONFS = {"spark.sql.session.timeZone"}
+
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs idempotently; never touches static confs."""
+    """Apply runtime confs idempotently; never touches static confs.
+    Sessions that kept Spark's stock 200 shuffle partitions get our
+    local-sized default; a session that set its own value wins."""
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
-            pass  # conf not settable on this build — keep going
+            if k in _REQUIRED_CONFS:
+                raise
+            # cosmetic conf not settable on this build — keep going
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark
 
 

@@ -117,8 +117,7 @@ def run_ingest_pipeline(
     checkpoint_dir: str,
     key_cols: list[str] | None = None,
     ts_col: str = "ingestion_time",
-    tiebreak: str = "uuid",
-    watermark: str = "10 minutes",
+    tiebreak: str = "identifier",
     metrics: StreamMetrics | None = None,
     available_now: bool = True,
     processing_time: str = "30 seconds",
@@ -126,38 +125,64 @@ def run_ingest_pipeline(
     """Wire the full ingest stream.  `source` must already contain
     IngestionData columns plus a nullable `parsed` marker column (from
     decode_json_payload); rows with parsed IS NULL go to the DLQ sink.
+    For stateful cross-batch dedup compose `streaming_dedup` onto the
+    source first (kept separate on purpose: it changes counter
+    semantics — duplicates then never reach these metrics).
+
+    Replay semantics: both sinks are idempotent under whole-batch replay
+    (main: key-addressed last-write-wins on read; DLQ: one overwritten
+    directory per epoch).  The in-memory counters double-count a
+    replayed batch, exactly like the reference's Prometheus counters
+    double-count a redelivered message.
+
+    `tiebreak` breaks exact ingestion_time ties per key; it must not be
+    one of key_cols (constant within the window partition = no-op).
 
     Returns the started StreamingQuery.  Trigger default availableNow
     (drain-and-stop, used by tests); production uses processingTime ≡
     the reference's BATCH_MAX_TIME=30s flush (.env:14)."""
     key_cols = key_cols or ["uuid"]
+    if tiebreak in key_cols:
+        raise ValueError(
+            f"tiebreak {tiebreak!r} is a key column — ties on {ts_col} "
+            "would resolve nondeterministically"
+        )
     m = metrics if metrics is not None else StreamMetrics()
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # R4: split decodable vs poison rows.
-        main_df, dlq_df = dlq_split(batch_df, F.col("parsed").isNotNull())
-        n_dlq = dlq_df.count()
-        if n_dlq:
-            (dlq_df.select("raw_value")
-             .write.mode("append").format("parquet").save(dlq_dir))
-        # R5 + R8: derive, then last-write-wins within the batch (the sink
-        # dir is keyed by uuid on read — see read_upserted below).
-        derived = derive_ingest_cols(
-            main_df.drop("parsed", "raw_value"), ms_col=ts_col
-        )
-        n_main = derived.count()  # messages sent to the sink (pre-collapse,
-        # matching the reference's Indexed counter — ES collapses doc-ids)
-        deduped = upsert_last_write_wins(
-            derived, key_cols, "ingestion_time", tiebreak
-        )
-        # R11: dated partitions behind the stable sink path ("alias").
-        (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
-         .write.mode("append").partitionBy("ingest_date").format("parquet")
-         .save(sink_dir))
-        m.received += n_main + n_dlq
-        m.indexed += n_main
-        m.dlq += n_dlq
-        m.batches.append({"epoch": epoch_id, "main": n_main, "dlq": n_dlq})
+        # one source read + decode per batch, not one per action below
+        batch_df.persist()
+        try:
+            # R4: split decodable vs poison rows.
+            main_df, dlq_df = dlq_split(batch_df, F.col("parsed").isNotNull())
+            n_dlq = dlq_df.count()
+            if n_dlq:
+                # one DLQ dir per epoch, overwritten: a replayed batch
+                # rewrites the same directory instead of appending dups
+                (dlq_df.select("raw_value")
+                 .write.mode("overwrite").format("parquet")
+                 .save(os.path.join(dlq_dir, f"epoch={epoch_id}")))
+            # R5 + R8: derive, then last-write-wins within the batch (the
+            # sink dir is keyed by uuid on read — see read_upserted below).
+            derived = derive_ingest_cols(
+                main_df.drop("parsed", "raw_value"), ms_col=ts_col
+            )
+            n_main = derived.count()  # pre-collapse, matching the
+            # reference's Indexed counter — ES collapses doc-ids
+            if n_main:
+                deduped = upsert_last_write_wins(
+                    derived, key_cols, "ingestion_time", tiebreak
+                )
+                # R11: dated partitions behind the stable sink path.
+                (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
+                 .write.mode("append").partitionBy("ingest_date")
+                 .format("parquet").save(sink_dir))
+            m.received += n_main + n_dlq
+            m.indexed += n_main
+            m.dlq += n_dlq
+            m.batches.append({"epoch": epoch_id, "main": n_main, "dlq": n_dlq})
+        finally:
+            batch_df.unpersist()
 
     writer = (
         source.writeStream.foreachBatch(write_batch)
@@ -172,13 +197,23 @@ def run_ingest_pipeline(
 
 
 def read_upserted(spark: SparkSession, sink_dir: str,
-                  key_cols: list[str] | None = None) -> DataFrame:
+                  key_cols: list[str] | None = None,
+                  tiebreak: str = "identifier") -> DataFrame:
     """Reader-side view of the key-addressed sink: replays/duplicates
     across batches collapse to last-write-wins, exactly like ES doc-id
-    indexing collapses re-delivered messages (`es.go:186`)."""
+    indexing collapses re-delivered messages (`es.go:186`).
+
+    Raises ValueError with a clear message when the sink holds no data
+    (e.g. every record was poison and went to the DLQ)."""
     key_cols = key_cols or ["uuid"]
-    df = spark.read.parquet(sink_dir)
-    return upsert_last_write_wins(df, key_cols, "ingestion_time", "uuid")
+    try:
+        df = spark.read.parquet(sink_dir)
+    except Exception as exc:
+        raise ValueError(
+            f"ingest sink {sink_dir!r} holds no data — no decodable "
+            "records were written (check the DLQ dir)"
+        ) from exc
+    return upsert_last_write_wins(df, key_cols, "ingestion_time", tiebreak)
 
 
 def streaming_dedup(source: DataFrame, key_cols: list[str],
@@ -261,23 +296,24 @@ def with_retries(fn, retries: int = 10, base_delay_s: float = 0.1,
                  sleep=None):
     """R12 (`es.go:133-158`, `pulsar.go:65-78`): bounded retry with
     exponential backoff for sink/side-effect calls inside foreachBatch —
-    delay doubles each attempt, re-raises after `retries` failures.
+    delay doubles each attempt, re-raises after `retries` total attempts
+    (always at least one: retries<=1 means try once, no retry).
     Spark task retry covers compute failures; this covers the external
     system the task talks to."""
     import time as _time
 
     sleep = sleep or _time.sleep
+    attempts = max(1, retries)
 
     def wrapped(*args, **kwargs):
         delay = base_delay_s
-        for attempt in range(retries):
+        for attempt in range(attempts):
             try:
                 return fn(*args, **kwargs)
             except Exception:
-                if attempt == retries - 1:
+                if attempt == attempts - 1:
                     raise
                 sleep(delay)
                 delay *= 2  # pulsar.go:75: sleep doubles each try
-        return None
 
     return wrapped
