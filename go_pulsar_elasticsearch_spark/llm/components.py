@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -38,6 +39,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     bi = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             bi.join(labels, bi.b == labels.node)
@@ -53,6 +55,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
             )
+            # checkpoint BEFORE the change check so the propagation join
+            # runs once per iteration, not once for the count and again
+            # for the checkpoint
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -61,9 +67,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage
+        labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter exceeds max_iter) — labels would "
+            "be wrong; raise max_iter"
+        )
     return labels
 
 
@@ -105,31 +118,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    shingles = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2)))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    band_mins = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
-        for b in range(8)
-    ]
-    wide = shingles.groupBy("doc_id").agg(*band_mins)
-    stack_args = ", ".join(f"{b}, sig{b}" for b in range(8))
-    sigs = wide.select(
-        "doc_id", F.expr(f"stack(8, {stack_args}) AS (band, sig)")
-    )
+    sigs = minhash_band_sigs(docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (
         a.join(

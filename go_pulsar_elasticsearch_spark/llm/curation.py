@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE, _MARKERS, _STOPWORDS_RE
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -117,37 +118,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_ids = gated.groupBy(F.sha2("text", 256)).agg(
         F.min("doc_id").alias("doc_id")
     ).select("doc_id")
-    # kept is consumed by three downstream branches (shingling, the
-    # near-dup anti-join probe, and token accounting); cache the few-MB
-    # curated set instead of recomputing the regex gates three times
-    kept = gated.join(keep_ids, "doc_id").cache()
+    kept = gated.join(keep_ids, "doc_id")
 
     # 4. near-dup removal (MinHash bands, drop higher doc_id at >= 6/8)
-    w = F.split("text", " ")
-    shingles = (
-        kept.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2)))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    band_mins = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
-        for b in range(8)
-    ]
-    wide = shingles.groupBy("doc_id").agg(*band_mins)
-    stack_args = ", ".join(f"{b}, sig{b}" for b in range(8))
-    sigs = wide.select(
-        "doc_id", F.expr(f"stack(8, {stack_args}) AS (band, sig)")
-    )
+    sigs = minhash_band_sigs(kept)
     a, b = sigs.alias("a"), sigs.alias("b")
     near_drop = (
         a.join(

@@ -16,7 +16,7 @@ no rows-only cop-out.
 - minhash: the band-bucket join IS the LSH trick — candidate pairs are
   generated per (band, signature) bucket, never all-pairs.  Shuffle keys
   are (band, sig): high cardinality, well spread.
-- simhash: the only all-pairs step is over 64-bit signatures (8 bytes/doc,
+- simhash: the only all-pairs step is over 32-bit signatures (4 bytes/doc,
   not the documents); at real scale replace the cross join with a
   bit-sliced prefix bucket (split 32 bits into 4 bands of 8; Hamming<=6
   pairs must agree exactly on >=1 band — same band-join shape as minhash).
@@ -69,6 +69,38 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_BANDS = 8
 
+
+def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per-band min of salted md5 over distinct
+    word-3-gram shingles — the shared LSH signature builder used by
+    near_dedup_minhash, dedup_components, and curation_pipeline (one
+    definition; the oracles encode the same salt format 'b:shingle')."""
+    w = F.split("text", " ")
+    shingles = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    band_mins = [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    wide = shingles.groupBy("doc_id").agg(*band_mins)
+    stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
+    )
+
 _MINHASH_ORACLE = f"""
 WITH shingles AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -106,32 +138,7 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles), then unpivoted with stack() for the band-bucket join."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    shingles = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2)))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-    band_mins = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
-        for b in range(_N_BANDS)
-    ]
-    wide = shingles.groupBy("doc_id").agg(*band_mins)
-    stack_args = ", ".join(f"{b}, sig{b}" for b in range(_N_BANDS))
-    sigs = wide.select(
-        "doc_id",
-        F.expr(f"stack({_N_BANDS}, {stack_args}) AS (band, sig)"),
-    )
+    sigs = minhash_band_sigs(docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -332,7 +339,7 @@ def near_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
     ).transform(tokens)
-    tf = tf.filter(F.expr("aggregate(tokens, 0, (a, x) -> a + 1) > 0"))
+    tf = tf.filter(F.size("tokens") > 0)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(tf)
     pairs = model.approxSimilarityJoin(tf, tf, 0.8, distCol="jaccard_dist")

@@ -42,7 +42,11 @@ _MIMES = ("image/png", "audio/wav", "video/mp4")
 def with_payload(docs: DataFrame) -> DataFrame:
     """Synthesize the multimodal shape from documents: utf-8 bytes of the
     text stand in for the media payload; mime derived from source id."""
-    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # sources without a digit run default to bucket 0 (both engines; the
+    # oracle mirrors with coalesce(try_cast(...), 0))
+    src_num = F.coalesce(
+        F.regexp_extract("source", r"(\d+)", 1).cast("int"), F.lit(0)
+    )
     mime = (
         F.when(src_num % 3 == 0, _MIMES[0])
         .when(src_num % 3 == 1, _MIMES[1])
@@ -116,7 +120,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 _META_ORACLE = """
 SELECT
   doc_id,
-  CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 3
+  CASE coalesce(TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER), 0) % 3
     WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4'
   END AS mime,
   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -222,4 +226,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(F.encode(F.col("text"), "UTF-8")).cast("bigint").alias("byte_len"),
     )
-    return counts.join(lens, "doc_id")
+    # left join from lens: a zero-length payload yields no frames but must
+    # still report n_sampled=0 (the oracle emits the row)
+    return lens.join(counts, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        "byte_len",
+    )
