@@ -31,6 +31,7 @@ gpe.load_all()
 HEADLINE = [
     "join_multiway_star",
     "tpch_q5",
+    "tpch_q6",
     "tpch_q10",
     "tpch_q18",
     "curation_pipeline",

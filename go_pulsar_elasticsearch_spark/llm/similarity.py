@@ -309,6 +309,139 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ann_ivf  (inverted-file coarse quantizer, deterministic centroids)
+# --------------------------------------------------------------------------
+
+# IVF: every vector is assigned to its nearest coarse centroid (the
+# "inverted list"); a query probes only the nprobe nearest lists and
+# re-ranks exactly inside them.  Centroids here are the deterministic
+# sample vec_id % 50 == 0 (10 lists over 500 vectors) so both engines
+# agree bit-for-bit; a production build would k-means them — the plan
+# shape (broadcast centroids -> narrow assign pass -> equi-join on
+# list id) is identical.
+
+_IVF_STEP = 50   # centroid sample stride -> N/_IVF_STEP lists
+_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % {_IVF_STEP} = 0
+), adots AS (
+  SELECT vec_id, cid, {_DOT_SQL('embedding', 'ce')} AS dot
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cid, c.ce, unnest(range(1, {_DIM + 1})) AS i
+    FROM embeddings e, cents c
+  )
+  GROUP BY vec_id, cid
+), ranked AS (
+  SELECT a.vec_id AS vec_id, a.cid AS cid,
+    row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY a.dot / sqrt(nv.n2 * nc.n2) DESC, a.cid
+    ) AS crk
+  FROM adots a
+  JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = a.cid
+), assign AS (SELECT vec_id, cid FROM ranked WHERE crk = 1),
+probes AS (SELECT vec_id AS qid, cid FROM ranked WHERE crk <= {_NPROBE} AND vec_id < 10),
+cand AS (
+  SELECT p.qid, a.vec_id AS vid, eq.embedding AS qe, ev.embedding AS ve
+  FROM probes p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+  JOIN embeddings eq ON eq.vec_id = p.qid
+  JOIN embeddings ev ON ev.vec_id = a.vec_id
+), dots AS (
+  SELECT qid, vid, {_DOT_SQL('qe', 've')} AS dot
+  FROM (SELECT qid, vid, qe, ve, unnest(range(1, {_DIM + 1})) AS i FROM cand)
+  GROUP BY qid, vid
+), scored AS (
+  SELECT qid, vid, dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid
+)
+SELECT qid, vid, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+@register("ann_ivf", _IVF_ORACLE)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, IVF shape: assign every vector to its nearest coarse centroid,
+    probe the _NPROBE nearest lists per query, exact-cosine re-rank top-3.
+
+    Scale posture: centroids are broadcast (K rows), so assignment is a
+    map-side cross of each row against K literals — no shuffle; the only
+    shuffles are the window over vec_id (bounded: K rows per vector) and
+    the candidate equi-join on the list id.  At 100 TB, K grows to
+    ~sqrt(N) and assignment stays map-side; the probe join's shuffle key
+    (cid) has K distinct values, so lists stay balanced as long as the
+    quantizer does — the standard IVF tradeoff."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    cents = emb.filter(F.col("vec_id") % _IVF_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    adots = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _dot("embedding", "ce").alias("dot")
+    )
+    ranked = (
+        adots.join(norms.select(F.col("vec_id"), F.col("n2").alias("nv")), "vec_id")
+        .join(
+            F.broadcast(norms.select(F.col("vec_id").alias("cid"), F.col("n2").alias("nc"))),
+            "cid",
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc"))),
+                    F.asc("cid"),
+                )
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("crk") <= _NPROBE) & (F.col("vec_id") < 10))
+        .select(F.col("vec_id").alias("qid"), "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(
+            emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")),
+            "qid",
+        )
+        .join(
+            emb.select(F.col("vec_id"), F.col("embedding").alias("ve")),
+            "vec_id",
+        )
+        .select("qid", F.col("vec_id").alias("vid"), "qe", "ve")
+    )
+    scored = (
+        cand.select("qid", "vid", _dot("qe", "ve").alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .select("qid", "vid", (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vid", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
 # similarity_topk_fast  (production path: numpy matmul over Arrow batches)
 # --------------------------------------------------------------------------
 

@@ -74,6 +74,16 @@ def test_no_cartesian_in_ann(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_is_broadcast(spark, sf_dir):
+    """ann_ivf's centroid assignment must broadcast the centroid set (a
+    map-side pass over the big table); the candidate probe join is equi
+    on the list id.  Neither may plan as a CartesianProduct."""
+    df = QUERIES["ann_ivf"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Bucketing both sides on the join key removes the shuffle entirely
     — the 100 TB strategy for repeated orders⋈lineitem joins."""
