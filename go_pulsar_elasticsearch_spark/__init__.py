@@ -45,6 +45,7 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
         components,
+        corpus,
         curation,
         dedup,
         multimodal,

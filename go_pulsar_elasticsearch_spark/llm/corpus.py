@@ -1,0 +1,186 @@
+"""Corpus-preparation operators: the steps between "curated documents"
+and "training shards" in an LLM data pipeline.
+
+  split_train_test — deterministic hash-based train/val/test assignment
+                     (md5 bucket, no RNG: re-running the pipeline or
+                     adding machines never moves a document between
+                     splits — the property random splits lose at scale)
+  pack_sequences   — token-budget chunking of the corpus manifest into
+                     contiguous bins (the sequence-packing accounting
+                     pass; the actual token concat happens shard-side)
+  text_normalize   — lowercase / strip punctuation / collapse runs of
+                     whitespace, the canonical pre-tokenization cleanup
+
+All three are certified against DuckDB.  The hash-bucket trick (two md5
+hex digits -> 0..255 via 1-based `instr`/`strpos` lookups, identical in
+both engines) is the cross-engine analog of `hash() % N` and is also the
+production shape: assignment is a narrow per-row expression, never a
+shuffle or an RNG.
+
+Reference parity note: the reference has no corpus stage at all (it is
+an ingest connector, main.go:250-325); these extend the engine toward
+the north-star training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_bucket(col: str) -> F.Column:
+    """0..255 from the first two hex digits of md5(col) — deterministic,
+    uniform, and expressible identically in Spark (`instr`) and DuckDB
+    (`strpos`), both 1-based."""
+    h = F.md5(F.col(col).cast("string"))
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (d1 * 16 + d2).cast("int")
+
+
+def _MD5_BUCKET_SQL(col: str) -> str:
+    return (
+        f"CAST((strpos('{_HEX}', substr(md5(CAST({col} AS VARCHAR)), 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr(md5(CAST({col} AS VARCHAR)), 2, 1)) - 1) AS INTEGER)"
+    )
+
+
+# --------------------------------------------------------------------------
+# split_train_test
+# --------------------------------------------------------------------------
+
+# ~90/5/5: bucket < 230 train, < 243 val, else test.
+_TRAIN_LT, _VAL_LT = 230, 243
+
+_SPLIT_ORACLE = f"""
+SELECT
+  doc_id,
+  {_MD5_BUCKET_SQL('doc_id')} AS bucket,
+  CASE
+    WHEN {_MD5_BUCKET_SQL('doc_id')} < {_TRAIN_LT} THEN 'train'
+    WHEN {_MD5_BUCKET_SQL('doc_id')} < {_VAL_LT} THEN 'val'
+    ELSE 'test'
+  END AS split
+FROM documents
+"""
+
+
+@register("split_train_test", _SPLIT_ORACLE)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 split assignment keyed on md5(doc_id).
+    Pure narrow projection — no shuffle, no RNG state; at 100 TB the
+    assignment is recomputable anywhere (idempotent retries, exactly
+    the property the reference's uuid-keyed upsert relies on,
+    es.go:186)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    bucket = _md5_bucket("doc_id")
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# pack_sequences
+# --------------------------------------------------------------------------
+
+_BIN_TOKENS = 2048
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM toks
+), binned AS (
+  SELECT doc_id, n_tokens,
+    CAST((running - 1) // {_BIN_TOKENS} AS BIGINT) AS bin_id
+  FROM cum
+)
+SELECT bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM binned
+GROUP BY bin_id
+"""
+
+
+@register("pack_sequences", _PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking: walk the manifest in doc_id order and cut a
+    new bin every _BIN_TOKENS tokens of running total (a doc spanning the
+    boundary lands in the later bin).  Output is the shard manifest:
+    bin -> doc range + token count.
+
+    The global-order running sum is the manifest pass (rows = documents,
+    not tokens); at extreme scale replace with the standard two-pass
+    prefix sum — per-partition subtotals broadcast back as offsets; the
+    binning math is unchanged."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("bigint")
+    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    binned = docs.select("doc_id", n_tokens.alias("n_tokens")).select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(win) - 1) / _BIN_TOKENS).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# text_normalize
+# --------------------------------------------------------------------------
+
+_NORM_ORACLE = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g')) AS norm_text,
+  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+@register("text_normalize", _NORM_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pre-tokenization cleanup: lowercase, drop everything
+    outside [a-z0-9 ], collapse whitespace runs, trim.  Narrow regex
+    pipeline fused into the scan (WholeStageCodegen) — zero shuffle.
+    (DuckDB needs the 'g' flag for replace-all; Spark's regexp_replace
+    is replace-all by default.)"""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )

@@ -114,11 +114,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (s["en"] >= F.greatest(s["de"], s["fr"], s["es"]))
     ).select("doc_id", "text")
 
-    # 3. exact dedup: keep the lowest doc_id per content hash
-    keep_ids = gated.groupBy(F.sha2("text", 256)).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    kept = gated.join(keep_ids, "doc_id")
+    # 3. exact dedup: keep the lowest doc_id per content hash — a window
+    # rank instead of groupBy+self-join, so the regex-gated subtree is
+    # scanned once and the dedup costs exactly one shuffle (on the hash)
+    hash_w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    kept = (
+        gated.withColumn("_rk", F.row_number().over(hash_w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
 
     # 4. near-dup removal (MinHash bands, drop higher doc_id at >= 6/8)
     sigs = minhash_band_sigs(kept)

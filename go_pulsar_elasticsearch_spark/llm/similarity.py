@@ -442,6 +442,66 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# embedding_quantize_int8  (scalar quantization, the 4x storage path)
+# --------------------------------------------------------------------------
+
+# Per-vector symmetric int8: scale = 127 / max|v|; q_i = trunc(v_i * scale).
+# trunc is spelled floor/ceil-by-sign because DuckDB's double->int CAST
+# rounds while Spark's truncates — the only non-portable piece.
+# Everything here is order-independent IEEE double math (max/abs/floor),
+# so no decimal trick is needed.
+
+_QUANT_ORACLE = f"""
+WITH elems AS (
+  SELECT vec_id, CAST(embedding[i] AS DOUBLE) AS v
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+), scales AS (
+  SELECT vec_id, 127.0 / MAX(abs(v)) AS scale
+  FROM elems GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id,
+    CASE WHEN e.v * s.scale >= 0 THEN FLOOR(e.v * s.scale)
+         ELSE CEIL(e.v * s.scale) END AS qv,
+    e.v, s.scale
+  FROM elems e JOIN scales s ON s.vec_id = e.vec_id
+)
+SELECT vec_id,
+  CAST(MIN(qv) AS INTEGER) AS q_min,
+  CAST(MAX(qv) AS INTEGER) AS q_max,
+  MAX(abs(v - qv / scale)) AS max_abs_err
+FROM q GROUP BY vec_id
+"""
+
+
+@register("embedding_quantize_int8", _QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    accounting — the 4x (fp32->int8) storage/bandwidth lever for 100 TB
+    embedding stores; IVF/LSH candidate scans read the int8 codes and
+    only the re-rank touches fp32.
+
+    Pure narrow pass: per-row higher-order functions (transform /
+    aggregate over the 64-wide array), no shuffle, no Python."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.array_max(F.transform(vd, F.abs))
+    p = F.transform(vd, lambda v: v * scale)
+    q = F.transform(
+        p, lambda x: F.when(x >= 0, F.floor(x)).otherwise(F.ceil(x)).cast("double")
+    )
+    err = F.array_max(
+        F.zip_with(vd, q, lambda v, qv: F.abs(v - qv / scale))
+    )
+    return emb.select(
+        "vec_id",
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+        err.alias("max_abs_err"),
+    )
+
+
+# --------------------------------------------------------------------------
 # similarity_topk_fast  (production path: numpy matmul over Arrow batches)
 # --------------------------------------------------------------------------
 
