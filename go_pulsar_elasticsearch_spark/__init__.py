@@ -38,6 +38,7 @@ def load_all() -> None:
         sqlapi,
         sortlimit,
         tpch,
+        tpch2,
         windows,
         windows2,
     )
