@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from go_pulsar_elasticsearch_spark.catalog import t
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
@@ -118,14 +119,22 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank instead of groupBy+self-join, so the regex-gated subtree is
     # scanned once and the dedup costs exactly one shuffle (on the hash)
     hash_w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    # kept feeds three consumers (both sides of the band self-join and
+    # the survivor anti-join); without a persist the regex-gated subtree
+    # is scanned three times.  MEMORY_AND_DISK spills instead of OOMing
+    # at scale — and a curated snapshot is exactly what a production
+    # corpus build materializes at this point anyway.
     kept = (
         gated.withColumn("_rk", F.row_number().over(hash_w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # 4. near-dup removal (MinHash bands, drop higher doc_id at >= 6/8)
-    sigs = minhash_band_sigs(kept)
+    # sigs is 8 small rows per doc but costs a shingle-explode + md5 +
+    # groupBy to build — persist so the self-join's two sides share it.
+    sigs = minhash_band_sigs(kept).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sigs.alias("a"), sigs.alias("b")
     near_drop = (
         a.join(
