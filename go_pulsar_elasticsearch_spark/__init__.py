@@ -39,6 +39,7 @@ def load_all() -> None:
         sortlimit,
         tpch,
         tpch2,
+        tpch3,
         windows,
         windows2,
     )
