@@ -49,6 +49,7 @@ def load_all() -> None:
         components,
         corpus,
         curation,
+        decontamination,
         dedup,
         multimodal,
         similarity,

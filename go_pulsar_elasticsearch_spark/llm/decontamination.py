@@ -1,0 +1,216 @@
+"""Decontamination + content-hygiene operators for LLM training data.
+
+  decontam_ngram_overlap — benchmark-leakage detector: eval-split docs
+                           sharing any word-5-gram with the train split,
+                           with the overlapping-gram count per doc
+  doc_repetition_ratio   — intra-document repetition (dup word + dup
+                           bigram fractions), the signal behind
+                           "repetitive junk" quality filters
+  pii_scrub              — pattern-based redaction with an audit count
+                           and an md5 of the scrubbed text (the synthetic
+                           corpus has no real PII, so a stand-in marker
+                           vocabulary plays the role of the sensitive
+                           pattern; the plumbing — replace-all regex,
+                           per-doc audit counts, certified output hash —
+                           is the production shape)
+
+All three certified vs DuckDB.  Scale notes: the overlap join is the
+only shuffle in the module, and it joins on the *distinct* gram sets
+(train grams dedup to vocabulary size, far below corpus size); at
+100 TB the gram strings should be md5-prefixed to fixed-width bigints
+before the exchange (same trick as dedup.py's band signatures).  The
+other two ops are narrow per-row expressions inside one
+WholeStageCodegen span.
+
+Reference parity: the reference has no corpus hygiene at all (ingest
+connector only, SURVEY §2A); these extend the north-star training-data
+pipeline alongside llm/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.corpus import _MD5_BUCKET_SQL, _md5_bucket, _TRAIN_LT
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# decontam_ngram_overlap
+# --------------------------------------------------------------------------
+
+_GRAM = 5  # word n-gram width; benchmarks typically use 8-13, the tiny
+# synthetic vocabulary needs 5 to keep overlap rates realistic
+
+_DECONTAM_ORACLE = f"""
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         {_MD5_BUCKET_SQL('doc_id')} < {_TRAIN_LT} AS is_train
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, is_train,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] AS gram
+  FROM (SELECT doc_id, is_train, w,
+               unnest(range(1, len(w) - {_GRAM - 2})) AS i
+        FROM split)
+),
+train_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE is_train
+)
+SELECT g.doc_id, COUNT(*) AS n_leaked_grams
+FROM grams g
+JOIN train_grams tg ON tg.gram = g.gram
+WHERE NOT g.is_train
+GROUP BY g.doc_id
+"""
+
+
+@register("decontam_ngram_overlap", _DECONTAM_ORACLE)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split documents that leak train-split word-5-grams, with the
+    count of distinct leaked grams per document — the standard
+    benchmark-decontamination pass run before any eval is trusted.
+
+    Plan: one narrow gram-explode per side of the deterministic md5
+    split, distinct per side, then a single equi-join on the gram
+    string.  The train side collapses to the distinct gram vocabulary
+    (bounded by vocab^5 observed combinations, not corpus rows), so at
+    scale Catalyst/AQE picks a broadcast or a well-balanced shuffle;
+    eval is typically ~5% of the corpus.  No window, no self-join on
+    the full corpus."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (_md5_bucket("doc_id") < _TRAIN_LT).alias("is_train"),
+    )
+    grams = docs.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(w) - {_GRAM - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(w, i, {_GRAM})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    train_grams = grams.filter("is_train").select("gram").distinct()
+    return (
+        grams.filter(~F.col("is_train"))
+        .join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_leaked_grams"))
+    )
+
+
+# --------------------------------------------------------------------------
+# doc_repetition_ratio
+# --------------------------------------------------------------------------
+
+_REP_ORACLE = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bi AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+  FROM split
+)
+SELECT
+  doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_ratio,
+  1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_ratio
+FROM bi
+WHERE len(w) > 1
+"""
+
+
+@register("doc_repetition_ratio", _REP_ORACLE)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: the fraction of duplicate words and
+    duplicate bigrams per document.  High bigram repetition is the
+    classic boilerplate/spam signature quality filters cut on.
+
+    Entirely expression-level (split / transform / array_distinct):
+    zero shuffle, pipelined with the scan — the 100 TB cost is one
+    pass over the text bytes."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bg = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    return (
+        docs.filter(F.size("w") > 1)
+        .withColumn("bg", bg)
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                1.0
+                - F.size(F.array_distinct("w")).cast("double") / F.size("w")
+            ).alias("dup_word_ratio"),
+            (
+                1.0
+                - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+            ).alias("dup_bigram_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# pii_scrub
+# --------------------------------------------------------------------------
+
+# Stand-in sensitive pattern: the synthetic corpus carries no emails /
+# phones / IPs, so a marker vocabulary plays the role.  In production
+# swap _PII_RE for the usual email/phone/IP alternation — the plan is
+# identical (replace-all regex + extract-all count, both RE2-safe).
+_PII_RE = r"\b(customer|value)\b"
+_MASK = "[REDACTED]"
+
+_PII_ORACLE = f"""
+SELECT
+  doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_RE}')) AS BIGINT) AS n_redactions,
+  md5(regexp_replace(text, '{_PII_RE}', '{_MASK}', 'g')) AS scrubbed_md5,
+  CAST(length(regexp_replace(text, '{_PII_RE}', '{_MASK}', 'g'))
+       AS BIGINT) AS scrubbed_len
+FROM documents
+"""
+
+
+@register("pii_scrub", _PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact every sensitive-pattern match, emitting the per-document
+    audit count plus an md5 of the scrubbed text so the certification
+    covers the exact replacement output, not just the count.  Narrow
+    per-row regex work — no shuffle; the audit trail is what a
+    compliance pass needs to prove the scrub ran everywhere."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace("text", _PII_RE, _MASK)
+    return docs.select(
+        "doc_id",
+        # NB: Spark SQL string literals process backslash escapes, so the
+        # regex's \b must be doubled inside expr() (the DataFrame-API
+        # regexp_replace above takes the pattern verbatim)
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, '"
+                + _PII_RE.replace("\\", "\\\\")
+                + "', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
