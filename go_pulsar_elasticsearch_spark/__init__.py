@@ -46,12 +46,14 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark import ingest  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
+        clustering,
         components,
         corpus,
         curation,
         decontamination,
         dedup,
         multimodal,
+        sampling,
         similarity,
         text_analysis,
         udfs,

@@ -1,0 +1,149 @@
+"""Sampling + term-weighting operators for corpus balancing and
+keyword analysis.
+
+  stratified_sample — deterministic per-stratum sampling (top-n by
+                      md5(doc_id) within each `source`), with the
+                      inverse-probability weight a downstream estimator
+                      needs.  The md5 ordering is the distributed,
+                      re-runnable analog of ORDER BY random(): adding
+                      executors or re-running never changes the sample.
+  tfidf_keywords    — top-3 terms per document by tf-idf.  Classic
+                      corpus analytics: one grouped count for tf, one
+                      distinct-count for df, a broadcast join, and a
+                      per-doc top-k window.
+
+Both fully hash-certified vs DuckDB (ln() rounded to 6 decimals before
+ranking so both engines rank identical values — the 1-ulp
+transcendental divergence rule from functions/exact.py applies to
+ordering keys too).
+
+100 TB posture: stratified_sample is one window shuffle on the stratum
+key (skew-safe when strata are balanced; salt the window for a
+pathological mega-stratum).  tfidf shuffles on (doc, term) then term;
+df collapses to vocabulary size, so its join back to tf broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# stratified_sample
+# --------------------------------------------------------------------------
+
+_PER_STRATUM = 10
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS stratum_n
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       CAST(stratum_n AS DOUBLE) / {_PER_STRATUM} AS weight
+FROM ranked
+WHERE rk <= {_PER_STRATUM}
+"""
+
+
+@register("stratified_sample", _STRAT_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Take exactly {n} documents per source stratum, deterministically
+    (md5 order), and attach the inverse-probability weight
+    (stratum_size / n) so weighted aggregates over the sample remain
+    unbiased.  One shuffle on `source`; both window functions share the
+    same partitioning, so Catalyst plans a single exchange + sort."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    wc = Window.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(wc).alias("stratum_n"),
+        )
+        .filter(F.col("rk") <= _PER_STRATUM)
+        .select(
+            "doc_id",
+            "source",
+            F.col("rk").cast("bigint").alias("rk"),
+            (F.col("stratum_n").cast("double") / _PER_STRATUM).alias("weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# tfidf_keywords
+# --------------------------------------------------------------------------
+
+_TOP_TERMS = 3
+
+_TFIDF_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_TOP_TERMS}
+"""
+
+
+@register("tfidf_keywords", _TFIDF_ORACLE)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf.  tf shuffles
+    on (doc_id, term); df re-aggregates tf's output (never the raw
+    words) down to vocabulary size and broadcasts back; the scalar doc
+    count is a 1-row broadcast cross join.  tfidf is rounded to 6
+    decimals BEFORE the ranking window so the order — not just the
+    output — is bit-identical cross-engine."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_TERMS)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
+    )
