@@ -58,6 +58,7 @@ def load_all() -> None:
         text_analysis,
         udfs,
     )
+    from go_pulsar_elasticsearch_spark.streaming import joins as sjoins  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import stream  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import windows as swindows  # noqa: F401
 

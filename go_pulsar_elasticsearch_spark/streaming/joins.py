@@ -1,0 +1,116 @@
+"""Stream-stream joins (Structured Streaming's two-unbounded-sides join).
+
+The reference has nothing like this (its only "join" is the O(n*m) ack
+matcher, main.go:185-193 — a static membership check).  A real pipeline
+correlating two live streams (impressions vs clicks, requests vs
+responses) needs an event-time interval join with watermarks bounding
+the state the engine must retain on each side.
+
+  interval_join        — the streaming helper: watermark both sides,
+                         equi-key + bounded time-range condition.  The
+                         range bound is what lets Spark expire state;
+                         without it both sides buffer forever.
+  stream_interval_join — the registered batch analog (views joined to
+                         clicks by the same user within 5 minutes) using
+                         the SAME condition builder, hash-certified vs
+                         DuckDB.  tests/test_streaming_joins.py then
+                         runs the true streaming path across
+                         micro-batches and asserts it emits exactly the
+                         batch-analog rows.
+
+100 TB posture: a stream-stream join shuffles both sides on the equi
+key and keeps only `watermark + upper-bound` minutes of per-key state;
+state size is rate x window, independent of stream lifetime.  The batch
+analog plans as a SortMergeJoin with the range as residual — one
+shuffle per side, same as the streaming exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_RANGE_MIN = 5  # click must land within 5 minutes after the view
+
+
+def _join_cond(l_user: Column, r_user: Column, l_ts: Column, r_ts: Column) -> Column:
+    """Equi-key + bounded event-time range — shared by the batch analog
+    and the streaming path so certification transfers."""
+    return (
+        (l_user == r_user)
+        & (r_ts >= l_ts)
+        & (r_ts <= l_ts + F.expr(f"INTERVAL {_RANGE_MIN} MINUTES"))
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    left_key: str,
+    right_key: str,
+    watermark: str = "10 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Watermarked event-time interval join of two streams.  Both sides
+    get the same watermark; the range condition comes from _join_cond.
+    State retention per side is bounded by watermark + range upper
+    bound — the knob that keeps a 100 TB/day stream joinable."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = _join_cond(
+        lw[left_key], rw[right_key], lw[left_ts], rw[right_ts]
+    )
+    return lw.join(rw, cond, join_type)
+
+
+_INTERVAL_ORACLE = f"""
+SELECT
+  v.user_id,
+  v.event_id AS view_id,
+  c.event_id AS click_id,
+  v.ts AS view_ts,
+  c.ts AS click_ts
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL {_RANGE_MIN} MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+@register("stream_interval_join", _INTERVAL_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the streaming interval join: every (view, click)
+    pair by the same user with the click inside the 5-minute window
+    after the view.  Identical condition expression as interval_join;
+    the streaming equivalence test drives the true streaming path on
+    the same rows."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = _join_cond(
+        F.col("v_user"), F.col("c_user"), F.col("view_ts"), F.col("click_ts")
+    )
+    return v.join(c, cond).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )

