@@ -34,6 +34,7 @@ def load_all() -> None:
         joins,
         rangejoin,
         relational,
+        reshape,
         setops,
         sqlapi,
         sortlimit,
