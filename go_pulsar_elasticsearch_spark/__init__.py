@@ -38,6 +38,7 @@ def load_all() -> None:
         setops,
         sqlapi,
         sortlimit,
+        temporal,
         tpch,
         tpch2,
         tpch3,
