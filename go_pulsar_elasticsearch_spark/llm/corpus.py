@@ -184,3 +184,52 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         F.length(norm).cast("bigint").alias("n_chars_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# doc_chunk_overlap
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 40, 30  # window of 40 words, stride 30 (10-word overlap)
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST(floor(s / {_CHUNK_S}) AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(string_split(text, ' '), s + 1, s + {_CHUNK_W}), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(string_split(text, ' '), s + 1, s + {_CHUNK_W})) AS BIGINT)
+         AS chunk_words
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, len(string_split(text, ' ')), {_CHUNK_S})) AS s
+  FROM documents
+)
+"""
+
+
+@register("doc_chunk_overlap", _CHUNK_ORACLE)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 40-word chunks every 30 words
+    (context-window prep for embedding / training pipelines).  Pure
+    narrow ops — split once, generate chunk starts with sequence(),
+    explode, slice — all inside one WholeStageCodegen stage, zero
+    shuffle, so it scales linearly with corpus bytes.  The trailing
+    chunk keeps whatever words remain (slice clamps, same as DuckDB's
+    list_slice)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunked = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(
+            F.sequence(F.lit(0), F.size(words) - 1, F.lit(_CHUNK_S))
+        ).alias("s"),
+    )
+    piece = F.slice(F.col("words"), F.col("s") + 1, _CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        F.floor(F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("bigint").alias("chunk_words"),
+    )

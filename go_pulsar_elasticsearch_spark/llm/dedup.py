@@ -351,3 +351,57 @@ def near_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("jaccard_dist").alias("jaccard_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# incremental_dedup_anti
+# --------------------------------------------------------------------------
+
+_INC_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS INTEGER)
+           AS bkt
+  FROM documents
+),
+base AS (SELECT DISTINCT h FROM b WHERE bkt < 200),
+batch AS (
+  SELECT doc_id, source, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM b WHERE bkt >= 200
+)
+SELECT doc_id, source, h AS content_hash
+FROM batch
+WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM base WHERE base.h = batch.h)
+"""
+
+
+@register("incremental_dedup_anti", _INC_ORACLE)
+def incremental_dedup_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a new batch (md5 bucket >= 200, ~22% of
+    docs) is deduplicated within itself (min doc_id per content hash)
+    and then anti-joined against the existing corpus's content-hash set
+    — the every-crawl-snapshot operation of a continuously growing
+    training corpus.
+
+    Scale shape: both sides reduce to their content-hash projection
+    before any shuffle; the anti join shuffles only (hash, id) pairs,
+    never text.  At 100 TB the base side is a pre-materialized
+    bucketed-by-hash table (or a bloom filter pre-pass) so the anti
+    join is co-located; here it is the direct shuffled anti join."""
+    from pyspark.sql import Window
+
+    from go_pulsar_elasticsearch_spark.llm.corpus import _md5_bucket
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "bkt", _md5_bucket("doc_id")
+    ).withColumn("h", F.md5("text"))
+    base = docs.filter(F.col("bkt") < 200).select("h").distinct()
+    batch = docs.filter(F.col("bkt") >= 200)
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    batch_dedup = batch.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return batch_dedup.join(base, "h", "left_anti").select(
+        "doc_id", "source", F.col("h").alias("content_hash")
+    )

@@ -147,3 +147,67 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOP_TERMS)
         .select("doc_id", "term", "tfidf", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+# --------------------------------------------------------------------------
+# mixture_weights_temperature
+# --------------------------------------------------------------------------
+
+_TAU = 0.7  # temperature for source re-weighting (multilingual-LM standard)
+
+_MIX_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+  FROM documents GROUP BY source
+), shared AS (
+  SELECT *,
+         CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER () AS share,
+         pow(CAST(n_docs AS DOUBLE) / SUM(CAST(n_docs AS DOUBLE)) OVER (),
+             1.0 / {_TAU}) AS unnorm
+  FROM per_source
+)
+SELECT source, n_docs, n_chars_total,
+       round(share, 6) AS share,
+       round(unnorm / SUM(unnorm) OVER (), 6) AS temp_weight,
+       round((unnorm / SUM(unnorm) OVER ()) / share, 6) AS upsample_factor
+FROM shared
+"""
+
+
+@register("mixture_weights_temperature", _MIX_ORACLE)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (tau=0.7): the data-mixing
+    table an LLM training pipeline samples from.  share_i^(1/tau),
+    renormalized, flattens the source distribution; upsample_factor is
+    the per-source epoch multiplier the sampler applies.
+
+    Shape at scale: one grouped agg collapses the corpus to |sources|
+    rows; every window after that runs on that tiny table (single
+    partition is fine and Catalyst knows it).  pow() is transcendental,
+    so all derived doubles are rounded to 6 decimals on both engines
+    before hashing (functions/exact.py rule)."""
+    tune(spark)
+    per_source = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_docs").cast("double") / F.sum(
+        F.col("n_docs").cast("double")
+    ).over(everything)
+    unnorm = F.pow(share, 1.0 / _TAU)
+    weight = unnorm / F.sum(unnorm).over(everything)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        F.round(share, 6).alias("share"),
+        F.round(weight, 6).alias("temp_weight"),
+        F.round(weight / share, 6).alias("upsample_factor"),
+    )

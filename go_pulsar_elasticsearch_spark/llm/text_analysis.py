@@ -247,3 +247,53 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("g"))).alias("fingerprint"),
         F.min(F.md5(F.concat(F.lit("salt:"), F.col("g")))).alias("fingerprint_alt"),
     )
+
+
+# --------------------------------------------------------------------------
+# vocab_topk
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 25
+
+_VOCAB_ORACLE = f"""
+SELECT word, cnt, df_docs, rk FROM (
+  SELECT word,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS BIGINT) AS rk
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+) WHERE rk <= {_VOCAB_K}
+"""
+
+
+@register("vocab_topk", _VOCAB_ORACLE)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: top-25 terms by total frequency
+    with document frequency alongside (the "what dominates my corpus"
+    sanity pass before tokenizer training).
+
+    Scale shape: explode is narrow; the grouped count + distinct-count
+    collapse the corpus to vocabulary size with map-side partial aggs
+    doing the heavy lifting.  Only the already-tiny vocabulary table
+    crosses the single-partition ranking window — never the corpus.
+    Ties broken by the word itself so the top-k is deterministic."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = tok.groupBy("word").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("cnt").desc(), "word")
+    )
+    return (
+        counts.select("word", "cnt", "df_docs", rk.cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= _VOCAB_K)
+    )

@@ -38,6 +38,94 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+_PIT_ORACLE = """
+WITH hist AS (
+  SELECT o_custkey, o_totalprice, o_orderdate AS valid_from,
+         LEAD(o_orderdate) OVER w AS valid_to,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT f.o_orderkey, f.o_custkey, f.o_orderdate,
+       f.o_orderdate - INTERVAL 90 DAY AS as_of_ts,
+       h.version_n AS asof_version,
+       h.o_totalprice AS asof_value,
+       h.valid_from AS asof_valid_from
+FROM orders f
+JOIN hist h
+  ON f.o_custkey = h.o_custkey
+ AND h.valid_from <= f.o_orderdate - INTERVAL 90 DAY
+ AND (h.valid_to IS NULL OR f.o_orderdate - INTERVAL 90 DAY < h.valid_to)
+"""
+
+
+@register("pit_join_scd2", _PIT_ORACLE)
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order looks up the customer's version in
+    effect 90 days before it (the feature-store "as-of the label time"
+    lookup over an SCD2 dimension).
+
+    Spark-first shape: instead of a key+range join (which explodes to
+    facts x versions before filtering), union the version rows and the
+    shifted fact rows, sort once per key by (time, is_fact, version_n),
+    and carry the latest version forward with last(ignorenulls) over a
+    running-rows frame.  All three payload columns ride the SAME window,
+    so the whole lookup is ONE shuffle on the business key (plus the one
+    that builds the history; pre-materialized in production).  Facts
+    whose as-of instant precedes every version drop out (inner PIT);
+    empty intervals from same-timestamp versions lose to the higher
+    version_n exactly like the oracle's [from, to) predicate."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_fact"),
+        F.row_number().over(w).cast("bigint").alias("version_n"),
+        F.col("o_totalprice").alias("dim_value"),
+        F.col("o_orderdate").alias("dim_valid_from"),
+        F.lit(None).cast("bigint").alias("fact_orderkey"),
+        F.lit(None).cast("timestamp").alias("fact_orderdate"),
+    )
+    fact = o.select(
+        "o_custkey",
+        (F.col("o_orderdate") - F.expr("INTERVAL 90 DAYS")).alias("t"),
+        F.lit(1).alias("is_fact"),
+        F.lit(None).cast("bigint").alias("version_n"),
+        F.lit(None).cast("double").alias("dim_value"),
+        F.lit(None).cast("timestamp").alias("dim_valid_from"),
+        F.col("o_orderkey").alias("fact_orderkey"),
+        F.col("o_orderdate").alias("fact_orderdate"),
+    )
+    asof = (
+        Window.partitionBy("o_custkey")
+        .orderBy("t", "is_fact", "version_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = dim.unionByName(fact).select(
+        "o_custkey",
+        "is_fact",
+        "fact_orderkey",
+        "fact_orderdate",
+        "t",
+        F.last("version_n", ignorenulls=True).over(asof).alias("asof_version"),
+        F.last("dim_value", ignorenulls=True).over(asof).alias("asof_value"),
+        F.last("dim_valid_from", ignorenulls=True).over(asof).alias("asof_valid_from"),
+    )
+    return carried.filter(
+        (F.col("is_fact") == 1) & F.col("asof_version").isNotNull()
+    ).select(
+        F.col("fact_orderkey").alias("o_orderkey"),
+        "o_custkey",
+        F.col("fact_orderdate").alias("o_orderdate"),
+        F.col("t").alias("as_of_ts"),
+        "asof_version",
+        "asof_value",
+        "asof_valid_from",
+    )
+
+
 @register("scd2_history", _SCD2_ORACLE)
 def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders as a change feed per customer -> type-2 history: validity
