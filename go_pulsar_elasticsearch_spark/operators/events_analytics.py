@@ -10,7 +10,7 @@ back to activity days.  At 100 TB the user_id partitioning spreads both.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
@@ -163,4 +163,171 @@ def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 8)
+    )
+
+
+# --------------------------------------------------------------------------
+# events_sessionize
+# --------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 6 HOUR
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n,
+       (prev_ts IS NULL OR ts > prev_ts + INTERVAL 6 HOUR) AS new_session
+FROM (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+
+@register("events_sessionize", _SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization that ASSIGNS a session id to every event
+    (the batch complement of session_window aggregation, which only
+    yields per-session rows): a session breaks after a >6 h gap, and the
+    running sum of break flags numbers sessions per user.
+
+    lag() and the running sum share one partitionBy(user)/orderBy(ts)
+    spec, so Catalyst plans a single Window node — ONE shuffle on the
+    user key regardless of corpus size.  Ties broken by event_id for
+    determinism at any scale."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = prev_ts.isNull() | (
+        F.col("ts") > prev_ts + F.expr("INTERVAL 6 HOURS")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(is_new.cast("int")).over(run).cast("bigint").alias("session_n"),
+        is_new.alias("new_session"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ohlc_downsample
+# --------------------------------------------------------------------------
+
+_OHLC_ORACLE = f"""
+WITH x AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+         value,
+         FIRST_VALUE(value) OVER w AS open_v,
+         LAST_VALUE(value)  OVER w AS close_v
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       MIN(open_v)  AS open,
+       MAX(value)   AS high,
+       MIN(value)   AS low,
+       MIN(close_v) AS close,
+       {{SUMD}}     AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM x GROUP BY event_type, bucket
+"""
+
+
+@register(
+    "ohlc_downsample",
+    _OHLC_ORACLE.format(SUMD="CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"),
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to daily OHLC bars per event type (the
+    hypertable-rollup / candlestick query).  open/close come from
+    deterministic full-frame first/last over (ts, event_id) order —
+    portable where arg_min/arg_max tie-breaking is not — and the
+    follow-up groupBy reuses the window's hash partitioning, so the
+    whole rollup is ONE shuffle.  Volume uses the exact-decimal sum so
+    the double hash-matches DuckDB regardless of add order."""
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    tune(spark)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "bucket", F.date_trunc("day", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    framed = ev.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(w).alias("close_v"),
+    )
+    return framed.groupBy("event_type", "bucket").agg(
+        F.min("open_v").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min("close_v").alias("close"),
+        dsum("value").alias("volume"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# histogram_equi_width
+# --------------------------------------------------------------------------
+
+_N_BINS = 20
+
+_HIST_ORACLE = f"""
+WITH mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((value - vmin) / ((vmax - vmin) / {_N_BINS})) AS BIGINT),
+               {_N_BINS - 1}) AS bin,
+         vmin, vmax
+  FROM events, mm
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       round(vmin + bin * ((vmax - vmin) / {_N_BINS}), 6) AS bin_lo,
+       round(vmin + (bin + 1) * ((vmax - vmin) / {_N_BINS}), 6) AS bin_hi
+FROM binned GROUP BY bin, vmin, vmax
+"""
+
+
+@register("histogram_equi_width", _HIST_ORACLE)
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value in 20 bins: global min/max
+    via one scalar aggregate broadcast back over the scan (two passes,
+    no wide shuffle — the second pass's groupBy carries 20 keys), the
+    top value clamped into the last bin.  Bin arithmetic is identical
+    IEEE double ops in both engines; only the rounded bin edges are
+    emitted.  The classic distribution profile before outlier filtering
+    at corpus scale."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / _N_BINS
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("bigint"),
+            F.lit(_N_BINS - 1),
+        ).alias("bin"),
+        "vmin",
+        "vmax",
+    )
+    return binned.groupBy("bin", "vmin", "vmax").agg(
+        F.count("*").alias("cnt"),
+    ).select(
+        "bin",
+        "cnt",
+        F.round(F.col("vmin") + F.col("bin") * width, 6).alias("bin_lo"),
+        F.round(F.col("vmin") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
     )
