@@ -405,3 +405,93 @@ def incremental_dedup_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_dedup.join(base, "h", "left_anti").select(
         "doc_id", "source", F.col("h").alias("content_hash")
     )
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup  (SemDeDup: drop embedding-space duplicates within blocks)
+# --------------------------------------------------------------------------
+
+_SEM_TAU = 0.3
+_SEM_DIM = 64
+
+_SEM_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+              AS DECIMAL(18,12))) AS DOUBLE) AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_SEM_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT id_a, id_b,
+         CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)
+              AS DECIMAL(18,12))) AS DOUBLE) AS dot
+  FROM (SELECT id_a, id_b, ea, eb, unnest(range(1, {_SEM_DIM + 1})) AS i FROM pairs)
+  GROUP BY id_a, id_b
+), dom AS (
+  SELECT id_b, CAST(MIN(id_a) AS BIGINT) AS dominated_by
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b
+  WHERE dot / sqrt(na.n2 * nb.n2) >= {_SEM_TAU}
+  GROUP BY id_b
+)
+SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
+       dom.id_b IS NULL AS kept, dom.dominated_by
+FROM embeddings e LEFT JOIN dom ON dom.id_b = e.vec_id
+"""
+
+
+@register("semantic_dedup", _SEM_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each `label` block
+    (standing in for the coarse k-means cluster used at scale), a vector
+    is DROPPED when some lower-id vector in the block has cosine >= 0.3
+    with it; survivors carry kept=true, casualties point at their lowest
+    dominating id.  Unlike embedding_cosine_neardup (which emits the
+    candidate PAIRS) this emits the per-row keep/drop decision — the
+    actual curation output.
+
+    Scale posture: pair generation is blocked (per-cluster quadratic,
+    never corpus-quadratic), the dominance reduction is a groupBy on the
+    higher id, and the final verdict is a left join of ids only — the
+    embeddings themselves never shuffle twice.  Cosine uses the exact
+    DECIMAL(18,12) dot product so both engines agree bit-for-bit."""
+    from go_pulsar_elasticsearch_spark.llm.similarity import _dot
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.col("a.embedding").alias("ea"),
+        F.col("b.embedding").alias("eb"),
+    )
+    dom = (
+        pairs.select("id_a", "id_b", _dot("ea", "eb").alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("id_a"), F.col("n2").alias("na")), "id_a")
+        .join(norms.select(F.col("vec_id").alias("id_b"), F.col("n2").alias("nb")), "id_b")
+        .filter(F.col("dot") / F.sqrt(F.col("na") * F.col("nb")) >= _SEM_TAU)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dominated_by"))
+    )
+    return (
+        emb.select("vec_id", F.col("label").cast("int").alias("label"))
+        .join(dom, emb.vec_id == dom.id_b, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("id_b").isNull().alias("kept"),
+            "dominated_by",
+        )
+    )

@@ -297,3 +297,76 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.select("word", "cnt", "df_docs", rk.cast("bigint").alias("rk"))
         .filter(F.col("rk") <= _VOCAB_K)
     )
+
+
+# --------------------------------------------------------------------------
+# boilerplate_ngrams
+# --------------------------------------------------------------------------
+
+_BOILER_MIN_DF = 5
+
+_BOILER_ORACLE = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), df AS (
+  SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df.df >= {_BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN df.df >= {_BOILER_MIN_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS boiler_frac
+FROM grams JOIN df ON df.g = grams.g
+GROUP BY grams.doc_id
+"""
+
+
+@register("boilerplate_ngrams", _BOILER_ORACLE)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word-3-grams shared by >= 5 documents are
+    "boilerplate" (headers, footers, templates at web scale); each doc
+    reports its distinct-gram count and the fraction that is boilerplate
+    — the pre-filter signal for template-heavy page removal.
+
+    Scale shape: doc frequency is an unordered count-over-window
+    partitioned on the gram (no join back, no second materialization of
+    the gram set) — 3 shuffles total: the per-doc distinct, the window
+    on `g` (high-cardinality, well spread), and the final per-doc
+    rollup.  The equivalent df-table + self-join formulation costs 4."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = F.count("*").over(Window.partitionBy("g"))
+    boiler = F.when(df >= _BOILER_MIN_DF, 1).otherwise(0)
+    return (
+        grams.select("doc_id", boiler.alias("is_boiler"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("is_boiler").alias("n_boiler"),
+            (F.sum("is_boiler").cast("double") / F.count("*")).alias("boiler_frac"),
+        )
+    )

@@ -331,3 +331,68 @@ def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("vmin") + F.col("bin") * width, 6).alias("bin_lo"),
         F.round(F.col("vmin") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# ewma_smooth
+# --------------------------------------------------------------------------
+
+_EWMA_K = 8  # truncated horizon; alpha = 0.5 so weight_j = 2^-j exactly
+
+_EWMA_LAGS_SQL = ",\n         ".join(
+    f"LAG(value, {j}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{j}"
+    for j in range(_EWMA_K)
+)
+_EWMA_NUM_SQL = " + ".join(
+    f"COALESCE(l{j} * {1.0 / (1 << j)!r}, 0.0)" for j in range(_EWMA_K)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"(CASE WHEN l{j} IS NOT NULL THEN {1.0 / (1 << j)!r} ELSE 0.0 END)"
+    for j in range(_EWMA_K)
+)
+
+_EWMA_ORACLE = f"""
+SELECT event_id, user_id, ts, value,
+       ({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL}) AS ewma
+FROM (
+  SELECT event_id, user_id, ts, value,
+         {_EWMA_LAGS_SQL}
+  FROM events
+)
+"""
+
+
+@register("ewma_smooth", _EWMA_ORACLE)
+def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of events.value per user,
+    truncated to the last 8 observations with alpha = 0.5.  The infinite
+    recursion y_t = a*x_t + (1-a)*y_{t-1} is not expressible as a window
+    aggregate; the 8-term truncation (weights within 2^-8 of exact) is —
+    and because every weight 2^-j and each value*2^-j product is exact
+    in IEEE doubles, with both engines evaluating the identical
+    left-associated addition chain, the result hash-matches with no
+    decimal machinery at all.
+
+    All 8 lags share one partitionBy(user)/orderBy(ts, event_id) window
+    spec -> a single Window node, ONE shuffle on user_id at any scale."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        *[F.lag("value", j).over(w).alias(f"l{j}") for j in range(_EWMA_K)],
+    )
+    num = None
+    den = None
+    for j in range(_EWMA_K):
+        wt = 1.0 / (1 << j)
+        nterm = F.coalesce(F.col(f"l{j}") * F.lit(wt), F.lit(0.0))
+        dterm = F.when(F.col(f"l{j}").isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return lagged.select(
+        "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
+    )
