@@ -56,6 +56,7 @@ def load_all() -> None:
         dedup,
         multimodal,
         sampling,
+        search,
         similarity,
         text_analysis,
         udfs,

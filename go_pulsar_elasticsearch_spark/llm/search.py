@@ -1,0 +1,205 @@
+"""Full-text search parity with the reference's Elasticsearch sink.
+
+The reference indexes every record into Elasticsearch precisely so users
+can run keyword queries over it (`pkg/es/es.go:160-213` bulk-indexes;
+`schema/es/mapping.json:13-31` dual-indexes `type`/`name` as `text` +
+`.keyword` for exactly this).  These operators bring the two core ES
+query shapes INTO the engine, so a reference user can run their search
+without the round trip:
+
+  bm25_search  — Lucene-style BM25 ranked keyword search (ES `match`)
+  phrase_match — positional phrase query, slop 0 (ES `match_phrase`)
+
+Both are deterministic and fully oracled: BM25's only transcendental
+(the idf log) is rounded to 6 decimals per term before an exact decimal
+sum, and the phrase scan is pure integer/array logic.
+
+100 TB posture: the tf table is the classic inverted-index build — one
+shuffle keyed on (doc, term), map-side combined; corpus stats and the
+per-term df table are vocabulary-sized broadcasts.  phrase_match is a
+ZERO-shuffle narrow pass (per-row array scan).  At real scale the top-k
+window over scored docs becomes orderBy(...).limit(k), which Catalyst
+executes as TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# bm25_search
+# --------------------------------------------------------------------------
+
+_QUERY_TERMS = ("spark", "join", "window")
+_K1 = 1.2
+_B = 0.75
+_TOPN = 10
+
+def _contrib_sql(i: int) -> str:
+    return (
+        f"CAST(CASE WHEN tf{i} > 0 THEN round("
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({_K1} + 1)"
+        f" / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl)), 6)"
+        f" ELSE 0 END AS DECIMAL(18,6))"
+    )
+
+
+_BM25_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x <> '')) AS dl,
+         {", ".join(
+             f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
+             for i, t_ in enumerate(_QUERY_TERMS)
+         )}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(
+             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+             for i in range(len(_QUERY_TERMS))
+         )}
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         CAST({" + ".join(_contrib_sql(i) for i in range(len(_QUERY_TERMS)))}
+           AS DOUBLE) AS score
+  FROM base CROSS JOIN stats
+  WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_QUERY_TERMS)))}
+)
+SELECT doc_id, score, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+WHERE rk <= {_TOPN}
+"""
+
+
+def _eq_term(term: str):
+    # single-arg lambda factory: F.filter gives a 2-arg lambda the array
+    # INDEX as its second argument, so the term must be a closure, not a
+    # default parameter
+    return lambda x: x == term
+
+
+@register("bm25_search", _BM25_ORACLE)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked keyword search (Lucene formula, k1=1.2, b=0.75) for a
+    3-term query, top-10 docs — the ES `match` query the reference's
+    users run against the index it maintains (mapping.json:24-31 makes
+    `name` a `text` field for exactly this scoring).
+
+    idf = ln(1 + (N - df + .5)/(df + .5)); each term's contribution is
+    rounded to 6 decimals and the per-doc score is a fixed left-assoc
+    decimal chain, so it is engine-portable.
+
+    For a FIXED small query, term frequencies are per-row array filters
+    — no explode, no inverted-index shuffle.  Whole plan: one narrow
+    pass building (dl, tf_t), ONE scalar-stats exchange (N, avgdl, df_t
+    — broadcast back), a narrow scoring pass, and TakeOrderedAndProject
+    for the top-k.  The general-query form (terms as data) would use
+    the exploded (doc, term) groupBy instead; see boilerplate_ngrams
+    for that shape."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
+            for i, t_ in enumerate(_QUERY_TERMS)
+        ],
+    )
+    n_terms = len(_QUERY_TERMS)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(n_terms)
+        ],
+    )
+
+    def contrib(i: int) -> F.Column:
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        raw = (
+            F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+            * tf * (_K1 + 1)
+            / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf > 0, F.round(raw, 6)).otherwise(F.lit(0)).cast(
+            "decimal(18,6)"
+        )
+
+    score = contrib(0)
+    for i in range(1, n_terms):
+        score = score + contrib(i)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(" OR ".join(f"tf{i} > 0" for i in range(n_terms)))
+        .select("doc_id", score.cast("double").alias("score"))
+    )
+    # top-k via TakeOrderedAndProject (no global sort, no
+    # single-partition window over the corpus), then rank the k rows
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_TOPN)
+    rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk.select("doc_id", "score", rk.alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# phrase_match
+# --------------------------------------------------------------------------
+
+_PHRASE = ("data", "column")
+
+_PHRASE_ORACLE = f"""
+SELECT doc_id, n_hits, first_pos
+FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(range(1, len(w)),
+              i -> w[i] = '{_PHRASE[0]}' AND w[i+1] = '{_PHRASE[1]}'))
+           AS BIGINT) AS n_hits,
+         CAST(list_min(list_filter(range(1, len(w)),
+              i -> w[i] = '{_PHRASE[0]}' AND w[i+1] = '{_PHRASE[1]}'))
+           AS BIGINT) AS first_pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+WHERE n_hits > 0
+"""
+
+
+@register("phrase_match", _PHRASE_ORACLE)
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query (ES `match_phrase`, slop 0): docs where the
+    exact word sequence occurs, with occurrence count and first position.
+
+    ZERO shuffle: the position scan is a per-row higher-order filter over
+    the token array — at 100 TB this is a pure map over the corpus with
+    the predicate pushed into one codegen'd projection (an inverted
+    positional index would only beat it for highly selective phrases)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    hits = F.filter(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: (F.element_at(w, i) == _PHRASE[0])
+        & (F.element_at(w, i + 1) == _PHRASE[1]),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(hits).cast("bigint").alias("n_hits"),
+            F.array_min(hits).cast("bigint").alias("first_pos"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

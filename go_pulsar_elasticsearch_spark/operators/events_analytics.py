@@ -396,3 +396,112 @@ def ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.select(
         "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
     )
+
+
+# --------------------------------------------------------------------------
+# transition_matrix
+# --------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+SELECT prev_type, event_type,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY prev_type) AS prob
+FROM (
+  SELECT prev_type, event_type, COUNT(*) AS cnt
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+"""
+
+
+@register("transition_matrix", _TRANSITION_ORACLE)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) with raw pair counts — the behavioral
+    fingerprint behind next-event prediction and bot detection.
+
+    Shape: the lag window shuffles once on user_id; the pair groupBy
+    collapses the corpus to |types|^2 rows with map-side combine, and the
+    normalizing window runs on that tiny matrix.  The probability is a
+    single exact integer division, so no decimal machinery is needed."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy("prev_type"))
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "cnt",
+        (F.col("cnt").cast("double") / total).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# anomaly_zscore
+# --------------------------------------------------------------------------
+
+_Z_THRESHOLD = 3.0
+
+_ZSCORE_ORACLE = f"""
+WITH stats AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+  FROM events GROUP BY user_id
+), z AS (
+  SELECT e.event_id, e.user_id, e.value,
+         (e.value - s1 / n)
+           / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+  FROM events e JOIN stats s ON s.user_id = e.user_id
+  WHERE n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+)
+SELECT event_id, user_id, value, zscore
+FROM z WHERE abs(zscore) > {_Z_THRESHOLD}
+"""
+
+
+@register("anomaly_zscore", _ZSCORE_ORACLE)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier flags (|z| > 3): the streaming-telemetry
+    anomaly pass.  Mean and variance come from exact decimal first/second
+    moments (sum, sum-of-squares) so both engines start from identical
+    doubles; everything after is the same +,-,*,/,sqrt expression tree,
+    hence bit-identical — stddev_samp() itself is NOT portable (merge
+    order differs), which is why the moments are explicit.
+
+    Shape: one groupBy shuffle for the per-user moment table, then a join
+    back to the events (same user_id key — co-partitioned at scale, AQE
+    broadcasts the small side here)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        dsum("value", scale=2).alias("s1"),
+        dsum(F.col("value") * F.col("value"), scale=4, out_scale=4).alias("s2"),
+    )
+    var_s = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var_s)
+    return (
+        ev.join(stats, "user_id")
+        .filter((F.col("n") >= 2) & (var_s > 0))
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > _Z_THRESHOLD)
+    )
