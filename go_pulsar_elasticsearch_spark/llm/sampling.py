@@ -128,7 +128,9 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are already distinct on (doc_id, term), so doc frequency is
+    # a plain count — countDistinct here would add a distinct-expand pass
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "term")
