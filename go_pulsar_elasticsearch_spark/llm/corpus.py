@@ -233,3 +233,56 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).cast("bigint").alias("chunk_words"),
     )
+
+
+# --------------------------------------------------------------------------
+# dataset_card_stats
+# --------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS en_frac,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+         AS BIGINT) AS total_words,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM documents
+GROUP BY source
+"""
+
+
+@register("dataset_card_stats", _CARD_ORACLE)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "dataset card" rollup: volume (docs/chars/words),
+    language spread, and exact-duplicate rate in one pass — the summary
+    table every corpus release ships with.
+
+    ONE shuffle on `source`; word counts are per-row array arithmetic
+    (no explode), the dup rate rides the same groupBy via a distinct
+    count over md5(text), and every division is exact integer->double."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split("text", " "), lambda x: x != "")
+    ).cast("bigint")
+    base = docs.select(
+        "source", "lang", "n_chars", words.alias("n_words"), F.md5("text").alias("h")
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("en_frac"),
+        F.sum("n_words").alias("total_words"),
+        (
+            F.lit(1.0) - F.countDistinct("h").cast("double") / F.count("*")
+        ).alias("dup_rate"),
+    )

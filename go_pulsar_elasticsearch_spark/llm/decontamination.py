@@ -214,3 +214,58 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# contam_exact_substring
+# --------------------------------------------------------------------------
+
+_SUB_PROBE_WORDS = 3
+
+_SUBSTR_ORACLE = f"""
+WITH ev AS (
+  SELECT doc_id AS eval_id,
+         array_to_string(string_split(text, ' ')[1:{_SUB_PROBE_WORDS}], ' ')
+           AS probe
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT eval_id, d.doc_id AS train_id, probe,
+       CAST(strpos(d.text, probe) AS BIGINT) AS pos
+FROM ev JOIN documents d
+  ON d.doc_id <> ev.eval_id AND strpos(d.text, ev.probe) > 0
+"""
+
+
+@register("contam_exact_substring", _SUBSTR_ORACLE)
+def contam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (the complement of the word-5-gram
+    pass): each eval doc's leading 3-word phrase is searched VERBATIM in
+    every train doc; hits report where.  This is the cheap high-precision
+    screen run before n-gram overlap at corpus scale.
+
+    Shape: the probe table is eval-benchmark-sized -> broadcast; the
+    scan side is one narrow contains() pass over the corpus with NO
+    shuffle at all (the only exchange in the plan belongs to nothing —
+    probes are built driver-free from the same table)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, _SUB_PROBE_WORDS)
+        ).alias("probe"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            docs,
+            (F.col("doc_id") != F.col("eval_id"))
+            & (F.instr(F.col("text"), F.col("probe")) > 0),
+        )
+        .select(
+            "eval_id",
+            F.col("doc_id").alias("train_id"),
+            "probe",
+            F.instr(F.col("text"), F.col("probe")).cast("bigint").alias("pos"),
+        )
+    )

@@ -559,3 +559,86 @@ def similarity_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("qid", "vid", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# hard_negative_mining  (contrastive-training data prep)
+# --------------------------------------------------------------------------
+
+_HN_TOPK = 5
+
+_HN_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, {{dot_self}} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS qid, label AS q_label, embedding AS qe
+  FROM embeddings WHERE vec_id < 10
+), cand AS (
+  SELECT q.qid, q.q_label, q.qe, e.vec_id AS vid, e.label AS v_label,
+         e.embedding AS ve
+  FROM q JOIN embeddings e ON e.label <> q.q_label
+), dots AS (
+  SELECT qid, q_label, vid, v_label, {{dot_qv}} AS dot
+  FROM (SELECT qid, q_label, qe, vid, v_label, ve,
+               unnest(range(1, {_DIM + 1})) AS i FROM cand)
+  GROUP BY qid, q_label, vid, v_label
+), scored AS (
+  SELECT qid, CAST(q_label AS INTEGER) AS q_label,
+         vid, CAST(v_label AS INTEGER) AS v_label,
+         dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid
+)
+SELECT qid, q_label, vid, v_label, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      FROM scored)
+WHERE rk <= {_HN_TOPK}
+""".format(
+    dot_self=_DOT_SQL("embedding", "embedding"), dot_qv=_DOT_SQL("qe", "ve")
+)
+
+
+@register("hard_negative_mining", _HN_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar vectors with a DIFFERENT label — the
+    near-misses an embedding model must learn to separate.  Same exact
+    brute-force cosine as similarity_topk with a label-inequality
+    predicate; at scale the candidate side is pre-filtered by
+    ann_lsh_bucketed codes and this stage only re-ranks."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = F.broadcast(q).join(emb, F.col("label") != F.col("q_label"))
+    scored = (
+        cand.select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("vid"),
+            F.col("label").alias("v_label"),
+            _dot("qe", "embedding").alias("dot"),
+        )
+        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .select(
+            "qid",
+            F.col("q_label").cast("int").alias("q_label"),
+            "vid",
+            F.col("v_label").cast("int").alias("v_label"),
+            (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_TOPK)
+        .select("qid", "q_label", "vid", "v_label", "cosine", "rk")
+    )
