@@ -50,6 +50,12 @@ HEADLINE = [
     "similarity_topk",
     "ann_lsh_bucketed",
     "limit_topk",
+    "bm25_search",
+    "semantic_dedup",
+    "hard_negative_mining",
+    "events_sessionize",
+    "anomaly_zscore",
+    "boilerplate_ngrams",
 ]
 
 

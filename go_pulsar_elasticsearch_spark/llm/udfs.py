@@ -108,3 +108,55 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("lang", "n_chars").groupBy("lang").applyInPandas(
         _lang_stats, schema=_GROUPED_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (table function) — the third UDF shape
+# --------------------------------------------------------------------------
+
+_CHUNK_WORDS = 10
+
+_UDTF_ORACLE = f"""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(w[(i * {_CHUNK_WORDS} + 1):((i + 1) * {_CHUNK_WORDS})], ' ')
+         AS chunk
+FROM (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(ceil(len(w) / {_CHUNK_WORDS}.0) AS BIGINT))) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+"""
+
+
+@register("udtf_chunk_docs", _UDTF_ORACLE)
+def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (lateral table function): split each doc into
+    non-overlapping 10-word chunks, one output row per chunk — the
+    API-surface proof for pyspark's third UDF shape (scalar pandas and
+    grouped-map live above; see doc_chunk_overlap for the pure-SQL
+    overlapping-window equivalent that the hot path should use).
+
+    The UDTF runs per-row in a lateral join — no shuffle; Python cost
+    is the usual serialize boundary, which is why the certified SQL
+    twin exists: identical semantics, JVM-only plan."""
+    from pyspark.sql.functions import udtf
+
+    tune(spark)
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk: string",
+          useArrow=True)
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            words = text.split(" ")
+            for i in range(0, len(words), _CHUNK_WORDS):
+                yield doc_id, i // _CHUNK_WORDS, " ".join(
+                    words[i : i + _CHUNK_WORDS]
+                )
+
+    spark.udtf.register("gpe_chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("gpe_udtf_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk "
+        "FROM gpe_udtf_docs, LATERAL gpe_chunk_doc(doc_id, text) c"
+    )

@@ -152,3 +152,69 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# trending top-k  (windowed counts -> per-window rank)
+# --------------------------------------------------------------------------
+
+_TREND_K = 3
+
+_TRENDING_ORACLE = f"""
+WITH counted AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+         event_type,
+         COUNT(*) AS cnt
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start,
+       window_start + INTERVAL '6 hours' AS window_end,
+       event_type,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY cnt DESC, event_type) AS rk
+  FROM counted
+)
+WHERE rk <= {_TREND_K}
+"""
+
+
+@register("trending_topk", _TRENDING_ORACLE)
+def trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Trending now": top-3 event types per 6-hour tumbling window —
+    the windowed-count + per-window rank composition behind every
+    dashboard leaderboard.  In streaming form the same expression runs
+    under a watermark with the rank applied in foreachBatch (rank over
+    an unbounded stream isn't incremental); the batch analog here is
+    the certified core.
+
+    Shape: one shuffle for the (window, type) count (map-side combined
+    — the shuffle carries one row per window x type, not the corpus),
+    then a window over the tiny counted table."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    counted = (
+        ev.groupBy(
+            F.window("ts", "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(F.desc("cnt"), "event_type")
+    )
+    return (
+        counted.withColumn("rk", rk)
+        .filter(F.col("rk") <= _TREND_K)
+        .select("window_start", "window_end", "event_type", "cnt", "rk")
+    )
