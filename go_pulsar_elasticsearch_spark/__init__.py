@@ -54,6 +54,7 @@ def load_all() -> None:
         curation,
         decontamination,
         dedup,
+        hybrid,
         multimodal,
         sampling,
         search,

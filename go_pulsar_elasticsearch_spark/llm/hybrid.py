@@ -1,0 +1,330 @@
+"""Hybrid retrieval + term-analytics parity with the reference's ES sink.
+
+The reference maintains an Elasticsearch index (`pkg/es/es.go:160-213`,
+`schema/es/mapping.json:13-31`) whose whole purpose is downstream search
+and term analytics.  These operators bring three more ES query shapes
+into the engine, alongside llm/search.py's `match`/`match_phrase`:
+
+  rrf_hybrid_search — ES 8.x `rrf` retriever: reciprocal-rank fusion of
+                      a BM25 keyword ranking and a kNN cosine ranking
+  significant_terms — ES `significant_terms` aggregation (JLH score)
+  more_like_this    — ES `more_like_this`: top idf terms of a query doc
+                      select similar docs
+
+All three are deterministic and fully oracled: every transcendental
+(ln in idf/JLH) is rounded to 6 decimals before exact decimal sums, and
+every ranking breaks ties on the id.
+
+100 TB posture: BM25/cosine rankings collapse to top-k lists via
+TakeOrderedAndProject (no global sort); the fusion join runs on two
+k-row lists (broadcast, sub-kilobyte).  significant_terms is the classic
+explode -> per-term conditional agg: ONE map-side-combinable shuffle
+keyed on term, plus a scalar-stats broadcast.  more_like_this broadcasts
+the 8-term query vocabulary against the (doc, term) posting pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.search import _BM25_ORACLE, bm25_search
+from go_pulsar_elasticsearch_spark.llm.similarity import _DOT_EXPR, _DOT_SQL
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_DIM = 64
+
+# --------------------------------------------------------------------------
+# rrf_hybrid_search
+# --------------------------------------------------------------------------
+
+_RRF_K = 60          # ES default rank_constant
+_RRF_DEPTH = 10      # rank window per retriever (reuses bm25's top-10)
+_RRF_QVEC = 0        # query vector id (doc_id and vec_id align in fixtures)
+_FINAL_K = 10
+
+_RRF_ORACLE = f"""
+WITH bm25 AS ({_BM25_ORACLE}),
+norms AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = {_RRF_QVEC}
+), dots AS (
+  SELECT vec_id AS vid, {_DOT_SQL('qe', 'embedding')} AS dot
+  FROM (
+    SELECT q.qe, e.vec_id, e.embedding, unnest(range(1, {_DIM + 1})) AS i
+    FROM q, embeddings e WHERE e.vec_id <> {_RRF_QVEC}
+  )
+  GROUP BY vec_id
+), knn AS (
+  SELECT vid, CAST(rk AS INTEGER) AS rk
+  FROM (
+    SELECT vid,
+           row_number() OVER (ORDER BY dot / sqrt(nq.n2 * nv.n2) DESC, vid) AS rk
+    FROM dots
+    JOIN norms nv ON nv.vec_id = vid
+    CROSS JOIN (SELECT n2 FROM norms WHERE vec_id = {_RRF_QVEC}) nq
+  )
+  WHERE rk <= {_RRF_DEPTH}
+), fused AS (
+  SELECT COALESCE(bm25.doc_id, knn.vid) AS id,
+         bm25.rk AS bm25_rk,
+         knn.rk AS knn_rk,
+         CAST(COALESCE(CAST(round(1.0 / ({_RRF_K} + bm25.rk), 6) AS DECIMAL(18,6)),
+                       CAST(0 AS DECIMAL(18,6)))
+            + COALESCE(CAST(round(1.0 / ({_RRF_K} + knn.rk), 6) AS DECIMAL(18,6)),
+                       CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+  FROM bm25 FULL OUTER JOIN knn ON bm25.doc_id = knn.vid
+)
+SELECT id, bm25_rk, knn_rk, rrf_score, CAST(frk AS INTEGER) AS frk
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, id) AS frk FROM fused)
+WHERE frk <= {_FINAL_K}
+"""
+
+
+@register("rrf_hybrid_search", _RRF_ORACLE)
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank fusion
+    (ES 8.x `rrf` retriever, rank_constant=60): BM25 top-10 (llm/search.py,
+    same query terms) + exact-cosine kNN top-10 for one query vector,
+    full-outer joined on the doc id, score = sum of 1/(60+rank).
+
+    Plan shape: each retriever ends in TakeOrderedAndProject over its
+    scoring pass, so the fusion join sees two ~k-row inputs — broadcast,
+    no shuffle.  At 100 TB the per-retriever scans dominate and stay
+    embarrassingly parallel; fusion cost is O(k)."""
+    tune(spark)
+    bm25 = bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("bid"), F.col("rk").alias("bm25_rk")
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    dot = F.expr(_DOT_EXPR.format(a="qe", b="embedding"))
+    self_dot = F.expr(_DOT_EXPR.format(a="embedding", b="embedding"))
+    norms = emb.select("vec_id", self_dot.alias("n2"))
+    q = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe")
+    )
+    nq = norms.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("n2").alias("nq")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("vid"), dot.alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .crossJoin(F.broadcast(nq))
+        .select("vid", (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cos"))
+    )
+    topk = scored.orderBy(F.desc("cos"), F.asc("vid")).limit(_RRF_DEPTH)
+    knn = topk.select(
+        "vid",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vid")))
+        .alias("knn_rk"),
+    )
+
+    def rrf_leg(rk: F.Column) -> F.Column:
+        return F.coalesce(
+            F.round(1.0 / (_RRF_K + rk), 6).cast("decimal(18,6)"),
+            F.lit(0).cast("decimal(18,6)"),
+        )
+
+    fused = (
+        bm25.join(knn, bm25.bid == knn.vid, "full_outer")
+        .select(
+            F.coalesce("bid", "vid").alias("id"),
+            "bm25_rk",
+            "knn_rk",
+            (rrf_leg(F.col("bm25_rk")) + rrf_leg(F.col("knn_rk")))
+            .cast("double")
+            .alias("rrf_score"),
+        )
+    )
+    final = fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(_FINAL_K)
+    frk = F.row_number().over(Window.orderBy(F.desc("rrf_score"), F.asc("id")))
+    return final.select("id", "bm25_rk", "knn_rk", "rrf_score", frk.alias("frk"))
+
+
+# --------------------------------------------------------------------------
+# significant_terms
+# --------------------------------------------------------------------------
+
+_SIG_LANG = "en"     # foreground = english docs
+_SIG_MIN_DF = 5      # ES shard_min_doc_count analog
+_SIG_TOPN = 15
+
+_SIG_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, term
+  FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+), per_term AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN lang = '{_SIG_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+         COUNT(*) AS bg_df
+  FROM toks GROUP BY term
+), stats AS (
+  SELECT SUM(CASE WHEN lang = '{_SIG_LANG}' THEN 1 ELSE 0 END) AS fg_n,
+         COUNT(*) AS bg_n
+  FROM documents
+), scored AS (
+  SELECT term, fg_df, bg_df,
+         round((CAST(fg_df AS DOUBLE) / fg_n - CAST(bg_df AS DOUBLE) / bg_n)
+               * ((CAST(fg_df AS DOUBLE) / fg_n) / (CAST(bg_df AS DOUBLE) / bg_n)),
+               6) AS jlh
+  FROM per_term CROSS JOIN stats
+  WHERE fg_df >= {_SIG_MIN_DF}
+    AND CAST(fg_df AS DOUBLE) / fg_n > CAST(bg_df AS DOUBLE) / bg_n
+)
+SELECT term, fg_df, bg_df, jlh, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY jlh DESC, term) AS rk FROM scored)
+WHERE rk <= {_SIG_TOPN}
+"""
+
+
+@register("significant_terms", _SIG_ORACLE)
+def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_terms` aggregation with the JLH heuristic:
+    terms over-represented in a foreground set (lang='en') vs the whole
+    corpus, scored (fgPct - bgPct) * (fgPct / bgPct), doc-frequency
+    based (each doc counts a term once), min fg doc count 5, top-15.
+
+    Plan shape: explode -> countDistinct per term is ONE shuffle keyed
+    on term (Spark expands the two distinct aggs over the same child
+    scan); the (fg_n, bg_n) scalar pair is a broadcast.  JLH's pure
+    double arithmetic is IEEE-identical across engines; rounded to 6
+    anyway to keep the hash contract uniform."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    fg = F.col("lang") == _SIG_LANG
+    per_term = toks.groupBy("term").agg(
+        F.count_distinct(F.when(fg, F.col("doc_id"))).alias("fg_df"),
+        F.count_distinct("doc_id").alias("bg_df"),
+    )
+    stats = docs.agg(
+        F.sum(F.when(fg, 1).otherwise(0)).alias("fg_n"),
+        F.count("*").alias("bg_n"),
+    )
+    fgp = F.col("fg_df").cast("double") / F.col("fg_n")
+    bgp = F.col("bg_df").cast("double") / F.col("bg_n")
+    scored = (
+        per_term.crossJoin(F.broadcast(stats))
+        .filter((F.col("fg_df") >= _SIG_MIN_DF) & (fgp > bgp))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round((fgp - bgp) * (fgp / bgp), 6).alias("jlh"),
+        )
+    )
+    top = scored.orderBy(F.desc("jlh"), F.asc("term")).limit(_SIG_TOPN)
+    rk = F.row_number().over(Window.orderBy(F.desc("jlh"), F.asc("term")))
+    return top.select("term", "fg_df", "bg_df", "jlh", rk.alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# more_like_this
+# --------------------------------------------------------------------------
+
+_MLT_DOC = 1         # the "like" document
+_MLT_MAX_TERMS = 8   # ES max_query_terms analog (default 25; 8 for fixtures)
+_MLT_MIN_DF = 2      # ES min_doc_freq analog
+_MLT_TOPN = 10
+
+_MLT_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+), df AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+qterms AS (
+  SELECT term,
+         CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+              AS DECIMAL(18,6)) AS idf
+  FROM (
+    SELECT t.term, df.df, n.n_docs,
+           row_number() OVER (
+             ORDER BY round(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5)), 6)
+               DESC, t.term) AS trk
+    FROM toks t JOIN df USING (term) CROSS JOIN n
+    WHERE t.doc_id = {_MLT_DOC} AND df.df >= {_MLT_MIN_DF}
+  )
+  WHERE trk <= {_MLT_MAX_TERMS}
+), scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(q.idf) AS DECIMAL(28,6)) AS score,
+         COUNT(*) AS n_shared
+  FROM toks t JOIN qterms q USING (term)
+  WHERE t.doc_id <> {_MLT_DOC}
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS score, n_shared, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM scored)
+WHERE rk <= {_MLT_TOPN}
+"""
+
+
+@register("more_like_this", _MLT_ORACLE)
+def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `more_like_this` query: take the 8 highest-idf terms of doc 1
+    (min df 2), score every other doc by the summed idf of shared terms
+    (each term once per doc), return the top-10 most-similar docs.
+
+    Plan shape: the distinct (doc, term) posting pass + per-term df are
+    the inverted-index build (one term-keyed shuffle, map-side
+    combined); the 8-term query vocabulary is a broadcast against the
+    posting list, then ONE doc-keyed agg.  idf's ln is rounded to 6
+    decimals before the exact decimal sum."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_tbl = toks.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+    ).cast("decimal(18,6)")
+    trk = F.row_number().over(Window.orderBy(F.desc("idf"), F.asc("term")))
+    qterms = (
+        toks.filter(F.col("doc_id") == _MLT_DOC)
+        .join(df_tbl, "term")
+        .filter(F.col("df") >= _MLT_MIN_DF)
+        .crossJoin(F.broadcast(n))
+        .select("term", idf.alias("idf"))
+        .withColumn("trk", trk)
+        .filter(F.col("trk") <= _MLT_MAX_TERMS)
+        .select("term", "idf")
+    )
+    scored = (
+        toks.filter(F.col("doc_id") != _MLT_DOC)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("idf").cast("decimal(28,6)").alias("score"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_MLT_TOPN)
+    rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return top.select(
+        "doc_id", F.col("score").cast("double").alias("score"), "n_shared", rk.alias("rk")
+    )

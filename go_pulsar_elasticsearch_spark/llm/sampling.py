@@ -213,3 +213,103 @@ def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("temp_weight"),
         F.round(weight / share, 6).alias("upsample_factor"),
     )
+
+
+# --------------------------------------------------------------------------
+# dsir_importance_weights
+# --------------------------------------------------------------------------
+
+_DSIR_LANG = "en"  # target distribution = english docs
+_DSIR_BUCKETS = 256
+
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, term,
+         CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1)
+           AS INTEGER) AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term <> ''
+), bc AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_LANG}' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_t,
+         COUNT(*) AS cnt_r
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot_t,
+         CAST(SUM(cnt_r) AS BIGINT) AS tot_r
+  FROM bc
+), llr AS (
+  SELECT b,
+         CAST(round(ln(
+             (CAST(cnt_t + 1 AS DOUBLE) / CAST(tot_t + {_DSIR_BUCKETS} AS DOUBLE))
+           / (CAST(cnt_r + 1 AS DOUBLE) / CAST(tot_r + {_DSIR_BUCKETS} AS DOUBLE))
+         ), 6) AS DECIMAL(18,6)) AS llr
+  FROM bc CROSS JOIN tot
+)
+SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       CAST(CAST(SUM(l.llr) AS DECIMAL(28,6)) AS DOUBLE) AS dsir_weight
+FROM toks JOIN llr l USING (b)
+GROUP BY doc_id, lang
+"""
+
+
+@register("dsir_importance_weights", _DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash every unigram
+    into 256 buckets (first two md5 hex digits — the portable recipe from
+    llm/corpus.py), estimate add-one-smoothed bucket distributions for
+    the target (lang='en') and raw corpora, and score each document by
+    the summed log-likelihood ratio of its token buckets.  Downstream
+    samplers resample the raw corpus proportional to exp(weight).
+
+    Deterministic end-to-end: the only transcendental (ln of a rational)
+    is rounded to 6 decimals per bucket, then summed as exact decimals.
+
+    100 TB posture: the bucket table is 256 rows regardless of corpus
+    size — ONE map-side-combined shuffle collapses the corpus to it, and
+    it comes back as a broadcast against the token stream; the per-doc
+    sum is the only other shuffle (keyed on doc_id, combinable).  This
+    is the shape that makes DSIR tractable where per-vocab n-gram LMs
+    are not: state is O(buckets), not O(vocab)."""
+    tune(spark)
+    from go_pulsar_elasticsearch_spark.llm.corpus import _md5_bucket
+
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .withColumn("b", _md5_bucket("term"))
+    )
+    is_t = F.col("lang") == _DSIR_LANG
+    bc = toks.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("cnt_t"),
+        F.count("*").alias("cnt_r"),
+    )
+    tot = bc.agg(
+        F.sum("cnt_t").alias("tot_t"), F.sum("cnt_r").alias("tot_r")
+    )
+    p_t = (F.col("cnt_t") + 1).cast("double") / (
+        F.col("tot_t") + _DSIR_BUCKETS
+    ).cast("double")
+    p_r = (F.col("cnt_r") + 1).cast("double") / (
+        F.col("tot_r") + _DSIR_BUCKETS
+    ).cast("double")
+    llr = bc.crossJoin(F.broadcast(tot)).select(
+        "b", F.round(F.log(p_t / p_r), 6).cast("decimal(18,6)").alias("llr")
+    )
+    return (
+        toks.join(F.broadcast(llr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("llr").cast("decimal(28,6)").cast("double").alias("dsir_weight"),
+        )
+        .select("doc_id", "lang", "n_tokens", "dsir_weight")
+    )

@@ -146,3 +146,67 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("version_n"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_apply_changes
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH feed AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM feed
+)
+SELECT user_id, value AS last_value, ts AS last_ts, n_changes
+FROM ranked
+WHERE rn = 1 AND op = 'U'
+"""
+
+
+@register("cdc_apply_changes", _CDC_ORACLE)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change feed to produce the current snapshot — the
+    MERGE/apply-changes step every lakehouse ingest pipeline runs, and
+    the exact semantics of the reference's last-write-wins-by-uuid sink
+    (es.go:186: DocumentID=uuid, action `index`) EXTENDED with deletes,
+    which the reference cannot express (ES would need action `delete`).
+
+    Feed = events keyed by user_id, ordered by (ts, event_id); an
+    'error' event is a tombstone (op=D), everything else an upsert
+    (op=U).  A key whose latest change is a tombstone vanishes from the
+    snapshot; otherwise the latest value wins.
+
+    100 TB posture: ONE shuffle on the business key; both window
+    functions share the exchange+sort (same partitionBy).  In production
+    the feed is the last micro-batch unioned with the previous snapshot
+    (see scd2_history's foreachBatch note) — identical plan, and AQE
+    handles hot keys."""
+    tune(spark)
+    events = t(spark, sf_dir, "events")
+    feed = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count("*").over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_changes",
+        )
+    )
