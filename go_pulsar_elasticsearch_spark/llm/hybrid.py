@@ -328,3 +328,114 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", F.col("score").cast("double").alias("score"), "n_shared", rk.alias("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# autocomplete_prefix  (ES `prefix` query / completion suggester shape)
+# --------------------------------------------------------------------------
+
+_PREFIXES = ("c", "s", "b")
+_AC_TOPN = 5
+
+_AC_ORACLE = f"""
+WITH df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> ''
+  )
+  GROUP BY term
+), hits AS (
+  SELECT p.prefix, d.term, d.df
+  FROM (SELECT unnest(ARRAY{list(_PREFIXES)}) AS prefix) p
+  JOIN df d ON d.term LIKE p.prefix || '%'
+)
+SELECT prefix, term, df, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term) AS rk
+  FROM hits
+)
+WHERE rk <= {_AC_TOPN}
+"""
+
+
+@register("autocomplete_prefix", _AC_ORACLE)
+def autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `prefix` query / completion-suggester shape: for each query
+    prefix, the 5 most-frequent index terms completing it (doc
+    frequency, each doc counts a term once) — what a search box
+    suggests as the user types.
+
+    Plan shape: the (doc, term) posting pass + df agg is the shared
+    inverted-index build (one term-keyed shuffle, map-side combined);
+    the 3-row prefix table broadcasts against the vocabulary, and the
+    per-prefix top-5 window runs on |prefixes| tiny groups.  At 100 TB
+    a production suggester materializes the df table once (it is
+    vocabulary-sized, millions of rows not billions) and serves point
+    lookups from it; this op IS that build."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_tbl = toks.groupBy("term").agg(F.count("*").alias("df"))
+    prefixes = spark.createDataFrame(
+        [(p,) for p in _PREFIXES], "prefix string"
+    )
+    hits = df_tbl.join(
+        F.broadcast(prefixes), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _AC_TOPN)
+        .select("prefix", "term", "df", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# wildcard_term_search  (ES `wildcard` query)
+# --------------------------------------------------------------------------
+
+_WILDCARD_SUFFIX = "er"  # pattern: *er
+
+_WC_ORACLE = f"""
+SELECT doc_id, n_hits, n_distinct_terms
+FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> x LIKE '%{_WILDCARD_SUFFIX}'))
+           AS BIGINT) AS n_hits,
+         CAST(len(list_distinct(list_filter(w, x -> x LIKE '%{_WILDCARD_SUFFIX}')))
+           AS BIGINT) AS n_distinct_terms
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+WHERE n_hits > 0
+"""
+
+
+@register("wildcard_term_search", _WC_ORACLE)
+def wildcard_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `wildcard` query (pattern `*ion`): docs containing a matching
+    term, with occurrence and distinct-term counts.
+
+    ZERO shuffle: like phrase_match, the scan is a per-row higher-order
+    filter over the token array — a pure codegen'd map over the corpus.
+    This is exactly why ES warns wildcard queries are expensive (they
+    walk the term dictionary); a columnar scan with predicate pushdown
+    on adjacent filters is the 100 TB-friendly form."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    matched = F.filter(w, lambda x: x.like(f"%{_WILDCARD_SUFFIX}"))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(matched).cast("bigint").alias("n_hits"),
+            F.size(F.array_distinct(matched)).cast("bigint").alias("n_distinct_terms"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

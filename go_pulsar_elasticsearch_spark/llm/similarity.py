@@ -24,7 +24,7 @@ planes-per-band / add multi-probe; the plan shape is unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
@@ -669,4 +669,92 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _HN_TOPK)
         .select("qid", "q_label", "vid", "v_label", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# reciprocal_best_match  (bitext-mining shape: mutual nearest neighbors)
+# --------------------------------------------------------------------------
+
+_RBM_A, _RBM_B = 0, 1  # the two "languages" = embedding label groups
+
+_RBM_ORACLE = f"""
+WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = {_RBM_A}),
+b AS (SELECT vec_id, embedding FROM embeddings WHERE label = {_RBM_B}),
+na AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM a)
+  GROUP BY vec_id
+), nb AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM b)
+  GROUP BY vec_id
+), dots AS (
+  SELECT aid, bid, {_DOT_SQL('ae', 'be')} AS dot
+  FROM (
+    SELECT a.vec_id AS aid, b.vec_id AS bid, a.embedding AS ae,
+           b.embedding AS be, unnest(range(1, {_DIM + 1})) AS i
+    FROM a, b
+  )
+  GROUP BY aid, bid
+), scored AS (
+  SELECT aid, bid, dot / sqrt(na.n2 * nb.n2) AS cosine
+  FROM dots JOIN na ON na.vec_id = aid JOIN nb ON nb.vec_id = bid
+), fwd AS (
+  SELECT aid, bid, cosine,
+         row_number() OVER (PARTITION BY aid ORDER BY cosine DESC, bid) AS rk
+  FROM scored
+), bwd AS (
+  SELECT aid, bid,
+         row_number() OVER (PARTITION BY bid ORDER BY cosine DESC, aid) AS rk
+  FROM scored
+)
+SELECT f.aid, f.bid, f.cosine
+FROM fwd f JOIN bwd w ON f.aid = w.aid AND f.bid = w.bid
+WHERE f.rk = 1 AND w.rk = 1
+"""
+
+
+@register("reciprocal_best_match", _RBM_ORACLE)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor mining between two embedding groups
+    (label 0 vs label 1) — the core of bitext / parallel-corpus mining
+    (WMT-style margin mining reduces to this at margin 1.0): keep the
+    pair (a, b) only when b is a's top cosine match AND a is b's.
+
+    Exact decimal dot products (llm/similarity.py recipe), ties broken
+    on the id, so the match set is deterministic.
+
+    100 TB posture: both rankings come from the SAME scored relation —
+    one A×B scoring pass (blocked at scale: ann_lsh_bucketed /ann_ivf
+    provide the candidate generation), then two thin windows that share
+    it; the mutual check is a self-join on the two rank-1 slices, each
+    |A|-sized, broadcastable."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") == _RBM_A).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("ae")
+    )
+    b = emb.filter(F.col("label") == _RBM_B).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("be")
+    )
+    na = a.select("aid", _dot("ae", "ae").alias("na2"))
+    nb = b.select("bid", _dot("be", "be").alias("nb2"))
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .select("aid", "bid", _dot("ae", "be").alias("dot"))
+        .join(F.broadcast(na), "aid")
+        .join(F.broadcast(nb), "bid")
+        .select(
+            "aid", "bid",
+            (F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cosine"),
+        )
+    )
+    fwd = Window.partitionBy("aid").orderBy(F.desc("cosine"), F.asc("bid"))
+    bwd = Window.partitionBy("bid").orderBy(F.desc("cosine"), F.asc("aid"))
+    return (
+        scored.withColumn("frk", F.row_number().over(fwd))
+        .withColumn("brk", F.row_number().over(bwd))
+        .filter((F.col("frk") == 1) & (F.col("brk") == 1))
+        .select("aid", "bid", "cosine")
     )

@@ -12,7 +12,7 @@ pipeline inside one WholeStageCodegen span right after the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
@@ -370,3 +370,99 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("is_boiler").cast("double") / F.count("*")).alias("boiler_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cooccurrence_pmi  (corpus term-association mining)
+# --------------------------------------------------------------------------
+
+_PMI_MIN_AB = 20
+_PMI_TOPN = 20
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+), df AS (
+  SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT t1.term AS term_a, t2.term AS term_b, COUNT(*) AS n_ab
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t1.term < t2.term
+  GROUP BY t1.term, t2.term
+), scored AS (
+  SELECT term_a, term_b, n_ab, da.df AS n_a, db.df AS n_b,
+         round(ln((CAST(n_ab AS DOUBLE) * n_docs)
+                  / (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))), 6) AS pmi
+  FROM pairs
+  JOIN df da ON da.term = term_a
+  JOIN df db ON db.term = term_b
+  CROSS JOIN n
+  WHERE n_ab >= {_PMI_MIN_AB}
+)
+SELECT term_a, term_b, n_ab, n_a, n_b, pmi, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, term_a, term_b) AS rk
+      FROM scored)
+WHERE rk <= {_PMI_TOPN}
+"""
+
+
+@register("cooccurrence_pmi", _PMI_ORACLE)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over term pairs co-occurring in a
+    document — the classic collocation / term-association miner
+    (phrase detection, taxonomy seeds): pmi = ln(P(a,b)/(P(a)P(b))) at
+    doc granularity, min 20 co-occurrences, top-20 pairs.
+
+    Deterministic: counts are exact integers; the single ln is rounded
+    to 6 decimals before ranking, ties break lexicographically.
+
+    100 TB posture: the (doc, term) posting pass feeds BOTH the df agg
+    and the pair build; the pair self-join shuffles on doc_id once and
+    its output collapses to |vocab|^2 at most (vocabulary-sized, small)
+    via a map-side-combined count.  The df table broadcasts back.  For
+    web-scale vocabularies the standard mitigation applies: drop
+    ultra-high-df stopwords BEFORE pairing (they dominate pair volume
+    and carry no PMI signal)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df_tbl = toks.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    t1 = toks.select("doc_id", F.col("term").alias("term_a"))
+    t2 = toks.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        t1.join(t2, ["doc_id"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_AB)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_docs"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(df_tbl.select(F.col("term").alias("term_a"), F.col("df").alias("n_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(df_tbl.select(F.col("term").alias("term_b"), F.col("df").alias("n_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select("term_a", "term_b", "n_ab", "n_a", "n_b", pmi.alias("pmi"))
+    )
+    top = scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(_PMI_TOPN)
+    rk = F.row_number().over(Window.orderBy(F.desc("pmi"), "term_a", "term_b"))
+    return top.select("term_a", "term_b", "n_ab", "n_a", "n_b", "pmi", rk.alias("rk"))

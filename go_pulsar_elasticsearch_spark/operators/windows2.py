@@ -128,3 +128,57 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_balance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# moving_median  (exact rolling median over a fixed odd frame)
+# --------------------------------------------------------------------------
+
+_MM_FRAME = 7  # odd on purpose: a full frame's median is an element, not
+               # an interpolation -> bit-exact across engines
+
+_MM_ORACLE = f"""
+SELECT user_id, event_id, ts, value, mov_median
+FROM (
+  SELECT user_id, event_id, ts, value,
+         median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN {_MM_FRAME - 1} PRECEDING
+                                      AND CURRENT ROW) AS mov_median,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn >= {_MM_FRAME}
+"""
+
+
+@register("moving_median", _MM_ORACLE)
+def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling statistic: exact median of the trailing 7 events
+    per user — the outlier-resistant smoother ops dashboards want where
+    ewma_smooth (mean-based) chases spikes.
+
+    Rows with an incomplete leading frame are dropped, so every emitted
+    median is over exactly 7 rows; with an odd frame the exact median IS
+    one of the input doubles — no interpolation, no rounding, identical
+    in Spark (`percentile(v, 0.5)` window) and DuckDB (`median`).
+
+    100 TB posture: ONE shuffle on user_id; the percentile and the
+    row_number share the exchange+sort (same partition/order spec, one
+    Window node pair over one sort).  Frame eval is O(frame) per row
+    with bounded memory — no whole-partition buffering."""
+    tune(spark)
+    events = t(spark, sf_dir, "events")
+    spec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    med = (
+        F.expr("percentile(value, 0.5)")
+        .over(spec.rowsBetween(-(_MM_FRAME - 1), 0))
+        .alias("mov_median")
+    )
+    return (
+        events.select(
+            "user_id", "event_id", "ts", "value", med,
+            F.row_number().over(spec).alias("rn"),
+        )
+        .filter(F.col("rn") >= _MM_FRAME)
+        .drop("rn")
+    )
