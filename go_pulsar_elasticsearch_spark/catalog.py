@@ -33,21 +33,26 @@ TABLES = (
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
-    events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
-    rejects; read nanos as long (runtime conf) and truncate to microsecond
-    timestamps — integer DIV, not float division, so no rounding.  DuckDB
-    reads the same column as µs-truncated TIMESTAMP, so both engines see
-    identical values.
+    events.parquet has shipped `ts` as TIMESTAMP(NANOS) (rejected by the
+    parquet reader — read nanos as long and truncate) and as plain
+    TIMESTAMP(MICROS) without a timezone (read as TIMESTAMP_NTZ under
+    Spark 4's NTZ inference).  Normalize every variant to a session-UTC
+    TIMESTAMP so downstream operators (`unix_millis`, `window`, …) see
+    one type; the session timeZone is pinned to UTC, so the NTZ→LTZ cast
+    is instant-preserving and matches DuckDB's naive-timestamp epoch_ms.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
