@@ -45,6 +45,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->LTZ cast below is instant-preserving ONLY under a UTC
+        # session; pin it here rather than trusting the caller to have gone
+        # through session.get_spark()/tune().
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
