@@ -32,6 +32,7 @@ def load_all() -> None:
         aggregates,
         events_analytics,
         joins,
+        nested,
         rangejoin,
         relational,
         reshape,
@@ -39,6 +40,7 @@ def load_all() -> None:
         sqlapi,
         sortlimit,
         temporal,
+        timeseries,
         tpch,
         tpch2,
         tpch3,
@@ -56,6 +58,7 @@ def load_all() -> None:
         dedup,
         hybrid,
         multimodal,
+        quality,
         sampling,
         search,
         similarity,

@@ -1,0 +1,245 @@
+"""Corpus quality filtering and repeated-segment removal.
+
+Three operators extending the text-hygiene family (quality_score,
+doc_repetition_ratio, pii_scrub):
+
+  gopher_quality_filter — the Gopher/MassiveText rule battery as
+      explicit per-rule flags (word-count bounds, mean word length,
+      symbol ratio, stopword support) + the conjunctive keep verdict.
+  segment_dedup         — repeated-passage removal: split each doc into
+      10-word segments, drop any segment whose exact text occurs in
+      >= 3 distinct docs (corpus boilerplate), reassemble the rest in
+      order (the CCNet/MassiveText paragraph-dedup shape).
+  dedup_keep_best       — canonical-document selection: among exact
+      content duplicates keep the highest-quality copy (longest, then
+      lowest doc_id) rather than exact_dedup's min-id policy.
+
+All deterministic, all certified against DuckDB.
+
+100 TB posture:
+- gopher rules are a narrow per-row projection fused into the scan —
+  zero shuffles; at scale this is the cheapest filter to run FIRST.
+- segment_dedup shuffles (a) segments by text for the document
+  frequency count (map-side combined; segment text is the shuffle key,
+  high cardinality) and (b) segments back by doc_id for reassembly.
+  Content moves twice; at 100 TB replace the segment text key with its
+  sha2 (same plan shape, 32-byte keys) — kept as plain text here so the
+  oracle stays readable.
+- dedup_keep_best is one shuffle on the content hash carrying
+  (hash, n_chars, doc_id) triples only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# gopher_quality_filter
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_GOPHER_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+      AS mean_word_len,
+    CAST(len(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      / len(text) AS symbol_ratio,
+    len(list_filter(w, x -> x IN ({_STOP_IN}))) AS stop_hits
+  FROM base
+  WHERE len(w) > 0
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  mean_word_len,
+  symbol_ratio,
+  CAST(stop_hits AS BIGINT) AS stop_hits,
+  (n_words BETWEEN 50 AND 100000) AS ok_words,
+  (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_word_len,
+  (symbol_ratio < 0.1) AS ok_symbols,
+  (stop_hits >= 2) AS ok_stopwords,
+  ((n_words BETWEEN 50 AND 100000)
+   AND (mean_word_len BETWEEN 3.0 AND 10.0)
+   AND (symbol_ratio < 0.1)
+   AND (stop_hits >= 2)) AS keep
+FROM m
+"""
+
+
+@register("gopher_quality_filter", _GOPHER_ORACLE)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery, one narrow zero-shuffle projection:
+    every rule is an array/regex expression over the text column; the
+    keep verdict is the conjunction.  Division by n_words is the same
+    int/int -> double in both engines (exact for these magnitudes)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    ).filter(F.expr("size(w) > 0"))
+    n_words = F.expr("size(w)").cast("long")
+    mean_wl = (
+        F.expr("aggregate(w, 0, (acc, x) -> acc + length(x))").cast("double")
+        / F.expr("size(w)")
+    )
+    symbol_ratio = (
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+        / F.length("text")
+    )
+    stop_hits = F.expr(f"size(filter(w, x -> x IN ({_STOP_IN})))").cast("long")
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_words = F.col("n_words").between(50, 100000)
+    ok_word_len = F.col("mean_word_len").between(3.0, 10.0)
+    ok_symbols = F.col("symbol_ratio") < 0.1
+    ok_stop = F.col("stop_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "stop_hits",
+        ok_words.alias("ok_words"),
+        ok_word_len.alias("ok_word_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_word_len & ok_symbols & ok_stop).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# segment_dedup
+# --------------------------------------------------------------------------
+
+_SEG_WORDS = 10
+_SEG_MAX_DF = 3  # segments present in >= this many distinct docs are dropped
+
+_SEGMENT_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id, j,
+         array_to_string(w[j*{_SEG_WORDS}+1 : j*{_SEG_WORDS}+{_SEG_WORDS}], ' ')
+           AS seg
+  FROM (
+    SELECT doc_id, w,
+           unnest(range(0, CAST(ceil(len(w)/{_SEG_WORDS}.0) AS BIGINT))) AS j
+    FROM words
+  )
+), freq AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+  string_agg(CASE WHEN f.df < {_SEG_MAX_DF} THEN s.seg END, ' ' ORDER BY s.j)
+    AS kept_text,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(SUM(CASE WHEN f.df >= {_SEG_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed
+FROM segs s JOIN freq f ON f.seg = s.seg
+GROUP BY s.doc_id
+"""
+
+
+@register("segment_dedup", _SEGMENT_ORACLE)
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage removal with in-order reassembly: 10-word
+    segments, corpus document frequency per exact segment text, drop
+    segments seen in >= 3 docs, stitch the survivors back with original
+    ordering.  Reassembly keeps (position, segment) pairs through the
+    groupBy and sorts the array per doc — never a window over the whole
+    corpus."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split(text, ' '))/{_SEG_WORDS}.0)) - 1),"
+                f" j -> concat_ws(' ', slice(split(text, ' '), j*{_SEG_WORDS}+1, {_SEG_WORDS})))"
+            )
+        ).alias("j", "seg"),
+    )
+    freq = segs.groupBy("seg").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    joined = segs.join(freq, "seg")
+    kept_arr = F.array_sort(
+        F.collect_list(
+            F.when(F.col("df") < _SEG_MAX_DF, F.struct("j", "seg"))
+        )
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            kept_arr.alias("kept"),
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("df") >= _SEG_MAX_DF).cast("long")).alias("n_removed"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.size("kept") > 0,
+                F.expr("concat_ws(' ', transform(kept, x -> x.seg))"),
+            ).alias("kept_text"),
+            "n_segments",
+            "n_removed",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best
+# --------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = """
+SELECT content_sha, doc_id AS keep_doc_id,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM (
+  SELECT sha256(text) AS content_sha, doc_id,
+         COUNT(*) OVER (PARTITION BY sha256(text)) AS n_copies,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection among exact duplicates: keep the longest copy
+    (ties -> lowest doc_id).  Same single content-hash shuffle as
+    exact_dedup; the policy differs (argmax-by-quality, the shape used
+    when duplicates differ in truncation or metadata)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        F.sha2("text", 256).alias("content_sha"), "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("content_sha")
+    wo = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        hashed.withColumn("n_copies", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select("content_sha", F.col("doc_id").alias("keep_doc_id"), "n_copies")
+    )

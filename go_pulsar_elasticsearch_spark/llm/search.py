@@ -203,3 +203,49 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# search_highlight  (ES highlight: snippet around the first term match)
+# --------------------------------------------------------------------------
+
+_HL_TERM = "spark"
+_HL_CTX = 3  # words of context each side
+
+_HIGHLIGHT_ORACLE = f"""
+WITH hits AS (
+  SELECT doc_id, w, list_position(w, '{_HL_TERM}') AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE list_position(w, '{_HL_TERM}') > 0
+)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+  array_to_string(
+    w[CASE WHEN pos - {_HL_CTX} > 1 THEN pos - {_HL_CTX} ELSE 1 END
+      : CASE WHEN pos + {_HL_CTX} < len(w) THEN pos + {_HL_CTX} ELSE len(w) END],
+    ' ') AS snippet
+FROM hits
+"""
+
+
+@register("search_highlight", _HIGHLIGHT_ORACLE)
+def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style highlighting: for docs matching the term, return the
+    snippet of +/-3 words around the FIRST occurrence (1-based word
+    position, like a positional index would give).  Zero shuffles — the
+    whole thing is array expressions fused into the scan."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    hits = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("pos", F.array_position("w", _HL_TERM).cast("int"))
+        .filter(F.col("pos") > 0)
+    )
+    start = F.greatest(F.col("pos") - _HL_CTX, F.lit(1))
+    end = F.least(F.col("pos") + _HL_CTX, F.size("w"))
+    return hits.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(
+            " ", F.slice("w", start, end - start + F.lit(1))
+        ).alias("snippet"),
+    )

@@ -758,3 +758,80 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("frk") == 1) & (F.col("brk") == 1))
         .select("aid", "bid", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# knn_filtered  (ES 8 kNN-with-filter: metadata predicate BEFORE ranking)
+# --------------------------------------------------------------------------
+
+_KNNF_TOPK = 3
+_KNNF_LABEL = 2
+
+_KNNF_ORACLE = f"""
+WITH cand AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE label = {_KNNF_LABEL}
+), norms AS (
+  SELECT vec_id, {{dot_self}} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i
+        FROM (SELECT vec_id, embedding FROM embeddings))
+  GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10
+), dots AS (
+  SELECT qid, vid, {{dot_qv}} AS dot
+  FROM (
+    SELECT q.qid, q.qe, c.vec_id AS vid, c.embedding AS ve,
+           unnest(range(1, {_DIM + 1})) AS i
+    FROM q JOIN cand c ON c.vec_id <> q.qid
+  )
+  GROUP BY qid, vid
+), scored AS (
+  SELECT qid, vid, dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid
+)
+SELECT qid, vid, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+      FROM scored)
+WHERE rk <= {_KNNF_TOPK}
+""".format(
+    dot_self=_DOT_SQL("embedding", "embedding"), dot_qv=_DOT_SQL("qe", "ve")
+)
+
+
+@register("knn_filtered", _KNNF_ORACLE)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (ES 8.x `knn` with `filter`): top-3 cosine
+    neighbors restricted to candidates with label = 2.  The predicate is
+    applied BEFORE ranking (post-filtering would under-fill k) and is
+    pushed into the candidate scan — at 100 TB the filter prunes
+    partitions/row-groups first, and the ANN bucket path slots in front
+    of the exact re-rank unchanged."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    cand = emb.filter(F.col("label") == _KNNF_LABEL).select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("ve")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, F.col("vid") != F.col("qid"))
+        .select("qid", "vid", _dot("qe", "ve").alias("dot"))
+        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .select(
+            "qid", "vid",
+            (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNNF_TOPK)
+        .select("qid", "vid", "cosine", "rk")
+    )

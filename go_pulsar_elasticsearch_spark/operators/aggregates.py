@@ -301,3 +301,48 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# composite_agg_page  (ES composite aggregation: keyset pagination)
+# --------------------------------------------------------------------------
+
+_PAGE_SIZE = 20
+_AFTER_TYPE = "error"
+_AFTER_DAY = "2024-01-10 00:00:00"
+
+_COMPOSITE_ORACLE = f"""
+SELECT event_type, day, CAST(n AS BIGINT) AS n
+FROM (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+WHERE event_type > '{_AFTER_TYPE}'
+   OR (event_type = '{_AFTER_TYPE}' AND day > TIMESTAMP '{_AFTER_DAY}')
+ORDER BY event_type, day
+LIMIT {_PAGE_SIZE}
+"""
+
+
+@register("composite_agg_page", _COMPOSITE_ORACLE)
+def composite_agg_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `composite` aggregation page: buckets keyed (event_type, day),
+    resumed from an `after_key` by keyset predicate, one page of 20.
+    The after-key filter sits ABOVE the agg but Catalyst still prunes via
+    partial agg + TakeOrderedAndProject — pagination never re-scans
+    already-served buckets' raw rows at the sort stage, and the keyset
+    (unlike OFFSET) costs the same for page 1 and page 1000."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    after = (F.col("event_type") > _AFTER_TYPE) | (
+        (F.col("event_type") == _AFTER_TYPE)
+        & (F.col("day") > F.lit(_AFTER_DAY).cast("timestamp"))
+    )
+    return (
+        buckets.filter(after)
+        .orderBy("event_type", "day")
+        .limit(_PAGE_SIZE)
+    )

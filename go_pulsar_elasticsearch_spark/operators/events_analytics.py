@@ -505,3 +505,59 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > _Z_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# funnel_time_constrained  (signup -> purchase within a conversion window)
+# --------------------------------------------------------------------------
+
+_WINDOW_SQL = "INTERVAL 3 DAY"
+
+_TC_FUNNEL_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT s.user_id, s.t_signup,
+       min(p.ts) AS t_purchase,
+       (min(p.ts) IS NOT NULL) AS converted
+FROM s LEFT JOIN events p
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > s.t_signup
+ AND p.ts <= s.t_signup + {_WINDOW_SQL}
+GROUP BY s.user_id, s.t_signup
+"""
+
+
+@register("funnel_time_constrained", _TC_FUNNEL_ORACLE)
+def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed conversion funnel: first signup, then earliest purchase
+    within 3 days of it (the attribution-window form real funnels use;
+    events_funnel's ordered variant has no deadline).
+
+    Shape: per-user conditional min (one shuffle), then a left join back
+    to purchases on user_id with the time bounds as join predicates —
+    both sides partition on user_id, so at scale this is a co-partitioned
+    join, and the final regroup rides the same partitioning."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = s.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("t_signup"))
+        & (F.col("p_ts") <= F.col("t_signup") + F.expr(_WINDOW_SQL)),
+        "left",
+    )
+    return joined.groupBy("user_id", "t_signup").agg(
+        F.min("p_ts").alias("t_purchase"),
+        F.min("p_ts").isNotNull().alias("converted"),
+    )

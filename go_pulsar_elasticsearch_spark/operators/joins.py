@@ -275,3 +275,28 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_o").alias("n_o"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# join_right_outer  (explicit right form; §2B's left/right/full row)
+# --------------------------------------------------------------------------
+
+_RIGHT_ORACLE = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal < 0
+"""
+
+
+@register("join_right_outer", _RIGHT_ORACLE)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join spelled as such (not the mirrored left): every
+    negative-balance customer survives, orderless ones with NULL order
+    columns.  Catalyst canonicalizes to the same broadcast plan as the
+    mirrored left join — certified here so the surface is explicit."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
