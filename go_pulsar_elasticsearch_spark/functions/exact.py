@@ -35,14 +35,39 @@ def dsum(
     col: Column | str, scale: int = 2, precision: int = 18,
     out_scale: int | None = None,
 ) -> Column:
-    """Order-independent SUM(double) -> double via exact decimal addition."""
+    """Order-independent SUM(double) -> double via exact scaled-integer
+    addition.
+
+    The per-row ``double -> DECIMAL(p,s)`` cast stays (it is the rounding
+    rule both engines share); the accumulation does NOT: Spark's
+    SUM(DECIMAL(18,s)) widens to DECIMAL(28,s), which leaves the
+    compact-long representation and runs on BigDecimal (~3x slower than a
+    long sum in the agg hash map).  Instead the cast decimal is converted
+    back to its exact unscaled integer (`round(dec_as_double * 10^s)` —
+    exact while |unscaled| < ~2^45, since the double round-trip error is
+    then << 0.5) and summed as a plain LONG: exact, associative,
+    overflow-safe while the scaled total stays under 2^63 (certification
+    scales are orders of magnitude below; production aggregates use plain
+    doubles and skip all of this).
+
+    Final rounding to ``out_scale`` is done in the long domain with
+    explicit half-away-from-zero integer arithmetic (one value per group,
+    matching ROUND on a decimal in both engines), and the closing
+    ``/ 10^out_scale`` double division is correctly rounded because the
+    rounded unscaled value stays < 2^53 (same bound as before)."""
     c = F.col(col) if isinstance(col, str) else col
     if out_scale is None:
         out_scale = min(scale, 2)
-    s = F.sum(c.cast(f"decimal({precision},{scale})"))
+    dec = c.cast(f"decimal({precision},{scale})")
+    scaled = F.round(dec.cast("double") * F.lit(float(10**scale))).cast("long")
+    s = F.sum(scaled)
     if out_scale < scale:
-        s = F.round(s, out_scale)
-    return s.cast("double")
+        d = 10 ** (scale - out_scale)
+        h = d // 2
+        s = F.when(
+            s >= 0, F.call_function("div", s + F.lit(h), F.lit(d))
+        ).otherwise(-F.call_function("div", -s + F.lit(h), F.lit(d)))
+    return s.cast("double") / F.lit(float(10**out_scale))
 
 
 def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
