@@ -561,3 +561,47 @@ def funnel_time_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_ts").alias("t_purchase"),
         F.min("p_ts").isNotNull().alias("converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# pipeline_agg_derivative  (ES pipeline aggs: derivative + cumulative_sum
+# over date_histogram buckets, per event_type series)
+# --------------------------------------------------------------------------
+
+_DERIV_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+  CAST(n AS BIGINT) AS n,
+  CAST(n - lag(n) OVER w AS BIGINT) AS delta_n,
+  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cum_n
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register("pipeline_agg_derivative", _DERIV_ORACLE)
+def pipeline_agg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations over a date_histogram: per event_type
+    daily counts with `derivative` (day-over-day delta) and
+    `cumulative_sum` buckets.  One shuffle for the histogram; both
+    pipeline columns ride a single (event_type, day) window sort whose
+    partition count is the series count — bucket rows, not raw rows."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).alias("delta_n"),
+        F.sum("n").over(wcum).alias("cum_n"),
+    )
