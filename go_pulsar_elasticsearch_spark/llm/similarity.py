@@ -221,7 +221,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         code = bit if code is None else code + bit
     codes = emb.select("vec_id", code.alias("code"))
-    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
     q = (
         codes.filter(F.col("vec_id") < 10)
         .join(emb, "vec_id")
@@ -232,11 +231,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb.alias("e"), F.col("e.vec_id") == F.col("c.vec_id"))
         .select("qid", "qe", F.col("c.vec_id").alias("vid"), F.col("e.embedding").alias("ve"))
     )
-    scored = (
-        cand.select("qid", "vid", _dot("qe", "ve").alias("dot"))
-        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
-        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
-        .select("qid", "vid", (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"))
+    # norms INLINE on the candidate rows: the bucket join leaves a few
+    # candidates per query, so recomputing a norm per surviving pair is
+    # far cheaper than a norms pass + two joins over ALL N vectors (the
+    # exact same decimal expression -> identical doubles either way)
+    scored = cand.select(
+        "qid",
+        "vid",
+        (
+            _dot("qe", "ve")
+            / F.sqrt(_dot("qe", "qe") * _dot("ve", "ve"))
+        ).alias("cosine"),
     )
     from pyspark.sql import Window
 
