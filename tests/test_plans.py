@@ -119,3 +119,43 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         assert len(joined.collect()) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_nested_exists_is_shuffle_free(spark, sf_dir):
+    """ES nested-query parity must stay a scan-fused projection — the
+    per-element predicate never explodes or shuffles."""
+    from go_pulsar_elasticsearch_spark.plans.inspect import exchange_count
+
+    df = QUERIES["nested_tags_exists"](spark, sf_dir)
+    assert exchange_count(df) == 0
+    plan = formatted_plan(df)
+    assert "Generate" not in plan  # no explode in the exists path
+
+
+def test_gopher_rules_are_shuffle_free(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.plans.inspect import exchange_count
+
+    assert exchange_count(QUERIES["gopher_quality_filter"](spark, sf_dir)) == 0
+    assert exchange_count(QUERIES["search_highlight"](spark, sf_dir)) == 0
+
+
+def test_composite_page_uses_topk(spark, sf_dir):
+    """Keyset pagination must plan as TakeOrderedAndProject over the
+    aggregated buckets, not a global sort."""
+    df = QUERIES["composite_agg_page"](spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_interp_linear_windows_share_one_sort(spark, sf_dir):
+    """The four ignore-nulls fill columns ride exactly two Window ops
+    (backward + forward) over the SAME (user_id, hour) ordering — adding
+    fill columns must not add sorts.  Exchange budget: hourly agg, user
+    grid distinct, join/window partitioning — never more than 4."""
+    from go_pulsar_elasticsearch_spark.plans.inspect import exchange_count
+
+    df = QUERIES["interp_linear"](spark, sf_dir)
+    assert exchange_count(df) <= 4
+    plan = formatted_plan(df)
+    # the stacked Window operators sit on ONE sort — fill columns don't
+    # multiply sorts
+    assert plan.count("+- Sort") == 1
