@@ -131,19 +131,20 @@ def main() -> None:
     warmup_s = round(time.time() - t_warm, 3)
     # Per query: first run pays whole-stage-codegen compilation (~1-2 s
     # of Janino per distinct plan — a fixed driver-side cost with zero
-    # dependence on data volume); the second run is the steady state a
-    # cluster actually sustains.  Report steady state per query, and the
-    # cold total alongside so nothing is hidden.
+    # dependence on data volume); later runs are the steady state a
+    # cluster actually sustains.  Best-of-3 because this host's CPU is
+    # shared/noisy (same query fluctuates ±50% run-to-run); report the
+    # steady state per query and the cold total alongside so nothing is
+    # hidden.
     cold_total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(QUERIES[name](spark, sf_dir))
-        first = time.time() - t0
-        t0 = time.time()
-        materialize(QUERIES[name](spark, sf_dir))
-        second = time.time() - t0
-        timings[name] = round(min(first, second), 3)
-        cold_total += first
+        reps = []
+        for rep in range(3):
+            t0 = time.time()
+            materialize(QUERIES[name](spark, sf_dir))
+            reps.append(time.time() - t0)
+        timings[name] = round(min(reps), 3)
+        cold_total += reps[0]
 
     stream_rps = bench_stream_ingest(spark, sf_dir)
 
