@@ -249,3 +249,66 @@ def search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice("w", start, end - start + F.lit(1))
         ).alias("snippet"),
     )
+
+
+# --------------------------------------------------------------------------
+# percolate_match  (ES percolator: stored queries evaluated against docs)
+# --------------------------------------------------------------------------
+
+# (query_id, must_term, must_not_term, min_chars) — a term query with an
+# optional negation and a length gate, the shape ES percolator stores.
+_PERCO_QUERIES = [
+    (1, "spark", None, 0),
+    (2, "merge", "slow", 100),
+    (3, "window", None, 150),
+    (4, "hash", "scan", 0),
+]
+
+_PERCO_VALUES = ", ".join(
+    f"({qid}, '{must}', "
+    + ("NULL" if must_not is None else f"'{must_not}'")
+    + f", {min_chars})"
+    for qid, must, must_not, min_chars in _PERCO_QUERIES
+)
+
+_PERCO_ORACLE = f"""
+WITH q(query_id, must_term, must_not_term, min_chars) AS (
+  VALUES {_PERCO_VALUES}
+), d AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+)
+SELECT d.doc_id, CAST(q.query_id AS INTEGER) AS query_id
+FROM d JOIN q
+  ON list_contains(d.w, q.must_term)
+ AND (q.must_not_term IS NULL OR NOT list_contains(d.w, q.must_not_term))
+ AND d.n_chars >= q.min_chars
+"""
+
+
+@register("percolate_match", _PERCO_ORACLE)
+def percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator: the stored-query table is broadcast and evaluated
+    per document — reverse search (docs stream, queries rest), the
+    alerting primitive.  Zero data shuffles: the query set is constant
+    size, the per-pair predicate is an array membership test fused into
+    the scan; the streaming form is the identical join inside
+    foreachBatch."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("w")
+    )
+    q = spark.createDataFrame(
+        _PERCO_QUERIES,
+        "query_id int, must_term string, must_not_term string, min_chars int",
+    )
+    cond = (
+        F.array_contains("w", F.col("must_term"))
+        & (
+            F.col("must_not_term").isNull()
+            | ~F.coalesce(
+                F.array_contains("w", F.col("must_not_term")), F.lit(False)
+            )
+        )
+        & (F.col("n_chars") >= F.col("min_chars"))
+    )
+    return docs.join(F.broadcast(q), cond).select("doc_id", "query_id")

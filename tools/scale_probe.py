@@ -1,0 +1,119 @@
+"""Scale probe: replicate the fixture tables Nx (key-offset so join
+cardinalities stay realistic) and measure how the headline plans scale.
+
+The local bench (sf0.1) verifies latency shape; this probe is the
+next-best local evidence for the 100 TB question: if a plan's latency
+scales ~linearly from sf0.1 to sf1-equivalent on the same 32 cores, its
+shuffle/join structure has no quadratic or driver-bound term hiding in
+it (a plan with one would blow past linear immediately at 10x).
+
+Usage: python tools/scale_probe.py [src_sf_dir] [replicas] [query ...]
+Writes /tmp/gpe_scale_x{N}; prints one JSON line per query with base
+and scaled steady-state latencies and the ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import go_pulsar_elasticsearch_spark as gpe
+from go_pulsar_elasticsearch_spark.catalog import TABLES, t
+from go_pulsar_elasticsearch_spark.registry import QUERIES
+from go_pulsar_elasticsearch_spark.session import get_spark
+
+gpe.load_all()
+
+from pyspark.sql import DataFrame, functions as F
+
+# per-replica key offsets: keep PK/FK relationships intact per replica
+# (replica i's orders reference replica i's customers), so joins scale
+# linearly instead of multiplying across replicas
+_OFFSETS = {
+    "orders": {"o_orderkey": 10**12, "o_custkey": 10**9},
+    "lineitem": {"l_orderkey": 10**12},
+    "customer": {"c_custkey": 10**9},
+    "events": {"event_id": 10**12, "user_id": 10**9},
+    "documents": {"doc_id": 10**7},
+    "embeddings": {"vec_id": 10**7},
+}
+_DIMS = ("region", "nation", "supplier", "part")  # shared, not replicated
+
+
+def build(spark, src: str, dst: str, replicas: int) -> None:
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst)
+    for name in TABLES:
+        df = t(spark, src, name)
+        if name in _DIMS:
+            out = df
+        else:
+            parts = []
+            for i in range(replicas):
+                p = df
+                for col, step in _OFFSETS[name].items():
+                    p = p.withColumn(col, F.col(col) + F.lit(i * step))
+                parts.append(p)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+
+
+def steady(spark, name: str, sf_dir: str, reps: int = 3) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+DEFAULT_QUERIES = [
+    "agg_grouped",
+    "join_multiway_star",
+    "tpch_q5",
+    "tpch_q18",
+    "win_ranking",
+    "exact_dedup",
+    "near_dedup_minhash",
+    "events_sessionize",
+    "curation_pipeline",
+    "gopher_quality_filter",
+]
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    names = sys.argv[3:] or DEFAULT_QUERIES
+    dst = f"/tmp/gpe_scale_x{replicas}"
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, src, dst, replicas)
+    for name in names:
+        base = steady(spark, name, src)
+        big = steady(spark, name, dst)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "base_s": base,
+                    f"x{replicas}_s": big,
+                    "ratio": round(big / base, 2) if base > 0 else None,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
