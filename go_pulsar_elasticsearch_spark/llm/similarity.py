@@ -840,3 +840,103 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KNNF_TOPK)
         .select("qid", "vid", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# contrastive_triplets  (anchor, hardest positive, hardest negative)
+# --------------------------------------------------------------------------
+
+_TRIP_ORACLE = f"""
+WITH norms AS (
+  SELECT vec_id, {{dot_self}} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i FROM embeddings)
+  GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS qid, label AS q_label, embedding AS qe
+  FROM embeddings WHERE vec_id < 10
+), dots AS (
+  SELECT qid, q_label, vid, v_label, {{dot_qv}} AS dot
+  FROM (
+    SELECT q.qid, q.q_label, q.qe, e.vec_id AS vid, e.label AS v_label,
+           e.embedding AS ve, unnest(range(1, {_DIM + 1})) AS i
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid
+  )
+  GROUP BY qid, q_label, vid, v_label
+), scored AS (
+  SELECT qid, q_label, vid, v_label, dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM dots JOIN norms nq ON nq.vec_id = qid JOIN norms nv ON nv.vec_id = vid
+), pos AS (
+  SELECT qid, vid AS pos_id, cosine AS pos_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+        FROM scored WHERE v_label = q_label)
+  WHERE rk = 1
+), neg AS (
+  SELECT qid, vid AS neg_id, cosine AS neg_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rk
+        FROM scored WHERE v_label <> q_label)
+  WHERE rk = 1
+)
+SELECT pos.qid AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+       pos_cos - neg_cos AS margin
+FROM pos JOIN neg ON neg.qid = pos.qid
+""".format(
+    dot_self=_DOT_SQL("embedding", "embedding"), dot_qv=_DOT_SQL("qe", "ve")
+)
+
+
+@register("contrastive_triplets", _TRIP_ORACLE)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: per anchor, the hardest
+    positive (most-similar SAME label) and hardest negative
+    (most-similar different label), with the training margin.  One
+    scored pass (query side broadcast), two ranks over the same
+    (qid, cosine) sort, self-joined on anchor — the composition of
+    similarity_topk and hard_negative_mining a fine-tuning pipeline
+    actually ships."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = F.broadcast(q).join(emb, F.col("vec_id") != F.col("qid"))
+    scored = (
+        cand.select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("vid"),
+            F.col("label").alias("v_label"),
+            _dot("qe", "embedding").alias("dot"),
+        )
+        .join(norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")), "vid")
+        .select(
+            "qid", "q_label", "vid", "v_label",
+            (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    pos = (
+        scored.filter(F.col("v_label") == F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("qid").alias("anchor_id"),
+                F.col("vid").alias("pos_id"),
+                F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter(F.col("v_label") != F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("qid").alias("anchor_id"),
+                F.col("vid").alias("neg_id"),
+                F.col("cosine").alias("neg_cos"))
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )

@@ -53,3 +53,54 @@ def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# zorder_layout  (space-filling-curve clustering key — the Delta/Iceberg
+# OPTIMIZE ZORDER primitive for multi-column data skipping)
+# --------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _interleave_sql(x: str, y: str) -> str:
+    """Morton code: bit i of x -> bit 2i, bit i of y -> bit 2i+1.
+    Identical integer expression in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZCODE = _interleave_sql(f"(l_partkey % {1 << _Z_BITS})",
+                         f"(l_suppkey % {1 << _Z_BITS})")
+
+_ZORDER_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({_ZCODE} AS BIGINT) AS zcode,
+       CAST(({_ZCODE}) >> 20 AS BIGINT) AS zbucket
+FROM lineitem
+"""
+
+
+@register("zorder_layout", _ZORDER_ORACLE)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (l_partkey, l_suppkey): interleave the
+    low 16 bits of each into a Morton code, plus the write-bucket id
+    (code >> 20).  Rows near each other on EITHER key land in the same
+    bucket, so a repartitionByRange(zcode) write gives min/max file
+    statistics that skip files for predicates on both columns — the
+    multi-dimensional generalization of the reference's single-key daily
+    partitioning (es.go:79-81).  Pure integer bit math: zero shuffles
+    here; the layout write itself is one range shuffle."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_ZCODE).cast("long").alias("zcode"),
+        F.expr(f"({_ZCODE}) >> 20").cast("long").alias("zbucket"),
+    )
