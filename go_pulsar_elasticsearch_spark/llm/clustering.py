@@ -49,9 +49,17 @@ def _centroid_weights() -> list[list[int]]:
     ]
 
 
+def _centroid_floats() -> list[list[float]]:
+    """Integer weights / 64: embedding elements live in ~[-0.5, 0.5], so
+    the usable centroid scale is fractional; /64 is dyadic — the doubles
+    are exact and identical in both engines."""
+    return [[x / 64.0 for x in row] for row in _centroid_weights()]
+
+
 def _centroid_values_sql() -> str:
     rows = ", ".join(
-        f"({c}, {w})" for c, w in enumerate(_centroid_weights())
+        "(" + str(c) + ", [" + ", ".join(repr(x) for x in w) + "])"
+        for c, w in enumerate(_centroid_floats())
     )
     return f"(VALUES {rows}) AS c(cid, ce)"
 
@@ -90,15 +98,14 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     least() chain resolved inside the same codegen span."""
     tune(spark)
     emb = t(spark, sf_dir, "embeddings")
-    cents = _centroid_weights()
+    cents = _centroid_floats()
     n2 = _dot("embedding", "embedding")
     df = emb.withColumn("n2", n2)
     # dist_c = n2 - 2*(v.c) + c.c per centroid, then argmin(dist, cid)
     for c, w in enumerate(cents):
-        warr = "array(" + ", ".join(str(x) for x in w) + ")"
+        warr = "array(" + ", ".join(repr(x) for x in w) + ")"
         vc = _dot("embedding", warr)
-        c2 = float(sum(x * x for x in w))
-        df = df.withColumn(f"d{c}", F.col("n2") - 2 * vc + F.lit(c2))
+        df = df.withColumn(f"d{c}", F.col("n2") - 2 * vc + F.lit(_c2_exact(w)))
     dist_struct = F.least(
         *[
             F.struct(F.col(f"d{c}").alias("dist"), F.lit(c).cast("bigint").alias("cid"))
@@ -118,23 +125,50 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ITERS = 3
 
+# Exact c2 = sum_i ci^2, replicating the oracle's decimal accumulation on
+# the driver: each square (an IEEE double product, identical in python and
+# SQL) is rounded half-away-from-zero at 12 decimals, summed exactly as
+# decimals, and only then converted back to double — the same value
+# DuckDB's CAST(SUM(CAST(ci*ci AS DECIMAL(18,12))) AS DOUBLE) yields.
+from decimal import ROUND_HALF_UP, Decimal
+
+_Q12 = Decimal(1).scaleb(-12)
+
+
+def _c2_exact(w: list[float]) -> float:
+    return float(
+        sum(Decimal(x * x).quantize(_Q12, rounding=ROUND_HALF_UP) for x in w)
+    )
+
 
 def lloyd_iterations(emb: DataFrame, iters: int = _ITERS) -> DataFrame:
     """Run `iters` Lloyd iterations from the deterministic integer
     centroids; returns (vec_id, cluster_id, dist) after the last
     assignment.  Centroid recomputation is a posexplode + groupBy
-    (cluster, position) mean — the classic distributed k-means shape;
-    the k x dim result is collected to the driver (tiny) and re-inlined
-    as literals so the next assignment stays a narrow projection."""
-    cents: list[list[float]] = [[float(x) for x in row] for row in _centroid_weights()]
+    (cluster, position) EXACT-decimal mean — the classic distributed
+    k-means shape; the k x dim result is collected to the driver (tiny)
+    and re-inlined as literals so the next assignment stays a narrow
+    projection.  Every numeric step (dot products, means, c2) uses the
+    shared exact-decimal accumulation, so the whole iterative run is
+    bit-identical cross-engine and kmeans_train carries a full SQL
+    oracle (3 unrolled CTE iterations)."""
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    # init = integer weights / 64: embedding elements live in ~[-0.5, 0.5],
+    # so unscaled integer centroids would capture everything into one
+    # cluster on the first step.  /64 is dyadic — exact in both engines.
+    cents: list[list[float]] = [
+        [x / 64.0 for x in row] for row in _centroid_weights()
+    ]
     assigned = None
     for _ in range(iters):
         df = emb.withColumn("n2", _dot("embedding", "embedding"))
         for c, w in enumerate(cents):
             warr = "array(" + ", ".join(repr(x) for x in w) + ")"
             vc = _dot("embedding", warr)
-            c2 = float(sum(x * x for x in w))
-            df = df.withColumn(f"d{c}", F.col("n2") - 2 * vc + F.lit(c2))
+            df = df.withColumn(
+                f"d{c}", F.col("n2") - 2 * vc + F.lit(_c2_exact(w))
+            )
         pick = F.least(
             *[
                 F.struct(
@@ -150,13 +184,18 @@ def lloyd_iterations(emb: DataFrame, iters: int = _ITERS) -> DataFrame:
             pick.getField("cid").alias("cluster_id"),
             pick.getField("dist").alias("dist"),
         )
-        # new centroids: per-(cluster, position) mean — k x dim rows max
+        # new centroids: per-(cluster, position) exact mean — k x dim rows
         means = (
             assigned.select(
                 "cluster_id", F.posexplode("embedding").alias("pos", "x")
             )
             .groupBy("cluster_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    dsum(F.col("x").cast("double"), scale=12, out_scale=12)
+                    / F.count("x")
+                ).alias("m")
+            )
             .collect()
         )
         new_cents = [list(c) for c in cents]
@@ -166,17 +205,87 @@ def lloyd_iterations(emb: DataFrame, iters: int = _ITERS) -> DataFrame:
     return assigned.select("vec_id", "cluster_id", "dist")
 
 
-@register("kmeans_train")
+def _kmeans_train_oracle(iters: int = _ITERS) -> str:
+    """Generate the unrolled Lloyd-iteration oracle: cent0 literals ->
+    (dots -> assign -> mean -> cent) x iters -> sizes + exact inertia."""
+    cent_rows = ", ".join(
+        f"({c}, {i}, CAST({w} AS DOUBLE) / 64)"
+        for c, row in enumerate(_centroid_weights())
+        for i, w in enumerate(row, start=1)
+    )
+    parts = [
+        f"""WITH elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i
+        FROM embeddings)
+), n2 AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS n2
+  FROM elems GROUP BY vec_id
+), grid AS (
+  SELECT cid, i FROM (SELECT DISTINCT cid FROM (VALUES {cent_rows}) c0(cid, i, ci))
+  CROSS JOIN (SELECT unnest(range(1, {_DIM + 1})) AS i)
+), cent0 AS (
+  SELECT cid, i, ci FROM (VALUES {cent_rows}) c0(cid, i, ci)
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(
+            f""", dots{it} AS (
+  SELECT e.vec_id, c.cid,
+         CAST(SUM(CAST(e.x * c.ci AS DECIMAL(18,12))) AS DOUBLE) AS vc
+  FROM elems e JOIN {prev} c USING (i)
+  GROUP BY e.vec_id, c.cid
+), c2_{it} AS (
+  SELECT cid, CAST(SUM(CAST(ci * ci AS DECIMAL(18,12))) AS DOUBLE) AS c2
+  FROM {prev} GROUP BY cid
+), assign{it} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT n2.vec_id, d.cid, n2.n2 - 2 * d.vc + c2.c2 AS dist,
+           ROW_NUMBER() OVER (PARTITION BY n2.vec_id
+                              ORDER BY n2.n2 - 2 * d.vc + c2.c2 ASC, d.cid ASC
+                             ) AS rk
+    FROM dots{it} d
+    JOIN n2 ON n2.vec_id = d.vec_id
+    JOIN c2_{it} c2 ON c2.cid = d.cid
+  ) WHERE rk = 1
+), mean{it} AS (
+  SELECT a.cid, e.i,
+         CAST(SUM(CAST(e.x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM assign{it} a JOIN elems e ON e.vec_id = a.vec_id
+  GROUP BY a.cid, e.i
+), cent{it} AS (
+  SELECT g.cid, g.i, COALESCE(m.m, p.ci) AS ci
+  FROM grid g
+  JOIN {prev} p ON p.cid = g.cid AND p.i = g.i
+  LEFT JOIN mean{it} m ON m.cid = g.cid AND m.i = g.i
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(ROUND(SUM(CAST(dist AS DECIMAL(18,6))), 4) AS DOUBLE) AS inertia
+FROM assign{iters}
+GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+@register("kmeans_train", _kmeans_train_oracle())
 def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three Lloyd iterations over `embeddings`; returns per-cluster
     size and summed squared distance (inertia) after the final
-    assignment.  Iterative (driver loops over k x dim centroid
-    literals), so no SQL oracle — tests/test_clustering.py certifies
-    determinism and that inertia never increases across iterations."""
+    assignment.  Fully oracled: every iteration's means/dots/c2 use the
+    exact-decimal accumulation, so the unrolled-CTE DuckDB twin
+    reproduces the identical trajectory; tests/test_clustering.py
+    additionally certifies determinism and non-increasing inertia."""
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
     tune(spark)
     emb = t(spark, sf_dir, "embeddings")
     final = lloyd_iterations(emb)
     return final.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
-        F.round(F.sum("dist"), 4).alias("inertia"),
+        dsum("dist", scale=6, out_scale=4).alias("inertia"),
     )
