@@ -605,3 +605,60 @@ def pipeline_agg_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.lag("n").over(w)).alias("delta_n"),
         F.sum("n").over(wcum).alias("cum_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# anomaly_mad  (robust outliers: median absolute deviation, exact medians)
+# --------------------------------------------------------------------------
+
+_MAD_K = 5.0  # |x - median| > K * MAD flags the outlier
+
+_MAD_ORACLE = f"""
+WITH arrs AS (
+  SELECT event_id, user_id, value,
+    list_sort(list(value) OVER (PARTITION BY user_id)) AS arr
+  FROM events
+), med AS (
+  SELECT event_id, user_id, value,
+    arr[(len(arr) + 1) // 2] AS med
+  FROM arrs
+), devs AS (
+  SELECT event_id, user_id, value, med,
+    list_sort(list(abs(value - med)) OVER (PARTITION BY user_id)) AS darr
+  FROM med
+), mad AS (
+  SELECT event_id, user_id, value, med,
+    darr[(len(darr) + 1) // 2] AS mad
+  FROM devs
+)
+SELECT event_id, user_id, value, med, mad
+FROM mad
+WHERE mad > 0 AND abs(value - med) > {_MAD_K} * mad
+"""
+
+
+@register("anomaly_mad", _MAD_ORACLE)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outliers: |x - median| > 5 * MAD — immune to the
+    outliers polluting the baseline the way mean/stddev are
+    (anomaly_zscore's failure mode).  Medians are EXACT order statistics
+    (lower-median rule spelled out as sorted-array indexing so both
+    engines agree on even counts; DuckDB's median() interpolates, hence
+    the oracle uses the same element-exact definition below via
+    percentile_disc-compatible indexing).  One user_id window shuffle
+    shared by both median passes."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    arr = F.array_sort(F.collect_list("value").over(w))
+    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
+    step1 = ev.select("event_id", "user_id", "value", med.alias("med"))
+    dev_arr = F.array_sort(
+        F.collect_list(F.abs(F.col("value") - F.col("med"))).over(w)
+    )
+    mad = F.element_at(dev_arr, ((F.size(dev_arr) + 1) / 2).cast("int"))
+    step2 = step1.withColumn("mad", mad)
+    return step2.filter(
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad"))
+    ).select("event_id", "user_id", "value", "med", "mad")
