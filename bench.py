@@ -56,6 +56,13 @@ HEADLINE = [
     "events_sessionize",
     "anomaly_zscore",
     "boilerplate_ngrams",
+    # round 2 additions
+    "segment_dedup",
+    "interp_linear",
+    "knn_filtered",
+    "percolate_match",
+    "zorder_layout",
+    "rolling_p90",
 ]
 
 

@@ -122,18 +122,24 @@ def interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward fill is a running last() over the REVERSED sort, not a
+    # first() over a (current row -> unbounded following) frame: Spark
+    # evaluates shrinking frames by re-scanning the remainder per row —
+    # O(n^2) per partition (23 s at sf0.1 vs 0.6 s for this shape).
+    # Both spellings are semantically identical; the oracle keeps the
+    # textbook FOLLOWING form since DuckDB evaluates it linearly.
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour"))
     f = (
         grid.join(hourly, ["user_id", "hour"], "left")
         .withColumn("pv", F.last("avg_value", ignorenulls=True).over(back))
         .withColumn("ph", F.last(obs_hour, ignorenulls=True).over(back))
-        .withColumn("nv", F.first("avg_value", ignorenulls=True).over(fwd))
-        .withColumn("nh", F.first(obs_hour, ignorenulls=True).over(fwd))
+        .withColumn("nv", F.last("avg_value", ignorenulls=True).over(fwd))
+        .withColumn("nh", F.last(obs_hour, ignorenulls=True).over(fwd))
     )
     ratio = (
         (F.unix_timestamp("hour") - F.unix_timestamp("ph")).cast("double")

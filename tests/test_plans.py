@@ -146,16 +146,16 @@ def test_composite_page_uses_topk(spark, sf_dir):
     assert uses_take_ordered(df)
 
 
-def test_interp_linear_windows_share_one_sort(spark, sf_dir):
-    """The four ignore-nulls fill columns ride exactly two Window ops
-    (backward + forward) over the SAME (user_id, hour) ordering — adding
-    fill columns must not add sorts.  Exchange budget: hourly agg, user
-    grid distinct, join/window partitioning — never more than 4."""
+def test_interp_linear_windows_use_two_linear_sorts(spark, sf_dir):
+    """The four ignore-nulls fill columns ride two Window passes: a
+    running last() on (hour ASC) and one on (hour DESC) — NEVER a
+    (current row -> unbounded following) shrinking frame, which Spark
+    evaluates O(n^2) per partition.  So: exactly 2 sorts, and no
+    Following-bounded frame in the plan."""
     from go_pulsar_elasticsearch_spark.plans.inspect import exchange_count
 
     df = QUERIES["interp_linear"](spark, sf_dir)
     assert exchange_count(df) <= 4
     plan = formatted_plan(df)
-    # the stacked Window operators sit on ONE sort — fill columns don't
-    # multiply sorts
-    assert plan.count("+- Sort") == 1
+    assert plan.count("+- Sort") == 2
+    assert "unboundedfollowing" not in plan.lower()

@@ -75,3 +75,75 @@ def test_decimal_sum_is_order_independent(spark, values):
     s1 = df1.agg(dsum("x").alias("s")).collect()[0]["s"]
     s2 = df2.agg(dsum("x").alias("s")).collect()[0]["s"]
     assert s1 == s2  # bit-identical, not approx
+
+
+def test_interp_linear_lies_between_neighbors(spark, sf_dir):
+    """Interpolated points must lie within [min(prev, next), max(prev,
+    next)] — the defining property a ffill can't satisfy — and observed
+    hours must pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.operators.timeseries import interp_linear
+
+    from go_pulsar_elasticsearch_spark.catalog import t as load_t
+
+    out = interp_linear(spark, sf_dir).filter(F.col("value_interp").isNotNull())
+    observed = (
+        load_t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .distinct()
+        .withColumn("is_obs", F.lit(True))
+    )
+    w_back = "PARTITION BY user_id ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    w_fwd = "PARTITION BY user_id ORDER BY hour ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    probed = (
+        out.join(observed, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            "value_interp",
+            "is_obs",
+            F.expr(f"last_value(value_interp) IGNORE NULLS OVER ({w_back})").alias("pv"),
+            F.expr(f"first_value(value_interp) IGNORE NULLS OVER ({w_fwd})").alias("nv"),
+        )
+        # only INTERPOLATED rows: observed points are genuine local
+        # extrema and may exceed both neighbors
+        .filter(
+            F.col("is_obs").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        )
+    )
+    eps = 1e-9
+    bad = probed.filter(
+        (F.col("value_interp") < F.least("pv", "nv") - eps)
+        | (F.col("value_interp") > F.greatest("pv", "nv") + eps)
+    ).count()
+    assert bad == 0
+    assert probed.count() > 0
+
+
+def test_rolling_p90_bounds(spark, sf_dir):
+    """p90 of a trailing window is >= the row's own value 90% of the
+    frame positions... concretely: p90 is within [min, max] of the frame
+    and >= the frame median."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.operators.timeseries import rolling_p90
+    from go_pulsar_elasticsearch_spark.catalog import t as load_t
+
+    out = rolling_p90(spark, sf_dir)
+    ev = load_t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    frame = "PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 8 PRECEDING AND CURRENT ROW"
+    bounds = ev.select(
+        "user_id",
+        "ts",
+        F.expr(f"min(value) OVER ({frame})").alias("lo"),
+        F.expr(f"max(value) OVER ({frame})").alias("hi"),
+    )
+    joined = out.join(bounds, ["user_id", "ts"])
+    bad = joined.filter(
+        (F.col("p90") < F.col("lo")) | (F.col("p90") > F.col("hi"))
+    ).count()
+    assert bad == 0
