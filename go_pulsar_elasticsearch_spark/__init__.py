@@ -59,6 +59,7 @@ def load_all() -> None:
         hybrid,
         multimodal,
         quality,
+        query_dsl,
         sampling,
         search,
         similarity,
