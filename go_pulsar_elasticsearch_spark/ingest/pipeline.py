@@ -66,6 +66,22 @@ def write_dated_partitions(df: DataFrame, path: str, date_col: str = "ingest_dat
     df.write.mode("append").partitionBy(date_col).format(fmt).save(path)
 
 
+def refresh_daily_alias(spark: SparkSession, path: str, alias: str,
+                        date_col: str = "ingest_date") -> str:
+    """R11's alias flip (`es.go:102-116`): the reference points a stable
+    alias at the NEWEST dated index on startup/rollover, while older
+    indices stay reachable by their dated names.  Local equivalent: a
+    temp view `alias` over only the latest date partition (full history
+    stays queryable through the table path).  Returns the date the alias
+    now points at.  The view's equality predicate is a partition filter,
+    so reading the alias scans exactly one day's files — same routing
+    cost as ES resolving the alias to one index."""
+    part = spark.read.parquet(path)
+    latest = part.select(F.max(date_col).alias("d")).collect()[0]["d"]
+    part.filter(F.col(date_col) == F.lit(latest)).createOrReplaceTempView(alias)
+    return str(latest)
+
+
 # --------------------------------------------------------------------------
 # Certified queries (events.parquet stands in for the Pulsar stream)
 # --------------------------------------------------------------------------

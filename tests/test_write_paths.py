@@ -85,3 +85,33 @@ def test_merge_schema_reads_old_and_new_partitions(spark, sf_dir, tmpdir):
     assert old.filter(F.col("quality").isNull()).count() == old.count()
     assert new.filter(F.col("quality") == 0.5).count() == new.count()
     assert merged.count() == old.count() + new.count()
+
+
+def test_daily_alias_flips_to_newest_partition(spark, tmp_path):
+    """R11: after each day's write the alias resolves to ONLY the newest
+    dated partition; history stays reachable through the table path."""
+    from go_pulsar_elasticsearch_spark.ingest.pipeline import (
+        refresh_daily_alias,
+        write_dated_partitions,
+    )
+
+    path = str(tmp_path / "dated")
+    day1 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01")], "id long, ingest_date string"
+    )
+    write_dated_partitions(day1, path)
+    assert refresh_daily_alias(spark, path, "idx_alias") == "2024-01-01"
+    assert spark.table("idx_alias").count() == 2
+
+    day2 = spark.createDataFrame(
+        [(3, "2024-01-02")], "id long, ingest_date string"
+    )
+    write_dated_partitions(day2, path)
+    assert refresh_daily_alias(spark, path, "idx_alias") == "2024-01-02"
+    # alias = newest day only; table path = full history
+    assert spark.table("idx_alias").count() == 1
+    assert {r["id"] for r in spark.table("idx_alias").collect()} == {3}
+    assert spark.read.parquet(path).count() == 3
+    # the alias read prunes to one partition
+    plan = spark.table("idx_alias")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
