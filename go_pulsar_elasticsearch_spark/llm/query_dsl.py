@@ -162,3 +162,133 @@ def query_dsl_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     return search(docs, _DSL).select("doc_id", "source", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Aggregations: the `aggs` half of the ES search API
+# --------------------------------------------------------------------------
+
+_METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality"}
+_BUCKETS = {"terms", "date_histogram"}
+
+_CAL_INTERVALS = {"day": "day", "hour": "hour", "week": "week",
+                  "month": "month", "year": "year"}
+
+
+def _bucket_col(kind: str, body: dict[str, Any]) -> Column:
+    field = body["field"]
+    if kind == "terms":
+        return F.col(field)
+    if kind == "date_histogram":
+        return F.date_trunc(_CAL_INTERVALS[body["calendar_interval"]], field)
+    raise ValueError(f"unsupported bucket kind: {kind!r}")
+
+
+def _metric_col(kind: str, body: dict[str, Any]) -> Column:
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    field = body["field"]
+    if kind == "avg":
+        # exact decimal sum / count — bit-portable, unlike SUM(double)
+        return dsum(field, scale=2) / F.count(field)
+    if kind == "sum":
+        return dsum(field, scale=2)
+    if kind == "min":
+        return F.min(field)
+    if kind == "max":
+        return F.max(field)
+    if kind == "value_count":
+        return F.count(field)
+    if kind == "cardinality":
+        # ES cardinality is an HLL estimate; certified pipelines want the
+        # exact count — swap in approx_count_distinct at scale if the
+        # estimate semantics are desired
+        return F.countDistinct(field)
+    raise ValueError(f"unsupported metric kind: {kind!r}")
+
+
+def compile_aggs(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
+    """Compile an ES `aggs` tree: nested bucket aggs become composite
+    groupBy keys (named after the agg), metric aggs become aggregate
+    columns.  One groupBy -> ONE shuffle regardless of nesting depth,
+    with map-side partial aggregation — the ES coordinating-node
+    reduce, done by the engine."""
+    keys: list[Column] = []
+    metrics: list[Column] = []
+
+    def walk(tree: dict[str, Any]) -> None:
+        for name, spec in tree.items():
+            kinds = [k for k in spec if k in _BUCKETS | _METRICS]
+            if len(kinds) != 1:
+                raise ValueError(f"agg {name!r}: expected one agg kind")
+            kind = kinds[0]
+            if kind in _BUCKETS:
+                keys.append(_bucket_col(kind, spec[kind]).alias(name))
+                if "aggs" in spec:
+                    walk(spec["aggs"])
+            else:
+                metrics.append(_metric_col(kind, spec[kind]).alias(name))
+
+    walk(aggs)
+    if not metrics:
+        metrics = [F.count("*").alias("doc_count")]
+    if not keys:
+        return df.agg(*metrics)
+    return df.groupBy(*keys).agg(*metrics)
+
+
+def es_search(df: DataFrame, body: dict[str, Any]) -> DataFrame:
+    """The full ES _search request shape: optional `query` (filter
+    context) + optional `aggs`."""
+    out = df
+    if "query" in body:
+        out = out.filter(compile_query(body["query"]))
+    if "aggs" in body:
+        out = compile_aggs(out, body["aggs"])
+    return out
+
+
+# certified example: query + nested bucket aggs + metrics in one request
+_SEARCH_BODY = {
+    "query": {"bool": {"must_not": [{"term": {"event_type": "error"}}]}},
+    "aggs": {
+        "by_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {
+                "by_day": {
+                    "date_histogram": {
+                        "field": "ts", "calendar_interval": "day",
+                    },
+                    "aggs": {
+                        "avg_value": {"avg": {"field": "value"}},
+                        "n": {"value_count": {"field": "event_id"}},
+                        "users": {"cardinality": {"field": "user_id"}},
+                    },
+                }
+            },
+        }
+    },
+}
+
+from go_pulsar_elasticsearch_spark.functions.exact import AVGD
+
+_AGGS_ORACLE = f"""
+SELECT event_type AS by_type,
+       date_trunc('day', ts) AS by_day,
+       {AVGD('value', 2)} AS avg_value,
+       CAST(COUNT(event_id) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM events
+WHERE NOT COALESCE(event_type = 'error', FALSE)
+GROUP BY 1, 2
+"""
+
+
+@register("query_dsl_aggs", _AGGS_ORACLE)
+def query_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full ES _search request (query + terms -> date_histogram ->
+    metrics) compiled to one filter + one groupBy — single shuffle,
+    partial-agg combined, certified against the hand-written twin."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    return es_search(ev, _SEARCH_BODY)

@@ -87,3 +87,47 @@ def test_compiled_range_pushes_down(spark, sf_dir):
     df = QUERIES["query_dsl_compile"](spark, sf_dir)
     assert has_pushed_filter(df, "n_chars")
     assert has_pushed_filter(df, "source")
+
+
+def test_aggs_nested_buckets_and_metrics(spark):
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import es_search
+
+    rows = [
+        (1, "a", 10.0, "2024-01-01 10:00:00"),
+        (2, "a", 20.0, "2024-01-01 23:00:00"),
+        (3, "a", 30.0, "2024-01-02 01:00:00"),
+        (4, "b", 5.0, "2024-01-01 09:00:00"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "id long, k string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    body = {
+        "aggs": {
+            "by_k": {
+                "terms": {"field": "k"},
+                "aggs": {
+                    "by_day": {"date_histogram": {"field": "ts",
+                                                  "calendar_interval": "day"},
+                               "aggs": {"total": {"sum": {"field": "value"}},
+                                        "n": {"value_count": {"field": "id"}}}},
+                },
+            }
+        }
+    }
+    got = {
+        (r["by_k"], str(r["by_day"])[:10]): (r["total"], r["n"])
+        for r in es_search(df, body).collect()
+    }
+    assert got[("a", "2024-01-01")] == (30.0, 2)
+    assert got[("a", "2024-01-02")] == (30.0, 1)
+    assert got[("b", "2024-01-01")] == (5.0, 1)
+
+
+def test_aggs_without_buckets_is_global(spark):
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import es_search
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, value double")
+    out = es_search(df, {"aggs": {"mx": {"max": {"field": "value"}}}}).collect()
+    assert out[0]["mx"] == 4.0
