@@ -76,6 +76,12 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     near_dedup_minhash, dedup_components, and curation_pipeline (one
     definition; the oracles encode the same salt format 'b:shingle')."""
     w = F.split("text", " ")
+    # NO .distinct() on the shingle multiset: MIN is duplicate-insensitive,
+    # so de-duplicating first would only add a full shuffle of the shingle
+    # set.  Without it the per-doc band minima collapse in the map-side
+    # partial aggregation — the shuffle carries 8 hashes/doc, the shingles
+    # themselves never leave the scan stage.  (The oracle keeps its
+    # DISTINCT; the minima are identical either way.)
     shingles = (
         docs.select("doc_id", w.alias("w"))
         .filter(F.size("w") >= 3)
@@ -89,7 +95,6 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
     band_mins = [
         F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
