@@ -206,9 +206,14 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates over that hash in a single groupBy pass (2 shuffles
     # total: distinct + group — the exploded-by-32 formulation costs 6)
     words = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
+        docs.select(
+            "doc_id",
+            # per-row set: one doc = one row, so array_distinct on the
+            # token array IS the (doc_id, word) distinct — no shuffle
+            F.explode(
+                F.expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
+            ).alias("w"),
+        )
         .select("doc_id", F.md5(F.col("w")).alias("h"))
     )
     bit_sums = [
@@ -288,13 +293,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(w) - 2),"
+                    "array_distinct(transform(sequence(1, size(w) - 2),"
                     " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                    " element_at(w, i + 1), element_at(w, i + 2))))"
                 )
             ).alias("gram"),
         )
-        .distinct()
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga, gb = grams.alias("ga"), grams.alias("gb")

@@ -293,10 +293,11 @@ def more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals before the exact decimal sum."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
+        ).alias("term"),
     )
     df_tbl = toks.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
@@ -377,10 +378,11 @@ def autocomplete_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups from it; this op IS that build."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
+        ).alias("term"),
     )
     df_tbl = toks.groupBy("term").agg(F.count("*").alias("df"))
     prefixes = spark.createDataFrame(

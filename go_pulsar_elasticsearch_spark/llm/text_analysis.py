@@ -351,13 +351,12 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(w) - 2),"
+                    "array_distinct(transform(sequence(1, size(w) - 2),"
                     " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2)))"
+                    " element_at(w, i + 1), element_at(w, i + 2))))"
                 )
             ).alias("g"),
         )
-        .distinct()
     )
     df = F.count("*").over(Window.partitionBy("g"))
     boiler = F.when(df >= _BOILER_MIN_DF, 1).otherwise(0)
@@ -428,10 +427,11 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     and carry no PMI signal)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
+        ).alias("term"),
     )
     df_tbl = toks.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
