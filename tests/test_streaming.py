@@ -545,3 +545,35 @@ def test_tiebreak_must_not_be_key(spark, ingest_dirs):
             checkpoint_dir=ingest_dirs["ckpt"],
             tiebreak="uuid",
         )
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: every micro-batch is enriched against a static
+    dimension (the lookup-table pattern the reference would need a cache
+    for; Spark broadcasts the dim into each batch).  Unmatched keys
+    survive with NULLs — enrichment must never drop events."""
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "basic")], "user string, tier string"
+    )
+    src = str(tmp_path / "src")
+    for batch in ([("u1", 1), ("u3", 2)], [("u2", 3)]):
+        spark.createDataFrame(batch, "user string, n long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("user string, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["user"]: r["tier"] for r in spark.table("enrich_out").collect()}
+    assert rows == {"u1": "gold", "u2": "basic", "u3": None}
