@@ -526,3 +526,106 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dominated_by",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# minhash_verify_jaccard  (the canonical two-stage dedup: LSH candidates
+# -> exact Jaccard verification on candidates ONLY)
+# --------------------------------------------------------------------------
+
+_VERIFY_TAU = 0.5
+
+_VERIFY_ORACLE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), sigs AS (
+  SELECT doc_id, band,
+         MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (
+    SELECT doc_id, shingle, unnest(range(0, {_N_BANDS})) AS band
+    FROM shingles
+  )
+  GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a
+  JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {_VERIFY_TAU}
+"""
+
+
+@register("minhash_verify_jaccard", _VERIFY_ORACLE)
+def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape end-to-end: LSH band buckets generate
+    candidate pairs (near_dedup_minhash's join), then EXACT word-3-gram
+    Jaccard is computed only for candidates — the expensive verification
+    never touches non-candidate pairs.  At 100 TB the verify join's
+    left side is the candidate list (tiny vs all-pairs), and the shingle
+    posting lists join on (doc_id, shingle) — both sides partition on
+    doc_id."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_band_sigs(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    w = F.split("text", " ")
+    shingles = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _VERIFY_TAU)
+    )

@@ -662,3 +662,58 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mad") > 0)
         & (F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad"))
     ).select("event_id", "user_id", "value", "med", "mad")
+
+
+# --------------------------------------------------------------------------
+# quality_drift_monitor  (daily data-quality stats + day-over-day drift)
+# --------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(value) AS BIGINT) AS n_null_value,
+         {AVGD2} AS mean_value,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY 1
+)
+SELECT day, n_rows, n_null_value, mean_value, n_types,
+  CAST(n_rows - lag(n_rows) OVER w AS BIGINT) AS d_rows,
+  mean_value - lag(mean_value) OVER w AS d_mean
+FROM daily
+WINDOW w AS (ORDER BY day)
+"""
+
+
+@register(
+    "quality_drift_monitor",
+    _DRIFT_ORACLE.replace("{AVGD2}", "(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) / COUNT(value))"),
+)
+def quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality monitoring over the ingest stream: per-day volume,
+    null rate, exact mean, and type cardinality, each with its
+    day-over-day delta — the drift table a pipeline alerts on (the
+    reference only counts errors, metrics.go:9-41; this is the
+    content-level complement).  One histogram shuffle; the deltas ride
+    one bucket-level window (30 rows) — a global sort of BUCKETS, never
+    of raw rows."""
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("value")).alias("n_null_value"),
+        (dsum("value", scale=2) / F.count("value")).alias("mean_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "n_rows",
+        "n_null_value",
+        "mean_value",
+        "n_types",
+        (F.col("n_rows") - F.lag("n_rows").over(w)).alias("d_rows"),
+        (F.col("mean_value") - F.lag("mean_value").over(w)).alias("d_mean"),
+    )
