@@ -131,3 +131,17 @@ def test_aggs_without_buckets_is_global(spark):
     df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, value double")
     out = es_search(df, {"aggs": {"mx": {"max": {"field": "value"}}}}).collect()
     assert out[0]["mx"] == 4.0
+
+
+def test_empty_result_keeps_schema(spark):
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import es_search
+
+    df = spark.createDataFrame([(1, "x", 1.0)], "id long, k string, value double")
+    out = es_search(
+        df,
+        {"query": {"term": {"k": "nope"}},
+         "aggs": {"by_k": {"terms": {"field": "k"}},
+                  "n": {"value_count": {"field": "id"}}}},
+    )
+    assert out.count() == 0
+    assert out.columns == ["by_k", "n"]

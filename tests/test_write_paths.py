@@ -115,3 +115,28 @@ def test_daily_alias_flips_to_newest_partition(spark, tmp_path):
     # the alias read prunes to one partition
     plan = spark.table("idx_alias")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_sharded_training_export_bounds_file_sizes(spark, sf_dir, tmp_path):
+    """Training-data export: shard the corpus into bounded files
+    (maxRecordsPerFile) so downstream loaders stream fixed-size shards —
+    no shard may exceed the record cap and nothing may be lost."""
+    import glob
+
+    from go_pulsar_elasticsearch_spark.catalog import t as load_t
+
+    docs = load_t(spark, sf_dir, "documents")
+    total = docs.count()
+    out = str(tmp_path / "shards")
+    (
+        docs.repartition(4)
+        .write.option("maxRecordsPerFile", 100)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 4
+    for f in files:
+        assert spark.read.parquet(f).count() <= 100
