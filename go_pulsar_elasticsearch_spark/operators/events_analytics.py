@@ -717,3 +717,54 @@ def quality_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.lag("n_rows").over(w)).alias("d_rows"),
         (F.col("mean_value") - F.lag("mean_value").over(w)).alias("d_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# pattern_detect_sequence  (MATCH_RECOGNIZE-lite: consecutive A->B->C)
+# --------------------------------------------------------------------------
+
+_PATTERN = "view>click>purchase"
+
+_PATTERN_ORACLE = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(strpos(seq, '{_PATTERN}') AS INTEGER) AS match_pos,
+       CAST(len(string_split(seq, '>')) AS BIGINT) AS n_events
+FROM seqs
+WHERE strpos(seq, '{_PATTERN}') > 0
+"""
+
+
+@register("pattern_detect_sequence", _PATTERN_ORACLE)
+def pattern_detect_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching (MATCH_RECOGNIZE-lite): users whose event
+    stream contains the CONSECUTIVE sequence view->click->purchase —
+    stricter than the funnel ops, which allow gaps.  The per-user
+    ordered sequence is built with one sort-based aggregation (the
+    event-type alphabet contains no '>' so the join is unambiguous);
+    substring search does the pattern match.  One shuffle on user_id;
+    the pattern state never exceeds the per-user event string."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+                " x -> x.event_type)"
+            ),
+        ).alias("seq")
+    )
+    pos = F.instr("seq", _PATTERN)
+    return (
+        seqs.select(
+            "user_id",
+            pos.cast("int").alias("match_pos"),
+            F.size(F.split("seq", ">")).cast("long").alias("n_events"),
+        )
+        .filter(F.col("match_pos") > 0)
+    )
