@@ -649,19 +649,30 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by both median passes."""
     tune(spark)
     ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    arr = F.array_sort(F.collect_list("value").over(w))
-    med = F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int"))
-    step1 = ev.select("event_id", "user_id", "value", med.alias("med"))
-    dev_arr = F.array_sort(
-        F.collect_list(F.abs(F.col("value") - F.col("med"))).over(w)
+
+    # Per-user medians via GROUPED aggregation + join-back, NOT a
+    # whole-partition collect_list window: the window form materializes
+    # the sorted array once PER ROW (O(n^2) memory/compute per user
+    # history); the grouped form builds it once per user and joins the
+    # scalar back (co-partitioned on user_id, broadcast at this scale).
+    def _median_of(df, val_col: str, out: str):
+        arr = F.array_sort(F.collect_list(val_col))
+        return df.groupBy("user_id").agg(
+            F.element_at(
+                arr, ((F.size(arr) + 1) / 2).cast("int")
+            ).alias(out)
+        )
+
+    meds = _median_of(ev, "value", "med")
+    step1 = ev.join(meds, "user_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = F.element_at(dev_arr, ((F.size(dev_arr) + 1) / 2).cast("int"))
-    step2 = step1.withColumn("mad", mad)
-    return step2.filter(
-        (F.col("mad") > 0)
-        & (F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad"))
-    ).select("event_id", "user_id", "value", "med", "mad")
+    mads = _median_of(step1, "dev", "mad")
+    return (
+        step1.join(mads, "user_id")
+        .filter((F.col("mad") > 0) & (F.col("dev") > _MAD_K * F.col("mad")))
+        .select("event_id", "user_id", "value", "med", "mad")
+    )
 
 
 # --------------------------------------------------------------------------
