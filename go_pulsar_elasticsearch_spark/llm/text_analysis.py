@@ -466,3 +466,36 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = scored.orderBy(F.desc("pmi"), "term_a", "term_b").limit(_PMI_TOPN)
     rk = F.row_number().over(Window.orderBy(F.desc("pmi"), "term_a", "term_b"))
     return top.select("term_a", "term_b", "n_ab", "n_a", "n_b", "pmi", rk.alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# langid_confusion  (classifier evaluation: truth x prediction matrix)
+# --------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANG_ORACLE})
+SELECT lang_true, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM pred
+GROUP BY lang_true, lang_pred
+"""
+
+
+@register("langid_confusion", _CONFUSION_ORACLE)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness shape: the language-ID classifier's confusion
+    matrix (truth x prediction counts) — the quality report any corpus
+    labeler ships alongside its labels.  Composes the certified
+    lang_id_ngram output with one (truth, pred) groupBy — the same
+    single shuffle an accuracy/precision/recall report costs at any
+    scale."""
+    tune(spark)
+    pred = lang_id_ngram(spark, sf_dir)
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("lang_true") == F.col("lang_pred")).cast("long")
+        ).alias("n_correct"),
+    )
