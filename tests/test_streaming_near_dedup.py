@@ -1,0 +1,59 @@
+"""Streaming incremental near-dedup: near-duplicates are suppressed
+across micro-batches through the signature store, unique docs survive."""
+
+from __future__ import annotations
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("warm", "cold")  # one word differs -> near-dup
+UNIQUE = (
+    "completely different content about spark shuffles partitions and "
+    "broadcast joins running on a large cluster with many executors"
+)
+
+
+def test_near_dups_suppressed_across_batches(spark, tmp_path):
+    from go_pulsar_elasticsearch_spark.streaming.near_dedup import (
+        run_incremental_near_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    batches = (
+        [(1, BASE)],
+        [(2, NEAR), (3, UNIQUE)],   # 2 near-dups batch-1's doc 1
+        [(4, UNIQUE + " extra"), (5, BASE)],  # 5 near-dups doc 1 again
+    )
+    for batch in batches:
+        spark.createDataFrame(batch, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_incremental_near_dedup(
+        stream,
+        store_path=str(tmp_path / "store"),
+        out_path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # doc 1 kept; 2 and 5 are near/exact dups of it; 3 unique; 4 is a
+    # near-dup of 3 (suffix only) -> suppressed against the store
+    assert 1 in kept and 3 in kept
+    assert 2 not in kept and 5 not in kept and 4 not in kept
+    # the store holds signatures only for survivors
+    store_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "store"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert store_docs == kept
