@@ -54,6 +54,9 @@ def _match_tokens(field: str, text: str) -> Column:
         for tok in text.split()
         if tok
     ]
+    if not conds:
+        # ES: a match query that analyzes to zero tokens matches nothing
+        return F.lit(False)
     out = conds[0]
     for c in conds[1:]:
         out = out & c

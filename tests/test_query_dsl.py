@@ -145,3 +145,7 @@ def test_empty_result_keeps_schema(spark):
     )
     assert out.count() == 0
     assert out.columns == ["by_k", "n"]
+
+
+def test_empty_match_matches_nothing(docs):
+    assert ids(docs, {"match": {"text": "   "}}) == []
