@@ -5,6 +5,15 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
+State (round 2): 162 registered queries, 157 with oracles.  The five
+rows-only entries are approximate/float/streaming by design:
+``agg_approx`` (HLL/quantile sketches), ``multimodal_features``
+(mapInPandas byte-stub decode), ``similarity_topk_fast`` (numpy
+float64 path, validated vs the exact decimal twin in tests),
+``near_dedup_minhash_ml`` (MLlib MinHashLSH internals), and
+``stream_ingest_e2e`` (streaming drain).  Even the iterative k-means
+training loop is oracled (unrolled exact-decimal CTE iterations).
+
 All real code lives in ``go_pulsar_elasticsearch_spark/``; this module
 only adapts the package registry to the driver's interface.
 """
