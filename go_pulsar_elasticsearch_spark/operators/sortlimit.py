@@ -104,3 +104,46 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ZCODE).cast("long").alias("zcode"),
         F.expr(f"({_ZCODE}) >> 20").cast("long").alias("zbucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# pareto_frontier  (skyline: non-dominated points, minimize price /
+# maximize size)
+# --------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+@register("pareto_frontier", _PARETO_ORACLE)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: parts not dominated on (price low, size high) —
+    the multi-objective shortlist shape (cheapest-per-capability).
+    Spelled as a domination anti-join; the dominating side broadcasts.
+    At 100 TB the standard skyline prune applies first: points beaten
+    by the per-(grid cell) local winner can be discarded map-side
+    before the pairwise check — same join, pre-shrunk input."""
+    tune(spark)
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    q = p.select(
+        F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
+    )
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return p.join(F.broadcast(q), dominated, "left_anti")
