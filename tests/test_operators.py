@@ -74,3 +74,12 @@ def test_dlq_split_is_partition(spark, sf_dir):
     main_df, dlq_df = dlq_split(ev, F.col("value") >= 1.0)
     assert main_df.count() + dlq_df.count() == ev.count()
     assert main_df.intersect(dlq_df).count() == 0
+
+
+def test_bench_headline_names_exist():
+    """bench.py's headline list must reference registered queries — a
+    rename that breaks the driver's bench run should fail here first."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert missing == []
