@@ -312,3 +312,116 @@ def percolate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_chars") >= F.col("min_chars"))
     )
     return docs.join(F.broadcast(q), cond).select("doc_id", "query_id")
+
+
+# --------------------------------------------------------------------------
+# tfidf_doc_similarity  (sparse cosine: the lexical sibling of the dense
+# embedding similarity ops — posting-list joins, never dense vectors)
+# --------------------------------------------------------------------------
+
+_TDS_NQ = 5     # query docs: doc_id < 5
+_TDS_TOPK = 3
+
+_TDS_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(round((1 + ln(tf.tf)) * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6)
+              AS DECIMAL(18,6)) AS wgt
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+), norms AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(CAST(wgt AS DOUBLE) * CAST(wgt AS DOUBLE)
+                       AS DECIMAL(18,12))) AS DOUBLE) AS n2
+  FROM w GROUP BY doc_id
+), dots AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cid,
+         CAST(SUM(CAST(CAST(q.wgt AS DOUBLE) * CAST(c.wgt AS DOUBLE)
+                       AS DECIMAL(18,12))) AS DOUBLE) AS dot
+  FROM w q JOIN w c ON c.term = q.term AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < {_TDS_NQ}
+  GROUP BY q.doc_id, c.doc_id
+), scored AS (
+  SELECT qid, cid, dot / sqrt(nq.n2 * nc.n2) AS cosine
+  FROM dots
+  JOIN norms nq ON nq.doc_id = qid
+  JOIN norms nc ON nc.doc_id = cid
+)
+SELECT qid, cid, cosine, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+        AS rk FROM scored)
+WHERE rk <= {_TDS_TOPK}
+"""
+
+
+@register("tfidf_doc_similarity", _TDS_ORACLE)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity: log-tf x idf weights, cosine via a
+    POSTING-LIST self-join on term (docs sharing no term never pair) —
+    the inverted-index-native sibling of similarity_topk's dense scan.
+    Weights round their ln at 6 decimals into decimals, products
+    accumulate as DECIMAL(18,12) — bit-identical cross-engine.  At
+    scale the term join is the classic impact-ordered index shape:
+    prune ultra-high-df terms first (they add pairs, not signal)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(text, ' '), x -> x != '')")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    wgt = F.round(
+        (1 + F.log("tf"))
+        * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        6,
+    ).cast("decimal(18,6)")
+    w = tf.join(dfq, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", wgt.alias("wgt")
+    )
+    wd = F.col("wgt").cast("double")
+    prod = (wd * wd).cast("decimal(18,12)")
+    norms = w.groupBy("doc_id").agg(
+        F.sum(prod).cast("double").alias("n2")
+    )
+    q = w.filter(F.col("doc_id") < _TDS_NQ).select(
+        F.col("doc_id").alias("qid"), "term", F.col("wgt").alias("qw")
+    )
+    c = w.select(F.col("doc_id").alias("cid"), "term", F.col("wgt").alias("cw"))
+    pair_prod = (
+        F.col("qw").cast("double") * F.col("cw").cast("double")
+    ).cast("decimal(18,12)")
+    dots = (
+        q.join(c, (q.term == c.term) & (F.col("cid") != F.col("qid")))
+        .groupBy("qid", "cid")
+        .agg(F.sum(pair_prod).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(norms.select(F.col("doc_id").alias("qid"), F.col("n2").alias("nq")), "qid")
+        .join(norms.select(F.col("doc_id").alias("cid"), F.col("n2").alias("nc")), "cid")
+        .select(
+            "qid", "cid",
+            (F.col("dot") / F.sqrt(F.col("nq") * F.col("nc"))).alias("cosine"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _TDS_TOPK)
+        .select("qid", "cid", "cosine", "rk")
+    )

@@ -779,3 +779,73 @@ def pattern_detect_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("match_pos") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# sessionize_capped  (gap-based sessions with a max-duration cap)
+# --------------------------------------------------------------------------
+
+_CAP_GAP = "INTERVAL 6 HOUR"
+_CAP_MS = 24 * 3600 * 1000  # sessions also split every 24 h of duration
+
+_CAPPED_ORACLE = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), gap_sessions AS (
+  SELECT event_id, user_id, ts,
+    SUM(CASE WHEN prev_ts IS NULL OR ts > prev_ts + {_CAP_GAP}
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS gap_n
+  FROM lagged
+), anchored AS (
+  SELECT event_id, user_id, ts, gap_n,
+    min(ts) OVER (PARTITION BY user_id, gap_n) AS session_start
+  FROM gap_sessions
+)
+SELECT event_id, user_id, ts,
+  CAST(gap_n AS BIGINT) AS gap_session,
+  CAST((epoch_ms(ts) - epoch_ms(session_start)) // {_CAP_MS} AS BIGINT)
+    AS cap_slice,
+  CAST(gap_n * 1000
+       + (epoch_ms(ts) - epoch_ms(session_start)) // {_CAP_MS} AS BIGINT)
+    AS session_id
+FROM anchored
+"""
+
+
+@register("sessionize_capped", _CAPPED_ORACLE)
+def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH break rules real trackers use: a >6 h
+    inactivity gap starts a new session, and a session is additionally
+    sliced every 24 h of elapsed duration (no infinite sessions from
+    drip activity).  The cap slices at fixed offsets from the gap
+    session's start — one extra (user, gap_n) window over the
+    gap-session pass; both windows share the user_id shuffle."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(wo)
+    new_s = (
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr(_CAP_GAP))
+    ).cast("int")
+    gaps = ev.select(
+        "event_id", "user_id", "ts",
+        F.sum(new_s).over(run).alias("gap_n"),
+    )
+    start = F.min("ts").over(Window.partitionBy("user_id", "gap_n"))
+    slice_n = F.call_function(
+        "div",
+        F.unix_millis("ts") - F.unix_millis(start),
+        F.lit(_CAP_MS),
+    )
+    return gaps.select(
+        "event_id", "user_id", "ts",
+        F.col("gap_n").cast("long").alias("gap_session"),
+        slice_n.cast("long").alias("cap_slice"),
+        (F.col("gap_n") * 1000 + slice_n).cast("long").alias("session_id"),
+    )

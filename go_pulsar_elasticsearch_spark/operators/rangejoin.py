@@ -142,3 +142,62 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# asof_join_tolerance  (ASOF ... TOLERANCE: staleness-bounded match)
+# --------------------------------------------------------------------------
+
+_TOL_MS = 6 * 3600 * 1000  # 6 hours
+
+_ASOF_TOL_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, event_type, ts,
+    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS last_view_ts
+  FROM events
+)
+SELECT
+  user_id,
+  event_id AS purchase_id,
+  CAST(epoch_ms(ts) AS BIGINT) AS purchase_ms,
+  CAST(CASE WHEN epoch_ms(ts) - epoch_ms(last_view_ts) <= {_TOL_MS}
+            THEN epoch_ms(last_view_ts) END AS BIGINT) AS asof_view_ms,
+  (last_view_ts IS NOT NULL
+   AND epoch_ms(ts) - epoch_ms(last_view_ts) <= {_TOL_MS}) AS within_tolerance
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
+@register("asof_join_tolerance", _ASOF_TOL_ORACLE)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN ... TOLERANCE (kdb/QuestDB/pandas merge_asof semantics):
+    the latest preceding view matches ONLY if it is at most 6 h stale —
+    beyond that the match is NULLed, not silently ancient.  Same single
+    running-conditional-max window as events_asof_join; the tolerance is
+    a post-predicate, so the plan cost is identical."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    marked = ev.withColumn("last_view_ts", last_view)
+    age = F.unix_millis("ts") - F.unix_millis("last_view_ts")
+    within = F.col("last_view_ts").isNotNull() & (age <= _TOL_MS)
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.when(age <= _TOL_MS, F.unix_millis("last_view_ts")).alias(
+            "asof_view_ms"
+        ),
+        within.alias("within_tolerance"),
+    )
