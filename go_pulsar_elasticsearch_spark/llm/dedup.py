@@ -629,3 +629,121 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _VERIFY_TAU)
     )
+
+
+# --------------------------------------------------------------------------
+# minhash_recall_eval  (index quality: LSH candidate recall vs exact truth)
+# --------------------------------------------------------------------------
+
+_EVAL_TAU = 0.5
+
+_RECALL_ORACLE = f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles sa JOIN shingles sb
+    ON sb.shingle = sa.shingle AND sb.doc_id > sa.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+               JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= {_EVAL_TAU}
+), sigs AS (
+  SELECT doc_id, band,
+         MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (SELECT doc_id, shingle, unnest(range(0, {_N_BANDS})) AS band
+        FROM shingles)
+  GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST((SELECT COUNT(*) FROM truth t JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS BIGINT) AS n_hit,
+  CAST((SELECT COUNT(*) FROM truth t JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+    / (SELECT COUNT(*) FROM truth) AS recall
+"""
+
+
+@register("minhash_recall_eval", _RECALL_ORACLE)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: how many TRUE near-dup pairs (exact
+    word-3-gram Jaccard >= 0.5) does the 8-band LSH candidate set
+    recover?  The ground truth is exact and the metric deterministic,
+    so even the evaluation harness is oracle-certified — the tuning
+    loop (bands/rows vs recall) runs on measured numbers, not vibes.
+    Truth generation joins the shingle posting list (only gram-sharing
+    pairs score); at corpus scale this eval runs on a sampled stratum,
+    same plan."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingles = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, (sa.shingle == sb.shingle) & (F.col("doc_b") > F.col("doc_a")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= _EVAL_TAU)
+        .select("doc_a", "doc_b")
+    )
+    sigs = minhash_band_sigs(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+        )
+    )
