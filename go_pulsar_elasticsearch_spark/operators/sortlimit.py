@@ -127,15 +127,28 @@ WHERE NOT EXISTS (
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline query: parts not dominated on (price low, size high) —
     the multi-objective shortlist shape (cheapest-per-capability).
-    Spelled as a domination anti-join; the dominating side broadcasts.
-    At 100 TB the standard skyline prune applies first: points beaten
-    by the per-(grid cell) local winner can be discarded map-side
-    before the pairwise check — same join, pre-shrunk input."""
+
+    Two stages so the pairwise check never sees the full table:
+    1. PRUNE (one groupBy shuffle): any row pricier than its size
+       class's minimum is dominated by that minimum (same size,
+       strictly cheaper) — only per-size price minima survive, i.e.
+       at most |size domain| rows (+ exact price ties, which remain
+       mutually non-dominating).  Result-identical by construction.
+    2. Pairwise domination anti-join on the pruned set only — the
+       broadcast side is bounded by the size-domain cardinality, not
+       the table, so the quadratic term is O(|domain|^2) at ANY data
+       scale."""
     tune(spark)
     p = t(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice", "p_size"
     )
-    q = p.select(
+    min_price = p.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    pruned = p.join(F.broadcast(min_price), "p_size").filter(
+        F.col("p_retailprice") == F.col("min_price")
+    ).select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    q = pruned.select(
         F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
     )
     dominated = (
@@ -146,4 +159,4 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("q_size") > F.col("p_size"))
         )
     )
-    return p.join(F.broadcast(q), dominated, "left_anti")
+    return pruned.join(F.broadcast(q), dominated, "left_anti")
