@@ -59,6 +59,16 @@ def dsum(
     if out_scale is None:
         out_scale = min(scale, 2)
     dec = c.cast(f"decimal({precision},{scale})")
+    if scale > 4:
+        # high scales exhaust the 2^63 scaled-long headroom too early
+        # (scale 8 overflows near ~2e7 rows of 1e5-magnitude values —
+        # observed at a 30x fixture replication), so they keep the
+        # widened-decimal accumulator; the hot certification sums are
+        # all scale <= 4 and stay on the long fast path below
+        s = F.sum(dec)
+        if out_scale < scale:
+            s = F.round(s, out_scale)
+        return s.cast("double")
     scaled = F.round(dec.cast("double") * F.lit(float(10**scale))).cast("long")
     s = F.sum(scaled)
     if out_scale < scale:
