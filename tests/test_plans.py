@@ -159,3 +159,22 @@ def test_interp_linear_windows_use_two_linear_sorts(spark, sf_dir):
     plan = formatted_plan(df)
     assert plan.count("+- Sort") == 2
     assert "unboundedfollowing" not in plan.lower()
+
+
+def test_large_side_does_not_broadcast_below_threshold(spark, sf_dir):
+    """Broadcast is a size decision, not a default: with the threshold
+    forced down, the orders⋈lineitem join must plan a non-broadcast
+    strategy (SMJ/SHJ) — guarding against hint creep that would ship a
+    100 TB side to every executor."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        o = t(spark, sf_dir, "orders")
+        li = t(spark, sf_dir, "lineitem")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        kinds = join_kinds(joined)
+        assert "BroadcastHashJoin" not in kinds, kinds
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -57,3 +57,38 @@ def test_near_dups_suppressed_across_batches(spark, tmp_path):
         .collect()
     }
     assert store_docs == kept
+
+
+def test_replay_with_same_checkpoint_adds_nothing(spark, tmp_path):
+    """Restarting the drained stream against the same checkpoint must
+    not reprocess batches: output and store sizes stay fixed (the
+    exactly-once posture of the reference's ack path, checkpoint-style)."""
+    from go_pulsar_elasticsearch_spark.streaming.near_dedup import (
+        run_incremental_near_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, BASE), (2, UNIQUE)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return run_incremental_near_dedup(
+            stream,
+            store_path=str(tmp_path / "store"),
+            out_path=str(tmp_path / "out"),
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+
+    q = start()
+    q.awaitTermination()
+    n1 = spark.read.parquet(str(tmp_path / "out")).count()
+    q2 = start()  # same checkpoint: nothing new to process
+    q2.awaitTermination()
+    n2 = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n1 == n2 == 2
