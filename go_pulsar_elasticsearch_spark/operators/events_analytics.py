@@ -849,3 +849,67 @@ def sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         slice_n.cast("long").alias("cap_slice"),
         (F.col("gap_n") * 1000 + slice_n).cast("long").alias("session_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# late_data_profile  (out-of-orderness distribution -> watermark choice)
+# --------------------------------------------------------------------------
+
+_LATE_ORACLE = """
+WITH arrival AS (
+  SELECT event_id, ts,
+    max(ts) OVER (ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+  FROM events
+), lateness AS (
+  SELECT epoch_ms(hwm) - epoch_ms(ts) AS late_ms FROM arrival
+)
+SELECT
+  CASE
+    WHEN late_ms = 0 THEN 'on-time'
+    WHEN late_ms <= 60000 THEN '<=1min'
+    WHEN late_ms <= 600000 THEN '<=10min'
+    WHEN late_ms <= 3600000 THEN '<=1h'
+    WHEN late_ms <= 86400000 THEN '<=1d'
+    ELSE '>1d'
+  END AS lateness_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+FROM lateness
+GROUP BY 1
+"""
+
+
+@register("late_data_profile", _LATE_ORACLE)
+def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark design data: how out-of-order is the stream?  Lateness
+    of each event = high-water mark of event time (in arrival order =
+    event_id) minus its own event time, bucketed.  The bucket counts ARE
+    the watermark decision: `withWatermark` should cover the bucket that
+    holds your completeness target (e.g. p99).
+
+    The arrival-order running max is a single global sort — this is a
+    DIAGNOSTIC run on a sample/window at 100 TB (the plan is the same;
+    only the input is bounded), not a data-path operator."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late_ms = F.unix_millis(F.max("ts").over(w)) - F.unix_millis("ts")
+    bucket = (
+        F.when(late_ms == 0, "on-time")
+        .when(late_ms <= 60000, "<=1min")
+        .when(late_ms <= 600000, "<=10min")
+        .when(late_ms <= 3600000, "<=1h")
+        .when(late_ms <= 86400000, "<=1d")
+        .otherwise(">1d")
+    )
+    return (
+        ev.select(bucket.alias("lateness_bucket"), late_ms.alias("late_ms"))
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("late_ms").alias("max_late_ms"),
+        )
+    )
