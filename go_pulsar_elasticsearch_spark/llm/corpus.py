@@ -286,3 +286,134 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("h").cast("double") / F.count("*")
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# sft_format_pairs  (instruction-tuning data prep: prompt/completion +
+# chat-template rendering + per-field token budgets)
+# --------------------------------------------------------------------------
+
+_SFT_PROMPT_WORDS = 20
+
+_SFT_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), split AS (
+  SELECT doc_id,
+    array_to_string(w[1 : {_SFT_PROMPT_WORDS}], ' ') AS prompt,
+    array_to_string(w[{_SFT_PROMPT_WORDS} + 1 : len(w)], ' ') AS completion,
+    len(w) AS n_words
+  FROM words
+  WHERE len(w) > {_SFT_PROMPT_WORDS}
+)
+SELECT doc_id, prompt, completion,
+  '<|user|>' || chr(10) || prompt || chr(10)
+    || '<|assistant|>' || chr(10) || completion AS rendered,
+  CAST({_SFT_PROMPT_WORDS} AS BIGINT) AS prompt_tokens,
+  CAST(n_words - {_SFT_PROMPT_WORDS} AS BIGINT) AS completion_tokens
+FROM split
+"""
+
+
+@register("sft_format_pairs", _SFT_ORACLE)
+def sft_format_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT data prep: split each doc into a prompt (first 20 words) and
+    completion (rest), render the chat template, and account tokens per
+    field (the packing/trucation budget).  Pure zero-shuffle string/array
+    expressions — at any scale this pipelines inside the scan stage."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    split = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") > _SFT_PROMPT_WORDS)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("w", 1, _SFT_PROMPT_WORDS)).alias("prompt"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"slice(w, {_SFT_PROMPT_WORDS + 1},"
+                    f" size(w) - {_SFT_PROMPT_WORDS})"
+                ),
+            ).alias("completion"),
+            F.size("w").alias("n_words"),
+        )
+    )
+    rendered = F.concat(
+        F.lit("<|user|>\n"), F.col("prompt"),
+        F.lit("\n<|assistant|>\n"), F.col("completion"),
+    )
+    return split.select(
+        "doc_id",
+        "prompt",
+        "completion",
+        rendered.alias("rendered"),
+        F.lit(_SFT_PROMPT_WORDS).cast("long").alias("prompt_tokens"),
+        (F.col("n_words") - _SFT_PROMPT_WORDS).cast("long").alias(
+            "completion_tokens"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# dpo_pair_construction  (preference pairs: best vs worst doc per source
+# by the quality heuristic)
+# --------------------------------------------------------------------------
+
+_DPO_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source, text, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+      AS rk_best,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id)
+      AS rk_worst
+  FROM documents
+)
+SELECT b.source,
+       b.doc_id AS chosen_id, b.text AS chosen,
+       w.doc_id AS rejected_id, w.text AS rejected,
+       CAST(b.n_chars - w.n_chars AS BIGINT) AS quality_margin
+FROM (SELECT * FROM scored WHERE rk_best = 1) b
+JOIN (SELECT * FROM scored WHERE rk_worst = 1) w USING (source)
+WHERE b.doc_id <> w.doc_id
+"""
+
+
+@register("dpo_pair_construction", _DPO_ORACLE)
+def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF data prep): per source,
+    pair the highest-quality doc (longest; ties by id) with the lowest
+    as (chosen, rejected), carrying the quality margin.  Both ranks ride
+    ONE source-partitioned sort pair; the self-join is per-source 1x1."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    wb = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ww = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    scored = docs.select(
+        "doc_id", "source", "text", "n_chars",
+        F.row_number().over(wb).alias("rk_best"),
+        F.row_number().over(ww).alias("rk_worst"),
+    )
+    b = scored.filter(F.col("rk_best") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("text").alias("chosen"),
+        F.col("n_chars").alias("b_chars"),
+    )
+    w = scored.filter(F.col("rk_worst") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("text").alias("rejected"),
+        F.col("n_chars").alias("w_chars"),
+    )
+    return (
+        b.join(w, "source")
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "source", "chosen_id", "chosen", "rejected_id", "rejected",
+            (F.col("b_chars") - F.col("w_chars")).cast("long").alias(
+                "quality_margin"
+            ),
+        )
+    )
