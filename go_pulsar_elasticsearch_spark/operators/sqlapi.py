@@ -154,3 +154,63 @@ def sql_surface_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+# --------------------------------------------------------------------------
+# sql_surface_lateral  (CTE + LATERAL VIEW explode + window, one SQL text)
+# --------------------------------------------------------------------------
+
+# Spark spells table-generating functions as LATERAL VIEW; DuckDB as
+# unnest — the only divergent clause, so the statement is kept in two
+# dialect twins with identical semantics downstream.
+_LATERAL_SPARK_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS tok
+  WHERE tok != ''
+), stats AS (
+  SELECT doc_id,
+         COUNT(*) AS n_toks,
+         COUNT(DISTINCT tok) AS n_unique
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_toks, n_unique,
+       DENSE_RANK() OVER (ORDER BY n_unique DESC) AS uniq_rank
+FROM stats
+"""
+
+_LATERAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != ''
+), stats AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_unique
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_toks, n_unique,
+       CAST(DENSE_RANK() OVER (ORDER BY n_unique DESC) AS INTEGER) AS uniq_rank
+FROM stats
+"""
+
+
+@register("sql_surface_lateral", _LATERAL_ORACLE)
+def sql_surface_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text breadth: CTE + LATERAL VIEW table function + distinct
+    aggregation + window rank in ONE statement through spark.sql —
+    proving the engine's SQL front door handles the composite forms an
+    analyst ships, not just DataFrame-built plans."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    out = spark.sql(_LATERAL_SPARK_SQL)
+    from pyspark.sql import functions as F
+
+    return out.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("uniq_rank").cast("int").alias("uniq_rank"),
+    )
