@@ -940,3 +940,67 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id", "pos_id", "pos_cos", "neg_id", "neg_cos",
         (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_standardize  (per-dimension z-scoring: the scaling pass before
+# clustering / ANN when dimensions have unequal variance)
+# --------------------------------------------------------------------------
+
+_STD_ORACLE = f"""
+WITH elems AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i
+        FROM embeddings)
+), moments AS (
+  SELECT i,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(x * x AS DECIMAL(18,12))) AS DOUBLE) AS s2
+  FROM elems GROUP BY i
+)
+SELECT vec_id, CAST(i AS INTEGER) AS dim,
+  (x - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+FROM elems JOIN moments USING (i)
+WHERE i <= 4
+"""
+
+
+@register("embedding_standardize", _STD_ORACLE)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization from exact decimal moments (the
+    same portable-moments recipe as anomaly_zscore, per dim instead of
+    per user); output restricted to the first 4 dims to keep the
+    certified result compact — the full-width variant is the identical
+    plan.  One (dim)-keyed moment aggregation (64 groups, map-side
+    combined) broadcast back over the elements."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    moments = elems.groupBy("i").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,12)")).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return (
+        elems.join(F.broadcast(moments), "i")
+        .filter(F.col("i") <= 4)
+        .select(
+            "vec_id",
+            F.col("i").cast("int").alias("dim"),
+            ((F.col("x") - mean) / F.sqrt(var)).alias("z"),
+        )
+    )
