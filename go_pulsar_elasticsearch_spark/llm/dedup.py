@@ -102,9 +102,13 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     ]
     wide = shingles.groupBy("doc_id").agg(*band_mins)
     stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
-    return wide.select(
+    sigs = wide.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
+    # every consumer self-joins or multi-references this frame; caching
+    # it (8 short rows per doc — MBs at bench scale, spill-backed) halves
+    # the shingle scan+agg work, which dominates the operators' cost
+    return sigs.persist()
 
 _MINHASH_ORACLE = f"""
 WITH shingles AS (
