@@ -417,3 +417,60 @@ def dpo_pair_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_stats  (tokenizer training: the first BPE merge's pair table)
+# --------------------------------------------------------------------------
+
+_BPE_TOPN = 10
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+), pairs AS (
+  SELECT substr(wd, i, 2) AS pair
+  FROM (SELECT wd, unnest(range(1, len(wd))) AS i
+        FROM words WHERE len(wd) >= 2)
+)
+SELECT pair, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT pair, COUNT(*) AS n,
+         row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS rk
+  FROM pairs GROUP BY pair
+)
+WHERE rk <= {_BPE_TOPN}
+"""
+
+
+@register("bpe_merge_stats", _BPE_ORACLE)
+def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training's inner loop, distributed: corpus-weighted
+    adjacent-character-pair frequencies (the statistic BPE maximizes;
+    rank 1 IS the first merge).  Pairs are built in-row with one
+    transform over character offsets — a single explode, one
+    pair-keyed count (map-side combined; the alphabet bounds the key
+    space), and a rank over the tiny pair table.  Iterating merges =
+    re-running this over the re-segmented corpus; each round is the
+    same single-shuffle plan."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(F.explode(F.split("text", " ")).alias("wd"))
+        .filter(F.length("wd") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(wd) - 1),"
+                    " i -> substr(wd, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("pair")))
+    return (
+        counts.withColumn("rk", rk.cast("int"))
+        .filter(F.col("rk") <= _BPE_TOPN)
+        .select("pair", "n", "rk")
+    )
