@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 2): 173 registered queries, 168 with oracles.  The five
+State (round 2): 175 registered queries, 170 with oracles.  The five
 rows-only entries are approximate/float/streaming by design:
 ``agg_approx`` (HLL/quantile sketches), ``multimodal_features``
 (mapInPandas byte-stub decode), ``similarity_topk_fast`` (numpy

@@ -14,7 +14,7 @@ the last ulp).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
@@ -345,4 +345,70 @@ def composite_agg_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.filter(after)
         .orderBy("event_type", "day")
         .limit(_PAGE_SIZE)
+    )
+
+
+# --------------------------------------------------------------------------
+# rfm_segmentation  (recency/frequency/monetary quartile bands)
+# --------------------------------------------------------------------------
+
+_RFM_ASOF = "1998-08-01 00:00:00"
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+    date_diff('day', CAST(max(o_orderdate) AS DATE),
+              CAST(TIMESTAMP '{_RFM_ASOF}' AS DATE)) AS recency_days,
+    COUNT(*) AS frequency,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+      AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(custkey AS BIGINT) AS custkey,
+  CAST(recency_days AS INTEGER) AS recency_days,
+  CAST(frequency AS BIGINT) AS frequency,
+  monetary,
+  CAST(ntile(4) OVER (ORDER BY recency_days ASC, custkey) AS INTEGER) AS r_band,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INTEGER) AS f_band,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INTEGER) AS m_band
+FROM per_cust
+"""
+
+
+@register("rfm_segmentation", _RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (days before the
+    as-of date), order frequency and exact monetary total, each cut into
+    quartile bands (ntile with a deterministic custkey tie-break).  One
+    customer-keyed aggregation; the three ntile windows run over the
+    small per-customer table, not raw orders."""
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_ASOF).cast("timestamp").cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice", scale=2).alias("monetary"),
+    )
+    return per_cust.select(
+        "custkey",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
+        .cast("int")
+        .alias("r_band"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .cast("int")
+        .alias("f_band"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .cast("int")
+        .alias("m_band"),
     )

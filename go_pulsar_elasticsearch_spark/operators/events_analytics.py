@@ -913,3 +913,33 @@ def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_ms").alias("max_late_ms"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# activity_heatmap  (day-of-week x hour grid — the dashboard heatmap feed)
+# --------------------------------------------------------------------------
+
+_HEATMAP_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+       CAST(hour(ts) AS INTEGER) AS hod,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("activity_heatmap", _HEATMAP_ORACLE)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap feed: events bucketed on the (day-of-week, hour)
+    grid with volume and unique-user counts — at most 168 output rows
+    from any input size, one map-combined shuffle.  Spark's dayofweek
+    (1=Sunday) matches DuckDB's dayofweek+1, spelled below."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
