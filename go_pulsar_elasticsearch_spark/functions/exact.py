@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 def dsum(
     col: Column | str, scale: int = 2, precision: int = 18,
-    out_scale: int | None = None,
+    out_scale: int | None = None, wide: bool = False,
 ) -> Column:
     """Order-independent SUM(double) -> double via exact scaled-integer
     addition.
@@ -54,12 +54,23 @@ def dsum(
     explicit half-away-from-zero integer arithmetic (one value per group,
     matching ROUND on a decimal in both engines), and the closing
     ``/ 10^out_scale`` double division is correctly rounded because the
-    rounded unscaled value stays < 2^53 (same bound as before)."""
+    rounded unscaled value stays < 2^53 (same bound as before).
+
+    The long fast path is gated by *magnitude*, not scale alone: the
+    caller must guarantee |SUM| * 10^scale < 2^62.  For high-magnitude
+    expressions (sums of squares, large moments) pass ``wide=True`` to
+    keep the widened-decimal accumulator — e.g. SUM(price^2) at sf0.1
+    is 2.2e15, whose 10^4-scaled total 2.2e19 already exceeds 2^63 and
+    would silently wrap on the long path."""
     c = F.col(col) if isinstance(col, str) else col
     if out_scale is None:
         out_scale = min(scale, 2)
+    # mirror SUMD: out_scale > scale means "no rounding", never a
+    # finer-than-stored scale (the long path below divides by
+    # 10^out_scale, so an unclamped out_scale would shift the result)
+    out_scale = min(out_scale, scale)
     dec = c.cast(f"decimal({precision},{scale})")
-    if scale > 4:
+    if wide or scale > 4:
         # high scales exhaust the 2^63 scaled-long headroom too early
         # (scale 8 overflows near ~2e7 rows of 1e5-magnitude values —
         # observed at a 30x fixture replication), so they keep the

@@ -263,7 +263,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         dsum(price).alias("s1"),
-        dsum(price * price, 4, 18, 0).alias("s2"),
+        # wide=True: SUM(price^2)*10^4 is ~2.2e19 at sf0.1 — past the
+        # long fast path's 2^63 ceiling — so keep the decimal accumulator
+        dsum(price * price, 4, 18, 0, wide=True).alias("s2"),
         dsum(qty, 1).alias("q1"),
         dsum(qty * qty, 1, 18).alias("q2"),
         dsum(price * qty, 2, 18).alias("pq"),

@@ -147,3 +147,34 @@ def test_rolling_p90_bounds(spark, sf_dir):
         (F.col("p90") < F.col("lo")) | (F.col("p90") > F.col("hi"))
     ).count()
     assert bad == 0
+
+
+def test_dsum_wide_survives_long_overflow_magnitude(spark):
+    """Regression: the scaled-long fast path wraps when |SUM|*10^scale
+    exceeds 2^63 (SUM(price^2) at sf0.1 is 2.2e19 scaled).  wide=True
+    must route to the decimal accumulator and return the exact total."""
+    from decimal import Decimal
+
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    # 2000 rows of 1e15-magnitude values: scaled total 2e19 > 2^63
+    v = 1.0e15
+    df = spark.createDataFrame([(v,) for _ in range(2000)], "x double").repartition(5)
+    expect = float(sum([Decimal(v).quantize(Decimal("0.0001"))] * 2000))
+    got = df.agg(dsum("x", 4, 38, 0, wide=True).alias("s")).collect()[0]["s"]
+    assert got == expect
+    # and the long path at sane magnitudes still agrees with wide
+    df2 = spark.createDataFrame([(float(i) / 7,) for i in range(500)], "x double")
+    a = df2.agg(dsum("x", 4, 18, 2).alias("s")).collect()[0]["s"]
+    b = df2.agg(dsum("x", 4, 18, 2, wide=True).alias("s")).collect()[0]["s"]
+    assert a == b
+
+
+def test_dsum_out_scale_clamped_to_scale(spark):
+    """Regression: out_scale > scale must behave as "no extra rounding"
+    (SUMD semantics), not shift the long-path result by 10^(out-scale)."""
+    from go_pulsar_elasticsearch_spark.functions.exact import dsum
+
+    df = spark.createDataFrame([(1.25,), (2.25,)], "x double")
+    got = df.agg(dsum("x", 2, 18, 6).alias("s")).collect()[0]["s"]
+    assert got == 3.5
