@@ -16,9 +16,19 @@ Per micro-batch:
 Scale posture: the store holds 8 rows x 32-byte sig per KEPT doc (tiny
 vs the corpus); both joins are equi on (band, sig); the store read is
 partition-pruned by band if the store is written partitioned.  Exactly
-the shape a 1000-executor curation stream runs — checkpointing makes
-the foreachBatch replays idempotent because dedup decisions are
-deterministic functions of (store, batch).
+the shape a 1000-executor curation stream runs.
+
+Replay safety: both sinks are keyed by ``epoch=<batch_id>`` directories
+written with overwrite, and the store read sees only epochs STRICTLY
+BELOW the current one — so a checkpoint replay of a half-committed
+batch (a) never matches a doc against its own partially-written
+signatures and (b) rewrites exactly the same two directories, making
+dedup decisions a deterministic function of (prior epochs, batch).
+
+Pair semantics: the >= `min_bands` threshold applies per (probe,
+partner) PAIR — standard LSH — not to bands pooled across all
+partners, so a doc sharing 2 bands with one stored doc and 2 different
+bands with another is NOT suppressed.
 """
 
 from __future__ import annotations
@@ -37,7 +47,7 @@ def _store(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     except AnalysisException:
         return spark.createDataFrame(
-            [], "doc_id long, band int, sig string"
+            [], "doc_id long, band int, sig string, epoch long"
         )
 
 
@@ -47,17 +57,23 @@ def dedup_batch(
     store_path: str,
     out_path: str,
     min_bands: int = _MIN_BANDS,
+    epoch_id: int = 0,
 ) -> None:
     """foreachBatch body: suppress docs near-duplicating the store or a
-    lower-id batch mate; append survivors (rows + signatures)."""
+    lower-id batch mate; write survivors (rows + signatures) under
+    epoch-keyed directories (idempotent under checkpoint replay)."""
     sigs = minhash_band_sigs(batch_df).persist()
-    store = _store(spark, store_path)
+    # strictly-prior epochs only: a replayed batch must not see its own
+    # (possibly partial) writes from the failed attempt
+    store = _store(spark, store_path).filter(F.col("epoch") < F.lit(epoch_id))
+    p, s = sigs.alias("p"), store.alias("s")
     vs_store = (
-        sigs.join(store.select("band", "sig"), ["band", "sig"])
-        .groupBy("doc_id")
+        p.join(s, ["band", "sig"])
+        .groupBy(F.col("p.doc_id").alias("doc_id"), F.col("s.doc_id").alias("partner"))
         .agg(F.countDistinct("band").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
         .select("doc_id")
+        .distinct()
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     vs_batch = (
@@ -67,17 +83,20 @@ def dedup_batch(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") > F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner"))
         .agg(F.countDistinct("a.band").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
         .select("doc_id")
+        .distinct()
     )
     dupes = vs_store.union(vs_batch).distinct()
     survivors = batch_df.join(dupes, "doc_id", "left_anti")
-    sigs.join(dupes, "doc_id", "left_anti").write.mode("append").parquet(
-        store_path
+    # overwrite of the epoch dir, not append to the root: replaying the
+    # same epoch rewrites the same files instead of duplicating them
+    sigs.join(dupes, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        f"{store_path}/epoch={epoch_id}"
     )
-    survivors.write.mode("append").parquet(out_path)
+    survivors.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
     sigs.unpersist()
 
 
@@ -89,7 +108,8 @@ def run_incremental_near_dedup(
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         dedup_batch(
-            batch_df.sparkSession, batch_df, store_path, out_path
+            batch_df.sparkSession, batch_df, store_path, out_path,
+            epoch_id=epoch_id,
         )
 
     return (

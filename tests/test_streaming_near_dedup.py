@@ -92,3 +92,37 @@ def test_replay_with_same_checkpoint_adds_nothing(spark, tmp_path):
     q2.awaitTermination()
     n2 = spark.read.parquet(str(tmp_path / "out")).count()
     assert n1 == n2 == 2
+
+
+def test_partial_failure_replay_is_idempotent(spark, tmp_path):
+    """Simulate the crash window: epoch 0 runs fully, then is REPLAYED
+    (same epoch_id) as after a failure between the store and output
+    writes.  The replay must not match docs against their own epoch-0
+    signatures, and must leave output/store exactly as a single run."""
+    from go_pulsar_elasticsearch_spark.streaming.near_dedup import dedup_batch
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, UNIQUE)], "doc_id long, text string"
+    )
+    dedup_batch(spark, batch, store, out, epoch_id=0)
+    kept1 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept1 == [1, 2]
+    # replay the same epoch: store already holds epoch-0 sigs
+    dedup_batch(spark, batch, store, out, epoch_id=0)
+    kept2 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept2 == [1, 2]  # nothing lost, nothing duplicated
+    n_sigs = spark.read.parquet(store).count()
+    dedup_batch(spark, batch, store, out, epoch_id=0)
+    assert spark.read.parquet(store).count() == n_sigs  # store stable too
+    # and a LATER epoch still dedupes against epoch 0 through the store
+    batch2 = spark.createDataFrame([(9, NEAR)], "doc_id long, text string")
+    dedup_batch(spark, batch2, store, out, epoch_id=1)
+    kept3 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert kept3 == [1, 2]  # 9 near-dups doc 1 -> suppressed
