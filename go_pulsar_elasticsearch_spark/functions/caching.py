@@ -1,0 +1,45 @@
+"""Bounded DataFrame caching for shared builder frames.
+
+Several operators persist an intermediate frame that multiple branches
+of the SAME query consume (MinHash band signatures, shingle posting
+lists, tf-idf weights).  A bare ``df.persist()`` at the builder leaks:
+registry queries hand their DataFrames to the driver, so no consumer
+can pair an ``unpersist()`` with materialization, and every invocation
+strands another cached frame for the session lifetime (observed across
+the 175-query correctness sweep).
+
+``cache_slot(key, df)`` keeps AT MOST ONE live cached frame per key:
+the next invocation under the same key unpersists the previous
+occupant before persisting the new frame.  Unpersisting a frame a
+still-referenced plan uses is safe — Spark just recomputes it — so the
+slot turnover can never corrupt an earlier query, only uncache it.
+Frames persist MEMORY_AND_DISK so an oversized frame spills instead of
+evicting executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_slots: dict[str, DataFrame] = {}
+
+
+def cache_slot(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df`` under ``key``, evicting the key's previous frame."""
+    old = _slots.pop(key, None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down / frame already gone
+    _slots[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return _slots[key]
+
+
+def release_slot(key: str) -> None:
+    """Explicitly unpersist and drop a slot (streaming callers that can
+    pair persist/unpersist per micro-batch)."""
+    old = _slots.pop(key, None)
+    if old is not None:
+        old.unpersist(blocking=False)

@@ -22,9 +22,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE, _MARKERS, _STOPWORDS_RE
 from go_pulsar_elasticsearch_spark.registry import register
@@ -124,17 +124,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is scanned three times.  MEMORY_AND_DISK spills instead of OOMing
     # at scale — and a curated snapshot is exactly what a production
     # corpus build materializes at this point anyway.
-    kept = (
+    kept = cache_slot(
+        "curation_kept",
         gated.withColumn("_rk", F.row_number().over(hash_w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("_rk"),
     )
 
     # 4. near-dup removal (MinHash bands, drop higher doc_id at >= 6/8)
     # sigs is 8 small rows per doc but costs a shingle-explode + md5 +
-    # groupBy to build — persist so the self-join's two sides share it.
-    sigs = minhash_band_sigs(kept).persist(StorageLevel.MEMORY_AND_DISK)
+    # groupBy to build; the builder slot-caches it so the self-join's
+    # two sides share one materialization.
+    sigs = minhash_band_sigs(kept)
     a, b = sigs.alias("a"), sigs.alias("b")
     near_drop = (
         a.join(

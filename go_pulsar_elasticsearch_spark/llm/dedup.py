@@ -16,10 +16,15 @@ no rows-only cop-out.
 - minhash: the band-bucket join IS the LSH trick — candidate pairs are
   generated per (band, signature) bucket, never all-pairs.  Shuffle keys
   are (band, sig): high cardinality, well spread.
-- simhash: the only all-pairs step is over 32-bit signatures (4 bytes/doc,
-  not the documents); at real scale replace the cross join with a
-  bit-sliced prefix bucket (split 32 bits into 4 bands of 8; Hamming<=6
-  pairs must agree exactly on >=1 band — same band-join shape as minhash).
+- simhash: candidate pairs come from a nibble-band equi-join (8 bands of
+  4 bits; by pigeonhole, <=6 differing bits leave >=2 bands identical,
+  so requiring >=2 band agreements loses no pair within the radius) —
+  no broadcast-nested-loop and no broadcast-size ceiling.  NOTE the
+  4x8-bit split would be WRONG for radius 6 (6 diffs can land 2+2+1+1
+  across 4 bands, leaving none clean); guaranteed banding needs
+  bands > radius.  near_dedup_simhash_banded is the production-grade
+  variant: 60-bit fingerprints, radius 3, 4x15-bit bands (32k bucket
+  values — selective enough that candidates track true near-dups).
 - jaccard: pair generation is via the inverted gram index (join on gram),
   already sublinear for non-overlapping docs.
 """
@@ -30,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -96,19 +102,51 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
             ).alias("shingle"),
         )
     )
+    # every consumer self-joins or multi-references this frame; caching
+    # it (8 short rows per doc — MBs at bench scale, spill-backed) halves
+    # the shingle scan+agg work, which dominates the operators' cost.
+    # cache_slot bounds the footprint to ONE live sig frame per session
+    # (a bare .persist() here leaked one frame per invocation).
+    return cache_slot("minhash_band_sigs", _sigs_from_shingles(shingles, n_bands))
+
+
+def _sigs_from_shingles(shingles: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """(doc_id, shingle) -> (doc_id, band, sig).  MIN is duplicate-
+    insensitive, so distinct and non-distinct shingle frames yield the
+    same signatures — callers with a cached DISTINCT shingle frame
+    (minhash_recall_eval) reuse it here instead of re-scanning docs."""
     band_mins = [
         F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
         for b in range(n_bands)
     ]
     wide = shingles.groupBy("doc_id").agg(*band_mins)
     stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
-    sigs = wide.select(
+    return wide.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
     )
-    # every consumer self-joins or multi-references this frame; caching
-    # it (8 short rows per doc — MBs at bench scale, spill-backed) halves
-    # the shingle scan+agg work, which dominates the operators' cost
-    return sigs.persist()
+
+
+def shingle_frame(docs: DataFrame) -> DataFrame:
+    """DISTINCT word-3-gram shingles (doc_id, shingle) — the shared
+    posting-list builder for exact-Jaccard verification.  Slot-cached:
+    verify/recall consume it from three+ branches (sizes, both join
+    sides), and without the cache each branch re-explodes the corpus."""
+    w = F.split("text", " ")
+    shingles = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', element_at(w, i),"
+                    " element_at(w, i + 1), element_at(w, i + 2))))"
+                )
+            ).alias("shingle"),
+        )
+    )
+    return cache_slot("shingle_frame", shingles)
 
 _MINHASH_ORACLE = f"""
 WITH shingles AS (
@@ -201,9 +239,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 @register("near_dedup_simhash", _SIMHASH_ORACLE)
 def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signed-sum signature over distinct words,
-    pairs within Hamming distance 6.  The pair scan is over 8-byte
-    signatures only (see module docstring for the banded variant used at
-    scale instead of the cross join)."""
+    pairs within Hamming distance 6.
+
+    Candidates come from an equi-join on (band, nibble): each signature
+    splits into 8 bands of 4 bits, and any pair within Hamming 6 agrees
+    exactly on >= 2 bands (pigeonhole: 6 differing bits touch at most 6
+    of the 8 bands), so the >= 2-band agreement filter is lossless.  The
+    final Hamming <= 6 predicate then makes the band pre-filter purely a
+    pruning step — output identical to the all-pairs formulation, but as
+    a shuffled equi-join (no broadcast-nested-loop, no broadcast-size
+    ceiling, partitionable by (band, val) across executors)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     # hash each distinct word ONCE; all 32 bit-sums are conditional
@@ -238,18 +283,152 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint")
         )
         simhash = term if simhash is None else simhash + term
-    hashes = sums.select("doc_id", simhash.alias("simhash"))
-    a, b = hashes.alias("a"), hashes.alias("b")
-    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    hashes = cache_slot("simhash_hashes", sums.select("doc_id", simhash.alias("simhash")))
+    bands = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), b -> named_struct("
+                "'band', b, 'val', CAST(shiftright(simhash, b * 4) & 15 AS INT)))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= 2)  # lossless within radius 6 (pigeonhole)
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 6)
+
+
+# --------------------------------------------------------------------------
+# near_dedup_simhash_banded  (the production design: 60-bit fingerprint,
+# radius 3, 4 bands of 15 bits — Manku/Jarvelin-style banding where the
+# bucket space is big enough that candidates track true near-dups)
+# --------------------------------------------------------------------------
+
+_SIM64_BITS = 60
+_SIM64_RADIUS = 3
+
+_SIMHASH64_ORACLE = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), bits AS (
+  SELECT doc_id, w, i,
+         ((strpos('0123456789abcdef',
+                  substr(md5(w), CAST(i // 4 AS INTEGER) + 1, 1)) - 1)
+          // CAST(pow(2, i % 4) AS INTEGER)) % 2 AS bit
+  FROM (SELECT doc_id, w, unnest(range(0, {_SIM64_BITS})) AS i FROM words)
+), sums AS (
+  SELECT doc_id, i, SUM(2 * bit - 1) AS s
+  FROM bits GROUP BY doc_id, i
+), hashes AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM64_RADIUS}
+"""
+
+
+@register("near_dedup_simhash_banded", _SIMHASH64_ORACLE)
+def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash at its production operating point: 60-bit fingerprints,
+    Hamming radius 3, candidates from a 4x15-bit band equi-join.  With
+    radius < band count, any pair inside the radius agrees EXACTLY on
+    >= 1 band (pigeonhole), so the band join is lossless — and 2^15
+    bucket values per band mean random non-dup pairs almost never
+    collide, unlike the 32-bit demo op whose 16-value nibble buckets
+    stay a coarse pre-filter.  This is the shape to run at 100 TB:
+    4 shuffle rows per doc, equi-join keys (band, 15-bit value),
+    candidate volume ~ true-near-dup volume.  (The DuckDB oracle
+    verifies via all-pairs — correctness twin, not the scale plan.)"""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("array_distinct(filter(split(text, ' '), x -> x != ''))")
+            ).alias("w"),
+        )
+        .select("doc_id", F.md5(F.col("w")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.expr(
+                f"((instr('0123456789abcdef', substring(h, {i // 4 + 1}, 1)) - 1)"
+                f" DIV {1 << (i % 4)}) % 2"
+            )
+            * 2
+            - 1
+        ).alias(f"s{i}")
+        for i in range(_SIM64_BITS)
+    ]
+    sums = words.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(_SIM64_BITS):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = term if simhash is None else simhash + term
+    hashes = cache_slot(
+        "simhash64_hashes", sums.select("doc_id", simhash.alias("simhash"))
+    )
+    bands = hashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> named_struct("
+                "'band', b, 'val', CAST(shiftright(simhash, b * 15) & 32767 AS INT)))"
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
         )
-        .filter(F.col("hamming") <= 6)
+        .distinct()
     )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= _SIM64_RADIUS)
 
 
 # --------------------------------------------------------------------------
@@ -289,21 +468,9 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n^2 — the standard exact-verify stage after MinHash candidates."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    grams = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2))))"
-                )
-            ).alias("gram"),
-        )
-    )
+    # the slot-cached distinct-shingle frame feeds all three consumers
+    # (sizes + both inverted-index join sides) from one corpus explode
+    grams = shingle_frame(docs).withColumnRenamed("shingle", "gram")
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga, gb = grams.alias("ga"), grams.alias("gb")
     inter = (
@@ -582,13 +749,45 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape end-to-end: LSH band buckets generate
     candidate pairs (near_dedup_minhash's join), then EXACT word-3-gram
     Jaccard is computed only for candidates — the expensive verification
-    never touches non-candidate pairs.  At 100 TB the verify join's
-    left side is the candidate list (tiny vs all-pairs), and the shingle
-    posting lists join on (doc_id, shingle) — both sides partition on
-    doc_id."""
+    never touches non-candidate pairs.
+
+    Duplicate-heavy safety: exact duplicates are COLLAPSED first (sha256
+    groups, lowest doc_id as representative), the LSH+verify stages run
+    on unique texts only, and member pairs are re-expanded at the end
+    (cross-group pairs inherit the representatives' Jaccard, same-group
+    pairs are exactly 1.0).  Without this, a corpus with c copies per
+    doc pays c^2 identical shingle-list verifications per LSH bucket —
+    measured 18.6x superlinear at a 10x exact-copy replication — which
+    is precisely the profile of a 100 TB crawl.  The expansion joins
+    are proportional to the (inherently quadratic-in-copies) OUTPUT,
+    never to the verification work.
+
+    At 100 TB the verify join's left side is the candidate list (tiny
+    vs all-pairs), and the shingle posting lists join on
+    (doc_id, shingle) — both sides partition on doc_id."""
+    from pyspark.sql import Window
+
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_band_sigs(docs)
+    # docs with <3 words have no shingles -> no sigs -> never pair up;
+    # exclude them BEFORE grouping so the 1.0-expansion can't invent
+    # pairs the shingle path would never emit
+    w = F.split("text", " ")
+    eligible = docs.filter(F.size(w) >= 3).select(
+        "doc_id", "text", F.sha2("text", 256).alias("h")
+    )
+    marked = cache_slot(
+        "verify_groups",
+        eligible.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy("h"))
+        ),
+    )
+    members = marked.select("doc_id", "rep")
+    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
+    )
+    shingles = shingle_frame(rep_docs)
+    sigs = _sigs_from_shingles(shingles)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -599,21 +798,6 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
-    w = F.split("text", " ")
-    shingles = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2))))"
-                )
-            ).alias("shingle"),
-        )
     )
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -627,12 +811,40 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
+    verified = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _VERIFY_TAU)
     )
+    # re-expand: every member pair across two verified groups scores the
+    # representatives' jaccard (identical texts => identical shingle
+    # sets); every within-group pair is an exact duplicate => 1.0
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("ib"))
+    cross = (
+        verified.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
@@ -692,24 +904,37 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop (bands/rows vs recall) runs on measured numbers, not vibes.
     Truth generation joins the shingle posting list (only gram-sharing
     pairs score); at corpus scale this eval runs on a sampled stratum,
-    same plan."""
+    same plan.
+
+    Frame reuse: the DISTINCT shingle frame is built ONCE (slot-cached
+    shingle_frame) and feeds truth sizes, both posting-list join sides,
+    AND the band signatures (via _sigs_from_shingles — MIN is
+    duplicate-insensitive so distinct shingles give identical sigs);
+    previously each consumer re-exploded the corpus (12 exchanges).
+
+    Duplicate-heavy safety: like minhash_verify_jaccard, exact
+    duplicates collapse to one representative before ANY pair
+    generation; because the output is four COUNTERS, the re-expansion
+    is pure arithmetic — a rep-pair (A, B) contributes |A|*|B| pairs
+    and a group A contributes C(|A|, 2) within-group pairs (Jaccard
+    exactly 1.0 >= tau, and identical sigs always collide), so truth /
+    candidate / hit counts are exact with NO quadratic materialization
+    on copy-heavy corpora."""
+    from pyspark.sql import Window
+
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    shingles = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2))))"
-                )
-            ).alias("shingle"),
-        )
+    w0 = F.split("text", " ")
+    eligible = docs.filter(F.size(w0) >= 3).select(
+        "doc_id", "text", F.sha2("text", 256).alias("h")
     )
+    marked = cache_slot(
+        "recall_groups",
+        eligible.withColumn("rep", F.min("doc_id").over(Window.partitionBy("h"))),
+    )
+    counts = marked.groupBy("rep").agg(F.count("*").alias("cnt"))
+    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    shingles = shingle_frame(rep_docs)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -727,7 +952,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _EVAL_TAU)
         .select("doc_a", "doc_b")
     )
-    sigs = minhash_band_sigs(docs)
+    sigs = _sigs_from_shingles(shingles)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -739,15 +964,38 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    hit = truth.join(cand, ["doc_a", "doc_b"])
-    return (
-        truth.agg(F.count("*").alias("n_truth"))
-        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
-        .select(
-            "n_truth",
-            "n_candidates",
-            "n_hit",
-            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
-        )
+    # arithmetic re-expansion: weight each rep-pair by |A|*|B|, and add
+    # the within-group pair count (always truth AND candidate AND hit).
+    # ONE full-outer pass classifies every rep-pair as truth/candidate/
+    # both, so truth and cand lineages each execute exactly once.
+    ca = counts.select(F.col("rep").alias("doc_a"), F.col("cnt").alias("cnt_a"))
+    cb = counts.select(F.col("rep").alias("doc_b"), F.col("cnt").alias("cnt_b"))
+    pairs = (
+        truth.withColumn("is_t", F.lit(1))
+        .join(cand.withColumn("is_c", F.lit(1)), ["doc_a", "doc_b"], "full")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+    )
+    wgt = F.col("cnt_a") * F.col("cnt_b")
+    tallies = pairs.agg(
+        F.coalesce(F.sum(wgt * F.coalesce("is_t", F.lit(0))), F.lit(0)).alias("t0"),
+        F.coalesce(F.sum(wgt * F.coalesce("is_c", F.lit(0))), F.lit(0)).alias("c0"),
+        F.coalesce(
+            F.sum(wgt * F.coalesce("is_t", F.lit(0)) * F.coalesce("is_c", F.lit(0))),
+            F.lit(0),
+        ).alias("h0"),
+    )
+    within = counts.agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2), F.lit(0)
+        ).cast("long").alias("n_within")
+    )
+    return tallies.crossJoin(within).select(
+        (F.col("t0") + F.col("n_within")).alias("n_truth"),
+        (F.col("c0") + F.col("n_within")).alias("n_candidates"),
+        (F.col("h0") + F.col("n_within")).alias("n_hit"),
+        (
+            (F.col("h0") + F.col("n_within")).cast("double")
+            / (F.col("t0") + F.col("n_within"))
+        ).alias("recall"),
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -389,8 +390,15 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.log(F.col("n_docs").cast("double") / F.col("df")),
         6,
     ).cast("decimal(18,6)")
-    w = tf.join(dfq, "term").crossJoin(F.broadcast(n)).select(
-        "doc_id", "term", wgt.alias("wgt")
+    # the weight frame feeds FOUR consumers (norms, query side,
+    # candidate side, join-back); slot-cache it so the tokenize ->
+    # tf -> df -> idf pipeline runs once instead of per consumer
+    # (was 20 shuffle exchanges in the uncached plan)
+    w = cache_slot(
+        "tfidf_weights",
+        tf.join(dfq, "term").crossJoin(F.broadcast(n)).select(
+            "doc_id", "term", wgt.alias("wgt")
+        ),
     )
     wd = F.col("wgt").cast("double")
     prod = (wd * wd).cast("decimal(18,12)")

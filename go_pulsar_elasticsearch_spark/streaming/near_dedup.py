@@ -62,7 +62,7 @@ def dedup_batch(
     """foreachBatch body: suppress docs near-duplicating the store or a
     lower-id batch mate; write survivors (rows + signatures) under
     epoch-keyed directories (idempotent under checkpoint replay)."""
-    sigs = minhash_band_sigs(batch_df).persist()
+    sigs = minhash_band_sigs(batch_df)  # slot-cached by the builder
     # strictly-prior epochs only: a replayed batch must not see its own
     # (possibly partial) writes from the failed attempt
     store = _store(spark, store_path).filter(F.col("epoch") < F.lit(epoch_id))
