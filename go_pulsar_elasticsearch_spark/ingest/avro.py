@@ -4,9 +4,20 @@ The reference decodes Pulsar Avro payloads against the IngestionData
 schema (schema/pulsar/avro/index_topic.avro).  Spark's equivalent is
 ``from_avro(value, schema_json)`` from the spark-avro module — an
 external datasource package that is NOT bundled in this container's
-pyspark, so the adapter gates cleanly and the streaming tests exercise
-the identical downstream pipeline through the JSON decode stand-in
-(streaming/stream.py:decode_json_payload).
+pyspark.  The adapter therefore has two real paths:
+
+  1. ``from_avro`` when the spark-avro jar is loaded — the JVM fast
+     path, preferred unconditionally;
+  2. an Arrow-batched ``mapInPandas`` decoder over the pure-spec
+     binary codec (ingest/avro_codec.py) — REAL Avro bytes decoded in
+     Python batches.  Per-row Python work, but it runs only on the
+     ingest edge (decode-once), the same posture as the multimodal
+     binary decoders, and it keeps identical PERMISSIVE semantics:
+     undecodable rows yield a null struct and flow to the DLQ split
+     (matching the reference's error branch, main.go:131-143).
+
+Both paths produce the same output schema, so the downstream pipeline
+(derive -> upsert -> dated sink) is path-agnostic.
 """
 
 from __future__ import annotations
@@ -15,6 +26,9 @@ import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.ingest import avro_codec
+from go_pulsar_elasticsearch_spark.registry import register
 
 # IngestionData, transcribed from the reference's Avro schema
 # (/root/reference/schema/pulsar/avro/index_topic.avro:1-52).
@@ -71,30 +85,156 @@ def avro_available(spark=None) -> bool:
         return False
 
 
+_PARSED_FIELDS = ("identifier", "name", "uuid", "type", "ingestion_time", "tags")
+_DECODED_SCHEMA = (
+    "raw_value binary, identifier string, name string, uuid string, "
+    "type string, ingestion_time long, "
+    "tags array<struct<type: string, value: string>>"
+)
+
+
 def decode_avro_payload(raw: DataFrame, value_col: str = "value",
                         schema_json: str = INGESTION_AVRO_SCHEMA) -> DataFrame:
     """R3: binary Avro -> typed columns, PERMISSIVE (undecodable rows get
     a null struct and flow to the DLQ split, matching main.go:131-143).
 
-    Raises RuntimeError with remediation when spark-avro isn't loaded."""
-    try:
+    Prefers the spark-avro JVM path; falls back to the pure-spec
+    Python codec behind mapInPandas when the jar is absent.  Output
+    schema and null semantics are identical on both paths."""
+    if avro_available(raw.sparkSession if hasattr(raw, "sparkSession") else None):
         from pyspark.sql.avro.functions import from_avro
 
         parsed = raw.withColumn(
             "parsed",
             from_avro(F.col(value_col), schema_json, {"mode": "PERMISSIVE"}),
+        ).withColumn(
+            "parsed",
+            F.when(F.col("parsed.uuid").isNotNull(), F.col("parsed")),
         )
-        parsed.schema  # force analysis so a missing datasource fails HERE
-    except Exception as exc:
-        raise RuntimeError(
-            "spark-avro module not available; start the session with "
-            "--packages org.apache.spark:spark-avro_2.13:<spark-version> "
-            "(local tests use the JSON decode stand-in, which exercises "
-            "the same downstream pipeline)"
-        ) from exc
-    parsed = parsed.withColumn(
-        "parsed", F.when(F.col("parsed.uuid").isNotNull(), F.col("parsed"))
-    )
-    return parsed.select(
-        F.col(value_col).alias("raw_value"), "parsed", "parsed.*"
+        return parsed.select(
+            F.col(value_col).alias("raw_value"), "parsed", "parsed.*"
+        )
+    return _decode_avro_pandas(raw, value_col, schema_json)
+
+
+def _decode_avro_pandas(raw: DataFrame, value_col: str,
+                        schema_json: str) -> DataFrame:
+    """Arrow-batched decode of real Avro binary via the pure-spec codec.
+    STRICT per datum: trailing bytes after a decoded record, truncated
+    varints, or bad union indices null the row (-> DLQ)."""
+    import io
+
+    schema = avro_codec.parse_schema(schema_json)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for val in pdf[value_col]:
+                rec = None
+                if val is not None:
+                    try:
+                        buf = io.BytesIO(bytes(val))
+                        cand = avro_codec.decode(schema, buf)
+                        if buf.read(1) == b"":  # no trailing garbage
+                            rec = cand
+                    except Exception:
+                        rec = None
+                if rec is None:
+                    rows.append((bytes(val) if val is not None else None,
+                                 None, None, None, None, None, None))
+                else:
+                    rows.append((
+                        bytes(val),
+                        rec["identifier"], rec["name"], rec["uuid"],
+                        rec["type"], rec["ingestion_time"],
+                        [{"type": t["type"], "value": t["value"]}
+                         for t in rec["tags"]]
+                        if rec["tags"] is not None else None,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["raw_value", *_PARSED_FIELDS],
+            )
+
+    decoded = raw.select(F.col(value_col)).mapInPandas(batches, _DECODED_SCHEMA)
+    parsed = F.when(
+        F.col("uuid").isNotNull(), F.struct(*_PARSED_FIELDS)
+    ).alias("parsed")
+    return decoded.select("raw_value", parsed, *_PARSED_FIELDS)
+
+
+# --------------------------------------------------------------------------
+# decode_avro — certified end-to-end: events rows are mapped onto the
+# reference's IngestionData shape, ENCODED to real Avro binary, decoded
+# back through decode_avro_payload, and the decoded values are verified
+# against a plain-SQL oracle computing the same derivation directly.
+# A broken codec or decoder cannot hash-match: every output value has
+# passed through the Avro bytes.
+# --------------------------------------------------------------------------
+
+_DECODE_AVRO_ORACLE = """
+SELECT
+  CAST(event_id AS VARCHAR) AS identifier,
+  event_type AS name,
+  CAST(user_id AS VARCHAR) AS uuid,
+  event_type AS type,
+  event_id AS ingestion_time,
+  CASE WHEN event_id % 3 = 0 THEN NULL ELSE 2 END AS n_tags,
+  CASE WHEN event_id % 3 = 0 THEN NULL
+       ELSE CAST(user_id AS VARCHAR) END AS tag0_value
+FROM events
+"""
+
+
+@register("decode_avro", _DECODE_AVRO_ORACLE)
+def decode_avro_q(spark, sf_dir: str) -> DataFrame:
+    """R3 certification: events -> IngestionData records -> Avro binary
+    (pure-spec encoder) -> decode_avro_payload -> typed columns, hash-
+    checked against SQL computing the same values without Avro.  Rows
+    with event_id % 3 == 0 take the null-union tags branch; the rest
+    carry a 2-element Tag array — both spec branches exercised on every
+    run."""
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.session import tune
+
+    tune(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    schema = avro_codec.parse_schema(INGESTION_AVRO_SCHEMA)
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = []
+            for eid, uid, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                rec = {
+                    "identifier": str(eid),
+                    "name": etype,
+                    "uuid": str(uid),
+                    "type": etype,
+                    "ingestion_time": int(eid),
+                    "tags": None
+                    if eid % 3 == 0
+                    else [
+                        {"type": "u", "value": str(uid)},
+                        {"type": "t", "value": etype},
+                    ],
+                }
+                vals.append(avro_codec.encode(schema, rec))
+            yield pd.DataFrame({"value": vals})
+
+    payloads = ev.mapInPandas(enc, "value binary")
+    decoded = decode_avro_payload(payloads)
+    return decoded.select(
+        "identifier",
+        "name",
+        "uuid",
+        "type",
+        "ingestion_time",
+        F.size("tags").alias("n_tags"),  # null-safe: size(NULL) is NULL
+        F.element_at("tags", 1)["value"].alias("tag0_value"),
     )

@@ -221,21 +221,78 @@ def test_metrics_listener_health(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
-def test_avro_adapter_gates_cleanly(spark):
-    """R3: without spark-avro on the classpath the adapter must raise a
-    clear remediation error, not an opaque analysis failure."""
+def test_avro_decode_real_bytes_end_to_end(spark):
+    """R3 for real: IngestionData records are ENCODED to Avro binary
+    (pure-spec codec) and decoded back through decode_avro_payload —
+    values, the null-union tags branch, the populated tags branch, and
+    PERMISSIVE nulling of garbage all verified.  Runs the mapInPandas
+    path here (no spark-avro jar); the from_avro path shares the output
+    contract."""
     from go_pulsar_elasticsearch_spark.ingest.avro import (
-        avro_available,
+        INGESTION_AVRO_SCHEMA,
         decode_avro_payload,
     )
+    from go_pulsar_elasticsearch_spark.ingest.avro_codec import (
+        encode,
+        parse_schema,
+    )
 
-    df = spark.createDataFrame([(b"\x00",)], "value binary")
-    if avro_available(spark):
-        out = decode_avro_payload(df)
-        assert "parsed" in out.columns
-    else:
-        with pytest.raises(RuntimeError, match="spark-avro"):
-            decode_avro_payload(df)
+    schema = parse_schema(INGESTION_AVRO_SCHEMA)
+    recs = [
+        {
+            "identifier": "id-1", "name": "alpha", "uuid": "u-1",
+            "type": "metric", "ingestion_time": 1700000000123,
+            "tags": [{"type": "env", "value": "prod"},
+                     {"type": "dc", "value": "eu-1"}],
+        },
+        {   # null-union branch of tags
+            "identifier": "id-2", "name": "beta", "uuid": "u-2",
+            "type": "log", "ingestion_time": -5, "tags": None,
+        },
+    ]
+    rows = [(encode(schema, r),) for r in recs]
+    rows.append((b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff",))  # garbage
+    rows.append((rows[0][0] + b"trailing",))  # valid prefix + junk
+    df = spark.createDataFrame(rows, "value binary")
+    out = {r["raw_value"]: r for r in decode_avro_payload(df).collect()}
+    assert len(out) == 4
+    r1 = out[bytes(rows[0][0])]
+    assert (r1["identifier"], r1["name"], r1["uuid"], r1["type"]) == (
+        "id-1", "alpha", "u-1", "metric")
+    assert r1["ingestion_time"] == 1700000000123
+    assert [(t["type"], t["value"]) for t in r1["tags"]] == [
+        ("env", "prod"), ("dc", "eu-1")]
+    assert r1["parsed"] is not None and r1["parsed"]["uuid"] == "u-1"
+    r2 = out[bytes(rows[1][0])]
+    assert r2["uuid"] == "u-2" and r2["ingestion_time"] == -5
+    assert r2["tags"] is None and r2["parsed"] is not None
+    for bad in (bytes(rows[2][0]), bytes(rows[3][0])):
+        assert out[bad]["parsed"] is None and out[bad]["uuid"] is None
+
+
+def test_avro_codec_roundtrip_property():
+    """Codec self-consistency on the reference schema: encode -> decode
+    is identity across string/long/union/array shapes, including empty
+    arrays, empty strings, unicode, and extreme longs."""
+    from go_pulsar_elasticsearch_spark.ingest.avro import INGESTION_AVRO_SCHEMA
+    from go_pulsar_elasticsearch_spark.ingest.avro_codec import (
+        decode,
+        encode,
+        parse_schema,
+    )
+
+    schema = parse_schema(INGESTION_AVRO_SCHEMA)
+    cases = [
+        {"identifier": "", "name": "naïve — ünïcode", "uuid": "u",
+         "type": "t", "ingestion_time": 2**62, "tags": []},
+        {"identifier": "x" * 1000, "name": "n", "uuid": "u2",
+         "type": "t", "ingestion_time": -(2**62), "tags": None},
+        {"identifier": "a", "name": "b", "uuid": "c", "type": "d",
+         "ingestion_time": 0,
+         "tags": [{"type": "", "value": ""}] * 7},
+    ]
+    for rec in cases:
+        assert decode(schema, encode(schema, rec)) == rec
 
 
 def test_stateful_running_totals_across_batches(spark, tmp_path):
