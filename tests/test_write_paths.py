@@ -140,3 +140,93 @@ def test_sharded_training_export_bounds_file_sizes(spark, sf_dir, tmp_path):
     assert len(files) >= 4
     for f in files:
         assert spark.read.parquet(f).count() <= 100
+
+
+# ---------------------------------------------------------------- ES strict
+
+
+def test_strict_mapping_accepts_declared_schema(spark):
+    """Columns ⊆ mapping with matching types pass, come back in mapping
+    order, and missing fields (persist_time) are fine — ES docs are
+    sparse."""
+    from go_pulsar_elasticsearch_spark.sources.es_sink import (
+        enforce_strict_mapping,
+    )
+
+    df = spark.createDataFrame(
+        [("u-1", "m", "id1", "n1")], "uuid string, type string, "
+        "identifier string, name string"
+    ).withColumn("ingestion_time", F.current_timestamp()).withColumn(
+        "tags",
+        F.array(F.struct(F.lit("a").alias("type"), F.lit("b").alias("value"))),
+    )
+    out = enforce_strict_mapping(df)
+    assert out.columns == [
+        "type", "identifier", "name", "ingestion_time", "uuid", "tags"
+    ]
+    assert out.count() == 1
+
+
+def test_strict_mapping_rejects_unknown_and_mistyped(spark):
+    """dynamic: strict (mapping.json:11): unknown fields and type
+    conflicts fail the batch loudly, naming the offenders."""
+    import pytest
+
+    from go_pulsar_elasticsearch_spark.sources.es_sink import (
+        StrictMappingViolation,
+        enforce_strict_mapping,
+    )
+
+    unknown = spark.createDataFrame(
+        [("u", "x")], "uuid string, rogue_field string"
+    )
+    with pytest.raises(StrictMappingViolation, match="rogue_field"):
+        enforce_strict_mapping(unknown)
+    mistyped = spark.createDataFrame(
+        [("u", 5)], "uuid string, ingestion_time long"
+    )
+    with pytest.raises(StrictMappingViolation, match="ingestion_time"):
+        enforce_strict_mapping(mistyped)
+
+
+def test_strict_mapping_wired_into_foreachbatch(spark, tmp_path):
+    """The enforcement runs inside a real foreachBatch epoch: a valid
+    stream lands, a drifted stream fails the query with the violation."""
+    import pytest
+
+    from go_pulsar_elasticsearch_spark.sources.es_sink import (
+        enforce_strict_mapping,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("u-1", "t1"), ("u-2", "t2")], "uuid string, type string"
+    ).write.mode("append").parquet(src)
+
+    def body(batch_df, epoch_id):
+        enforce_strict_mapping(batch_df).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("uuid string, type string").parquet(src)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 2
+
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame(
+        [("u-3", "oops")], "uuid string, rogue string"
+    ).write.mode("append").parquet(src2)
+    q2 = (
+        spark.readStream.schema("uuid string, rogue string").parquet(src2)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rogue"):
+        q2.awaitTermination()
