@@ -83,3 +83,52 @@ def test_bench_headline_names_exist():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert missing == []
+
+
+@pytest.mark.parametrize(
+    "sfd", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_agg_approx_within_published_error_bounds(spark, sfd):
+    """The one perpetually rows-only query gains real evidence:
+    approx_count_distinct(rsd=0.01) is HLL++ with ~1% standard error —
+    assert every group lands within 5 sigma (0.05 relative) of the exact
+    distinct count; percentile_approx(accuracy=10000) guarantees rank
+    error <= n/10000, so the returned value must sit between the exact
+    quantiles at rank +/- n/10000 (with epsilon slack at the boundary)."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t as load
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_approx"](spark, sfd).collect()
+    }
+    li = load(spark, sfd, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("nd"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for flag, a in approx.items():
+        e = exact[flag]
+        rel = abs(a["approx_orders"] - e["nd"]) / e["nd"]
+        assert rel <= 0.05, (flag, a["approx_orders"], e["nd"], rel)
+        # rank-error bound for the approximate median
+        n, eps = e["n"], e["n"] / 10000 + 1
+        lo_q, hi_q = max(0.5 - eps / n, 0.0), min(0.5 + eps / n, 1.0)
+        bounds = (
+            li.filter(F.col("l_returnflag") == flag)
+            .agg(
+                F.expr(
+                    f"percentile(l_extendedprice, array({lo_q}, {hi_q}))"
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        assert bounds[0] <= a["approx_median_price"] <= bounds[1], (
+            flag, a["approx_median_price"], bounds
+        )
