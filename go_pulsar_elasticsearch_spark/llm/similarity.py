@@ -1004,3 +1004,169 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("x") - mean) / F.sqrt(var)).alias("z"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ann_pq  (product quantization: the 100 TB memory story)
+# --------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces (64 dims -> 8 x 8)
+_PQ_K = 64       # centroids per subspace -> 6-bit codes
+_PQ_ITERS = 4    # Lloyd iterations per subspace
+_PQ_RERANK = 100  # exact re-rank depth
+_PQ_TOPK = 5
+
+
+@register("ann_pq")  # rows-only: trained float codebooks; recall vs the
+# exact baseline is asserted in tests/test_similarity.py
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011) — the technique that makes
+    billion-vector search fit in memory: vectors are unit-normalized,
+    split into 8 subspaces of 8 dims, each subspace k-means-quantized to
+    64 centroids, so a 256-byte float32 vector stores as 8 six-bit
+    codes (+id).  Search is ADC: per query ONE 8x16 table of partial squared
+    distances, each candidate scored by 8 table lookups instead of 64
+    multiplies; the PQ top-100 then re-ranks EXACTLY against the raw
+    vectors (the standard recall knob).
+
+    Distribution shape:
+      train  — one applyInPandas group per subspace (8 numpy Lloyd runs
+               in parallel; at corpus scale train on a bounded sample —
+               codebooks are sample-stable by design);
+      encode — mapInPandas argmin against the broadcast codebooks
+               (driver state is 8x16x8 floats, KBs);
+      search — mapInPandas ADC over the CODES (8 bytes/vector moves,
+               never the embeddings), exact re-rank joins raw vectors
+               for 100 rows/query only.
+    Deterministic: Lloyd from a fixed init (subvectors of the K lowest
+    vec_ids), no RNG."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+
+    sub_schema = "sub int, cid int, centroid array<double>"
+
+    def train_subspace(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = key[0]
+        pdf = pdf.sort_values("vec_id")
+        x = np.array(list(pdf["subvec"]), dtype=np.float64)
+        cents = x[: _PQ_K].copy()  # deterministic init: K lowest vec_ids
+        for _ in range(_PQ_ITERS):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(_PQ_K):
+                m = assign == c
+                if m.any():
+                    cents[c] = x[m].mean(axis=0)
+        return pd.DataFrame(
+            {"sub": sub, "cid": range(_PQ_K), "centroid": list(cents)}
+        )
+
+    # unit-normalize so inner product == cosine and L2^2 == 2 - 2*cos
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+    )
+    subvecs = unit.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), s -> named_struct("
+                f"'sub', s, 'subvec', slice(u, s * {64 // _PQ_M} + 1, {64 // _PQ_M})))"
+            )
+        ).alias("sv"),
+    ).select("vec_id", F.col("sv.sub").alias("sub"), F.col("sv.subvec").alias("subvec"))
+    codebooks = (
+        subvecs.groupBy("sub").applyInPandas(train_subspace, sub_schema).collect()
+    )
+    cb = np.zeros((_PQ_M, _PQ_K, 64 // _PQ_M))
+    for r in codebooks:
+        cb[r["sub"], r["cid"]] = r["centroid"]
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(list(pdf["u"]), dtype=np.float64)
+            n, d = x.shape
+            xs = x.reshape(n, _PQ_M, d // _PQ_M)
+            codes = np.empty((n, _PQ_M), dtype=np.int32)
+            for s in range(_PQ_M):
+                dist = ((xs[:, s, None, :] - cb[None, s]) ** 2).sum(axis=2)
+                codes[:, s] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+            )
+
+    coded = unit.mapInPandas(encode, "vec_id long, codes array<int>")
+
+    qrows = unit.filter(F.col("vec_id") < 10).collect()
+    qids = np.array([r["vec_id"] for r in qrows])
+    qmat = np.array([r["u"] for r in qrows], dtype=np.float64)
+    # ADC tables: tables[q, s, c] = ||q_s - centroid_sc||^2
+    qs = qmat.reshape(len(qids), _PQ_M, -1)
+    tables = ((qs[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            n = len(codes)
+            # gather: approx[q, v] = sum_s tables[q, s, codes[v, s]]
+            approx = tables[:, np.arange(_PQ_M)[None, :], codes].sum(axis=2)
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n),
+                    "vid": np.tile(pdf["vec_id"].values, nq),
+                    "approx_d2": approx.ravel(),
+                }
+            )
+
+    cand_w = Window.partitionBy("qid").orderBy(F.asc("approx_d2"), F.asc("vid"))
+    cands = (
+        coded.mapInPandas(adc, "qid long, vid long, approx_d2 double")
+        .filter(F.col("qid") != F.col("vid"))
+        .withColumn("crk", F.row_number().over(cand_w))
+        .filter(F.col("crk") <= _PQ_RERANK)
+    )
+    # exact re-rank: raw-vector cosine for the 40 candidates per query
+    qn = {int(i): q for i, q in zip(qids, qmat)}
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"qid": [], "vid": [], "cosine": []})
+                continue
+            v = np.array(list(pdf["u"]), dtype=np.float64)
+            q = np.array([qn[int(x)] for x in pdf["qid"]], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values,
+                    "vid": pdf["vid"].values,
+                    "cosine": (q * v).sum(axis=1),  # unit vectors
+                }
+            )
+
+    exact = (
+        cands.join(unit.select(F.col("vec_id").alias("vid"), "u"), "vid")
+        .select("qid", "vid", "u")
+        .mapInPandas(rerank, "qid long, vid long, cosine double")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("qid", "vid", "cosine", "rk")
+    )

@@ -26,7 +26,7 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == {
         "agg_approx", "multimodal_features", "stream_ingest_e2e",
-        "similarity_topk_fast", "near_dedup_minhash_ml",
+        "similarity_topk_fast", "near_dedup_minhash_ml", "ann_pq",
     }
 
 

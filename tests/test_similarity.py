@@ -25,3 +25,25 @@ def test_fast_topk_matches_exact(spark, sf_dir):
         frk, fcos = fast[k]
         assert frk == rk, k
         assert fcos == pytest.approx(cos, abs=1e-9)
+
+
+def test_ann_pq_recall_vs_exact(spark, sf_dir):
+    """PQ+ADC with exact re-rank of the top-40 must recover most of the
+    exact top-5 (recall@5 >= 0.9 on the fixtures), and every returned
+    cosine must be the TRUE cosine (re-rank is exact), matching the
+    exact operator's value for any (qid, vid) both return."""
+    import pytest
+
+    exact = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["similarity_topk"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["ann_pq"](spark, sf_dir).collect()
+    }
+    hits = set(exact) & set(pq)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.2f}"
+    for k in hits:
+        assert pq[k] == pytest.approx(exact[k], abs=1e-9), k
