@@ -63,6 +63,12 @@ HEADLINE = [
     "percolate_match",
     "zorder_layout",
     "rolling_p90",
+    # round 3 additions
+    "decode_avro",
+    "near_dedup_simhash_banded",
+    "ann_pq",
+    "minhash_verify_jaccard",
+    "tfidf_doc_similarity",
 ]
 
 
