@@ -999,3 +999,77 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("t0") + F.col("n_within"))
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# dup_span_fraction  (substring-level duplication: the Lee et al.
+# "Deduplicating Training Data Makes Language Models Better" metric —
+# how much of each doc consists of spans that occur elsewhere too)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 10  # word-10-gram spans
+
+_SPAN_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         md5(list_aggr(w[i:i+{_SPAN_N - 1}], 'string_agg', ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= {_SPAN_N}
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM grams GROUP BY h
+)
+SELECT
+  g.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  CAST(SUM(CASE WHEN f.n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS dup_fraction
+FROM grams g JOIN freq f ON f.h = g.h
+GROUP BY g.doc_id
+"""
+
+
+@register("dup_span_fraction", _SPAN_ORACLE)
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of rolling word-10-gram spans that occur more
+    than once ANYWHERE in the corpus (its own doc included) — the
+    substring-duplication signal behind suffix-array dedup (Lee et al.,
+    ACL 2022); docs with a high fraction are boilerplate/templated and
+    get span-cut or dropped in curation.
+
+    Scale shape: the only wide state is the span-hash frequency table —
+    a groupBy on md5 (uniform keys, map-side combined) — and the join
+    back is equi on the same hash.  Span TEXT never shuffles (the hash
+    stands in), so cost is rows x ~doc_len, independent of how
+    duplicated the corpus is."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = cache_slot(
+        "dup_span_grams",
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _SPAN_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_SPAN_N - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(w, i, {_SPAN_N}))))"
+                )
+            ).alias("h"),
+        ),
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("n"))
+    dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return (
+        grams.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("n_dup_spans"),
+            (dup.cast("double") / F.count("*")).alias("dup_fraction"),
+        )
+    )
