@@ -284,37 +284,96 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = term if simhash is None else simhash + term
     hashes = cache_slot("simhash_hashes", sums.select("doc_id", simhash.alias("simhash")))
-    bands = hashes.select(
-        "doc_id",
+    # min_agree=2 is lossless within radius 6 (pigeonhole over 8 bands)
+    return _banded_hamming_pairs(
+        hashes, n_bands=8, band_bits=4, min_agree=2, radius=6
+    )
+
+
+def _banded_hamming_pairs(
+    hashes: DataFrame, n_bands: int, band_bits: int, min_agree: int, radius: int
+) -> DataFrame:
+    """(doc_id, simhash) -> all (doc_a < doc_b, hamming <= radius) pairs
+    via band buckets — the shared engine for both SimHash operators.
+
+    Identical fingerprints are COLLAPSED to their lowest-id
+    representative before the band join (the verify-op trick): on a
+    copy-heavy corpus every copy group otherwise floods its buckets and
+    the candidate distinct pays group_size^2 rows per band (the 100x
+    exact-copy probe OOM'd exactly there).  Cross-group member pairs
+    inherit the representatives' Hamming distance (identical
+    fingerprints); within-group pairs are Hamming 0.  Work now tracks
+    DISTINCT fingerprints; only the (inherently quadratic-in-copies)
+    output expansion grows with duplication."""
+    from pyspark.sql import Window
+
+    groups = hashes.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("simhash"))
+    )
+    members = groups.select("doc_id", "rep")
+    uniq = groups.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("doc_id").alias("rid"), "simhash"
+    )
+    mask = (1 << band_bits) - 1
+    bands = uniq.select(
+        "rid",
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 7), b -> named_struct("
-                "'band', b, 'val', CAST(shiftright(simhash, b * 4) & 15 AS INT)))"
+                f"transform(sequence(0, {n_bands - 1}), b -> named_struct("
+                f"'band', b, 'val',"
+                f" CAST(shiftright(simhash, b * {band_bits}) & {mask} AS INT)))"
             )
         ).alias("bv"),
-    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        "rid", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rid") < F.col("b.rid")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rid").alias("ra"),
+            F.col("b.rid").alias("rb"),
             F.col("a.simhash").alias("ha"),
             F.col("b.simhash").alias("hb"),
         )
         .agg(F.count("*").alias("n_bands"))
-        .filter(F.col("n_bands") >= 2)  # lossless within radius 6 (pigeonhole)
+        .filter(F.col("n_bands") >= min_agree)
     )
     hamming = F.bit_count(F.expr("ha ^ hb"))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= 6)
+    rep_pairs = cand.select(
+        "ra", "rb", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= radius)
+    ma = members.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "hamming",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
@@ -397,38 +456,10 @@ def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = cache_slot(
         "simhash64_hashes", sums.select("doc_id", simhash.alias("simhash"))
     )
-    bands = hashes.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> named_struct("
-                "'band', b, 'val', CAST(shiftright(simhash, b * 15) & 32767 AS INT)))"
-            )
-        ).alias("bv"),
-    ).select(
-        "doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    # radius 3 < 4 bands => >= 1 exact band agreement (pigeonhole)
+    return _banded_hamming_pairs(
+        hashes, n_bands=4, band_bits=15, min_agree=1, radius=_SIM64_RADIUS
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    hamming = F.bit_count(F.expr("ha ^ hb"))
-    return cand.select(
-        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= _SIM64_RADIUS)
 
 
 # --------------------------------------------------------------------------
