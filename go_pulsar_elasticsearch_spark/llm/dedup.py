@@ -182,12 +182,33 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape for scale: all 8 band minima are computed in ONE
     aggregation pass over the shingle set (8 conditional min aggregates,
     map-side combined — the shuffle carries 8 hashes/doc, not 8x the
-    shingles), then unpivoted with stack() for the band-bucket join."""
+    shingles), then unpivoted with stack() for the band-bucket join.
+
+    Duplicate-heavy safety (same trick as minhash_verify_jaccard):
+    exact duplicates collapse to their lowest-id representative BEFORE
+    signatures are built, so copy groups don't flood the LSH buckets
+    with group_size^2 identical pairs; member pairs re-expand at the
+    end — cross-group pairs inherit the representatives' band count,
+    within-group pairs agree on all 8 bands (identical signatures)."""
+    from pyspark.sql import Window
+
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_band_sigs(docs)
+    w0 = F.split("text", " ")
+    eligible = docs.filter(F.size(w0) >= 3).select(
+        "doc_id", "text", F.sha2("text", 256).alias("h")
+    )
+    marked = cache_slot(
+        "minhash_groups",
+        eligible.withColumn("rep", F.min("doc_id").over(Window.partitionBy("h"))),
+    )
+    members = marked.select("doc_id", "rep")
+    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
+    )
+    sigs = minhash_band_sigs(rep_docs)
     a, b = sigs.alias("a"), sigs.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -199,6 +220,31 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_bands_agree"))
     )
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "n_bands_agree",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(_N_BANDS).cast("bigint").alias("n_bands_agree"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
