@@ -178,3 +178,28 @@ def test_dsum_out_scale_clamped_to_scale(spark):
     df = spark.createDataFrame([(1.25,), (2.25,)], "x double")
     got = df.agg(dsum("x", 2, 18, 6).alias("s")).collect()[0]["s"]
     assert got == 3.5
+
+
+def test_cache_slot_bounds_live_frames(spark):
+    """cache_slot keeps at most ONE cached frame per key: re-caching
+    under the same key unpersists the previous occupant (the former
+    .persist() leak), and unpersisting never breaks an old plan — it
+    just recomputes."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        _slots,
+        cache_slot,
+        release_slot,
+    )
+
+    df1 = cache_slot("_test_slot", spark.range(10))
+    assert df1.count() == 10  # materialize into the cache
+    assert df1.storageLevel.useMemory or df1.storageLevel.useDisk
+    df2 = cache_slot("_test_slot", spark.range(20))
+    assert df2.count() == 20
+    # old frame is uncached but still computable
+    assert not df1.storageLevel.useMemory and not df1.storageLevel.useDisk
+    assert df1.count() == 10
+    assert _slots["_test_slot"] is df2
+    release_slot("_test_slot")
+    assert "_test_slot" not in _slots
+    assert not df2.storageLevel.useMemory and not df2.storageLevel.useDisk
