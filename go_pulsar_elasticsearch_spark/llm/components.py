@@ -115,10 +115,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: MinHash candidate pairs (>=4/8 bands) ->
     connected components -> (doc_id, component=min id in cluster).
     Docs with no near-dup edge are excluded (their cluster is trivially
-    themselves)."""
+    themselves).
+
+    Duplicate-heavy safety: exact duplicates collapse before the band
+    join AND before label propagation, so the edge list and the
+    iterative joins track unique texts; members rejoin their
+    representative's component at the end.  A copy group whose rep has
+    no near-dup edge still forms its own cluster (every copy is an
+    8/8-band duplicate of its rep), labeled by the rep id — identical
+    to what the uncollapsed graph computes, since rep = min(group) and
+    component ids are cluster-minimum doc_ids.  Output stays linear in
+    corpus size (one row per clustered doc) at ANY copy count — unlike
+    the pair-emitting ops, components has no quadratic contract."""
+    from go_pulsar_elasticsearch_spark.llm.dedup import exact_text_groups
+
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    sigs = minhash_band_sigs(docs)
+    members, rep_docs = exact_text_groups(docs, "components_groups")
+    sigs = minhash_band_sigs(rep_docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     pairs = (
         a.join(
@@ -132,5 +146,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bands") >= 4)
         .select("src", "dst")
     )
-    comps = connected_components(pairs)
-    return comps.select(F.col("node").alias("doc_id"), "component")
+    comps = connected_components(pairs)  # over representatives
+    # multi-copy groups whose rep has no edge are clusters of their own
+    lonely_multi = (
+        members.groupBy("rep")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .join(comps, F.col("rep") == F.col("node"), "left_anti")
+        .select(F.col("rep").alias("node"), F.col("rep").alias("component"))
+    )
+    rep_comp = comps.unionByName(lonely_multi)
+    return members.join(
+        rep_comp, members.rep == rep_comp.node
+    ).select("doc_id", "component")

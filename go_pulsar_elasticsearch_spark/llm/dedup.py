@@ -126,6 +126,35 @@ def _sigs_from_shingles(shingles: DataFrame, n_bands: int = _N_BANDS) -> DataFra
     )
 
 
+def exact_text_groups(
+    docs: DataFrame, slot_key: str
+) -> tuple[DataFrame, DataFrame]:
+    """The exact-duplicate collapse shared by the near-dup family:
+    (members, rep_docs) where members = (doc_id, rep) maps every
+    shingle-eligible doc (>= 3 words — docs below that never produce
+    sigs) to its group's lowest doc_id, and rep_docs carries one
+    (doc_id, text) row per DISTINCT text.  Downstream LSH/verify work
+    runs on rep_docs only; operators re-expand member pairs at the end.
+    On a copy-heavy corpus (what a 100 TB crawl is) this is the
+    difference between bucket work quadratic in copy count and work
+    that tracks unique texts."""
+    from pyspark.sql import Window
+
+    w0 = F.split("text", " ")
+    eligible = docs.filter(F.size(w0) >= 3).select(
+        "doc_id", "text", F.sha2("text", 256).alias("h")
+    )
+    marked = cache_slot(
+        slot_key,
+        eligible.withColumn("rep", F.min("doc_id").over(Window.partitionBy("h"))),
+    )
+    members = marked.select("doc_id", "rep")
+    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
+    )
+    return members, rep_docs
+
+
 def shingle_frame(docs: DataFrame) -> DataFrame:
     """DISTINCT word-3-gram shingles (doc_id, shingle) — the shared
     posting-list builder for exact-Jaccard verification.  Slot-cached:
@@ -190,22 +219,9 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with group_size^2 identical pairs; member pairs re-expand at the
     end — cross-group pairs inherit the representatives' band count,
     within-group pairs agree on all 8 bands (identical signatures)."""
-    from pyspark.sql import Window
-
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w0 = F.split("text", " ")
-    eligible = docs.filter(F.size(w0) >= 3).select(
-        "doc_id", "text", F.sha2("text", 256).alias("h")
-    )
-    marked = cache_slot(
-        "minhash_groups",
-        eligible.withColumn("rep", F.min("doc_id").over(Window.partitionBy("h"))),
-    )
-    members = marked.select("doc_id", "rep")
-    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select(
-        "doc_id", "text"
-    )
+    members, rep_docs = exact_text_groups(docs, "minhash_groups")
     sigs = minhash_band_sigs(rep_docs)
     a, b = sigs.alias("a"), sigs.alias("b")
     rep_pairs = (
@@ -842,27 +858,9 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the verify join's left side is the candidate list (tiny
     vs all-pairs), and the shingle posting lists join on
     (doc_id, shingle) — both sides partition on doc_id."""
-    from pyspark.sql import Window
-
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    # docs with <3 words have no shingles -> no sigs -> never pair up;
-    # exclude them BEFORE grouping so the 1.0-expansion can't invent
-    # pairs the shingle path would never emit
-    w = F.split("text", " ")
-    eligible = docs.filter(F.size(w) >= 3).select(
-        "doc_id", "text", F.sha2("text", 256).alias("h")
-    )
-    marked = cache_slot(
-        "verify_groups",
-        eligible.withColumn(
-            "rep", F.min("doc_id").over(Window.partitionBy("h"))
-        ),
-    )
-    members = marked.select("doc_id", "rep")
-    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select(
-        "doc_id", "text"
-    )
+    members, rep_docs = exact_text_groups(docs, "verify_groups")
     shingles = shingle_frame(rep_docs)
     sigs = _sigs_from_shingles(shingles)
     a, b = sigs.alias("a"), sigs.alias("b")
@@ -997,20 +995,10 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly 1.0 >= tau, and identical sigs always collide), so truth /
     candidate / hit counts are exact with NO quadratic materialization
     on copy-heavy corpora."""
-    from pyspark.sql import Window
-
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w0 = F.split("text", " ")
-    eligible = docs.filter(F.size(w0) >= 3).select(
-        "doc_id", "text", F.sha2("text", 256).alias("h")
-    )
-    marked = cache_slot(
-        "recall_groups",
-        eligible.withColumn("rep", F.min("doc_id").over(Window.partitionBy("h"))),
-    )
-    counts = marked.groupBy("rep").agg(F.count("*").alias("cnt"))
-    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    members, rep_docs = exact_text_groups(docs, "recall_groups")
+    counts = members.groupBy("rep").agg(F.count("*").alias("cnt"))
     shingles = shingle_frame(rep_docs)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
