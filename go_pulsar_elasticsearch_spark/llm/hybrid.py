@@ -441,3 +441,58 @@ def wildcard_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# function_score  (ES function_score query: filter + multiplicative
+# scoring functions + top-N by computed score)
+# --------------------------------------------------------------------------
+
+_FS_ORIGIN = "2024-07-01"
+_FS_TOPN = 100
+
+_FS_ORACLE = f"""
+SELECT event_id, user_id,
+       sqrt(value) AS value_factor,
+       1.0 / (1.0 + abs(datediff('day', DATE '{_FS_ORIGIN}', CAST(ts AS DATE))))
+         AS recency_decay,
+       sqrt(value) *
+       (1.0 / (1.0 + abs(datediff('day', DATE '{_FS_ORIGIN}', CAST(ts AS DATE)))))
+         AS score
+FROM events
+WHERE event_type = 'click' AND value > 0
+ORDER BY score DESC, event_id
+LIMIT {_FS_TOPN}
+"""
+
+
+@register("function_score", _FS_ORACLE)
+def function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `function_score`: a filter query re-scored by multiplicative
+    functions — here field_value_factor(modifier: sqrt) on `value`
+    times a reciprocal recency decay around a fixed origin date — and
+    the top-N taken by the combined score.  sqrt and division are
+    correctly-rounded IEEE ops, so the double scores are bit-identical
+    cross-engine (exp/gauss decays are NOT — they vary by libm — which
+    is why the decay here is the rational `1/(1+age)` form).
+
+    Scale shape: narrow scan-side filter + projection, then global
+    top-N = TakeOrderedAndProject (per-task heaps, driver merges N
+    rows; no sort shuffle)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    age = F.abs(F.datediff(F.to_date("ts"), F.lit(_FS_ORIGIN).cast("date")))
+    value_factor = F.sqrt("value")
+    decay = F.lit(1.0) / (F.lit(1.0) + age)
+    return (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            value_factor.alias("value_factor"),
+            decay.alias("recency_decay"),
+            (value_factor * decay).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(_FS_TOPN)
+    )

@@ -233,3 +233,83 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
         "byte_len",
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_byte_stats — REAL byte-level payload analysis, hash-certified
+# (unlike multimodal_features, whose media decode is an honest stub, the
+# byte domain needs no codec: histogram facts are exact integers/strings)
+# --------------------------------------------------------------------------
+
+_BYTE_STATS_ORACLE = """
+WITH p AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents WHERE length(text) > 0
+), bytes AS (
+  SELECT doc_id, substr(hx, 2 * i + 1, 2) AS bh
+  FROM (SELECT doc_id, hx, unnest(range(0, length(hx) // 2)) AS i FROM p)
+), counts AS (
+  SELECT doc_id, bh, COUNT(*) AS c FROM bytes GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, bh, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bh ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct,
+         SUM(c) OVER (PARTITION BY doc_id) AS total
+  FROM counts
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS byte_len,
+       CAST(n_distinct AS BIGINT) AS n_distinct_bytes,
+       bh AS top_byte_hex,
+       CAST(c AS BIGINT) AS top_byte_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("multimodal_byte_stats", _BYTE_STATS_ORACLE)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level payload statistics over the binary media column:
+    length, distinct byte values, and the dominant byte (hex, lowest
+    value on ties) with its count — the container-agnostic screening a
+    multimodal pipeline runs BEFORE any codec (truncated files, filler
+    padding, and format anomalies all show up in the byte histogram).
+    One numpy bincount per payload inside Arrow batches; all outputs
+    are exact integers/strings, so unlike the decode stub this is
+    hash-certified against the oracle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payloads = with_payload(docs).select("doc_id", "payload")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                cnt = np.bincount(b, minlength=256)
+                top = int(cnt.argmax())  # first max = lowest byte value
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(b.size),
+                        int((cnt > 0).sum()),
+                        format(top, "02X"),
+                        int(cnt[top]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "byte_len", "n_distinct_bytes",
+                    "top_byte_hex", "top_byte_count",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        stats,
+        "doc_id long, byte_len long, n_distinct_bytes long, "
+        "top_byte_hex string, top_byte_count long",
+    )

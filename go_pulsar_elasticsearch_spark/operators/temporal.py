@@ -210,3 +210,80 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# cdc_merge_apply  (MERGE INTO semantics: apply an I/U/D change feed to a
+# base table in one shuffle-join pass — the Delta/Iceberg MERGE shape
+# without a table format, which is how a 100 TB upsert actually executes:
+# anti join for deletes, left join for updates, union for inserts)
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+              WHEN o_orderkey % 7 IN (1, 2) THEN 'U'
+              WHEN o_orderkey % 7 = 3 THEN 'I' END AS op,
+         o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <= 3
+)
+SELECT b.o_orderkey, b.o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN b.o_totalprice + 100.0
+            ELSE b.o_totalprice END AS o_totalprice,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN 'U' ELSE 'K' END AS op_applied
+FROM orders b
+LEFT JOIN (SELECT o_orderkey FROM changes WHERE op = 'U') u
+  ON u.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes WHERE op = 'D')
+UNION ALL
+SELECT -o_orderkey AS o_orderkey, o_custkey, o_totalprice, 'I' AS op_applied
+FROM changes WHERE op = 'I'
+"""
+
+
+@register("cdc_merge_apply", _CDC_ORACLE)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO applied as DataFrame ops: a deterministic change feed
+    (deletes for keys % 7 = 0, +100 price updates for % 7 in (1,2),
+    inserts with negated keys for % 7 = 3) merges into the orders base:
+    deletes via LEFT ANTI join, updates via LEFT join + coalesce,
+    inserts via union.  All three branches shuffle on the merge key
+    once each — at scale, bucket the base table by the key and the
+    merge co-locates (same plan the lakehouse formats generate under
+    MERGE INTO).  Surviving base rows carry op_applied K/U; inserts
+    carry I."""
+    tune(spark)
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k7 = F.col("o_orderkey") % 7
+    changes = base.filter(k7 <= 3).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(k7 == 0, "D").when(k7.isin(1, 2), "U").otherwise("I").alias("op"),
+    )
+    deletes = changes.filter(F.col("op") == "D").select("o_orderkey")
+    updates = changes.filter(F.col("op") == "U").select(
+        "o_orderkey", F.lit(True).alias("_upd")
+    )
+    inserts = changes.filter(F.col("op") == "I").select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("I").alias("op_applied"),
+    )
+    survivors = (
+        base.join(deletes, "o_orderkey", "left_anti")
+        .join(updates, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("_upd"), F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(F.col("_upd"), "U").otherwise("K").alias("op_applied"),
+        )
+    )
+    return survivors.unionByName(inserts)
