@@ -634,3 +634,44 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     q.awaitTermination()
     rows = {r["user"]: r["tier"] for r in spark.table("enrich_out").collect()}
     assert rows == {"u1": "gold", "u2": "basic", "u3": None}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark delay of each other are suppressed, state is evicted
+    afterwards — the bounded-state dedup form for long-running
+    streams."""
+    from go_pulsar_elasticsearch_spark.streaming.stream import (
+        streaming_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    out_table = "dedup_wwm_out"
+    for batch in (
+        [("u1", BASE_MS), ("u2", BASE_MS + 1000)],
+        [("u1", BASE_MS + 2000), ("u3", BASE_MS + 3000)],  # u1 dup, 2s apart
+    ):
+        spark.createDataFrame(batch, "uuid string, ms long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("uuid string, ms long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ingestion_time", F.timestamp_millis("ms"))
+    )
+    deduped = streaming_dedup_within_watermark(
+        stream, ["uuid"], "ingestion_time", "10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r["uuid"] for r in spark.table(out_table).collect()]
+    assert sorted(set(got)) == ["u1", "u2", "u3"]
+    assert len(got) == 3  # the 2s-apart u1 duplicate was suppressed
