@@ -114,3 +114,51 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "click_ts",
     )
+
+
+_INTERVAL_LEFT_ORACLE = f"""
+SELECT
+  v.user_id,
+  v.event_id AS view_id,
+  c.event_id AS click_id,
+  v.ts AS view_ts,
+  c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = v.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL {_RANGE_MIN} MINUTE
+"""
+
+
+@register("stream_interval_join_left", _INTERVAL_LEFT_ORACLE)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER batch analog: every view, with its in-window clicks or
+    nulls — the attribution shape ("which impressions converted, which
+    didn't") that needs outer semantics.  In the true streaming form
+    the null row for an unmatched view can only be emitted once the
+    watermark passes the view's window (the engine must know no click
+    can still arrive) — asserted in tests/test_streaming_joins.py; the
+    state bound is identical to the inner form."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = _join_cond(
+        F.col("v_user"), F.col("c_user"), F.col("view_ts"), F.col("click_ts")
+    )
+    return v.join(c, cond, "left").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )

@@ -98,3 +98,80 @@ def test_streaming_join_click_before_view_excluded(spark, tmp_path):
     clicks = [[(7, 700, BASE_MS)]]  # click precedes the view -> no pair
     got = _run_streaming_join(spark, tmp_path, views, clicks, "ssj_neg")
     assert got.count() == 0
+
+
+def test_streaming_left_outer_emits_null_for_unmatched_view(spark, tmp_path):
+    """LEFT OUTER stream-stream: a view with no in-window click emits a
+    null-click row — but only after the watermark passes its window
+    (the engine must prove no click can still arrive).  The final
+    far-future click advances the watermark past every view."""
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views = [
+        [(1, 10, BASE_MS)],                   # will match
+        [(2, 20, BASE_MS + 1000)],            # will NOT match
+    ]
+    clicks = [
+        [(1, 100, BASE_MS + 60_000)],         # 1 min after view 10 -> in
+        [(9, 900, BASE_MS + 7_200_000)],      # +2h: advances the watermark
+    ]
+    for b in views:
+        _views(spark, b).coalesce(1).write.mode("append").parquet(vsrc)
+    for b in clicks:
+        _clicks(spark, b).coalesce(1).write.mode("append").parquet(csrc)
+
+    def drain():
+        v = (
+            spark.readStream.schema(
+                "user_id long, view_id long, view_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vsrc)
+        )
+        c = (
+            spark.readStream.schema(
+                "user_id long, click_id long, click_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(csrc)
+            .withColumnRenamed("user_id", "c_user")
+        )
+        joined = interval_join(
+            v, c, "view_ts", "click_ts", "user_id", "c_user", join_type="left"
+        ).select("user_id", "view_id", "click_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # two subtleties a continuously-running stream handles on its own:
+    # (1) the global watermark is the MIN across both inputs (the safe
+    # default policy), so BOTH sides need a far-future event before the
+    # unmatched view's state can expire; (2) the null row is emitted on
+    # a trigger AFTER the watermark advance — so feed both sides and
+    # drain again.
+    _views(spark, [(8, 80, BASE_MS + 7_260_000)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(vsrc)
+    _clicks(spark, [(9, 901, BASE_MS + 7_260_000)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    drain()
+    _clicks(spark, [(9, 902, BASE_MS + 7_320_000)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    _views(spark, [(8, 81, BASE_MS + 7_320_000)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(vsrc)
+    drain()
+    rows = {
+        (r["user_id"], r["view_id"], r["click_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert (1, 10, 100) in rows           # matched pair
+    assert (2, 20, None) in rows          # unmatched view -> null click
