@@ -15,10 +15,11 @@ CTE — the rare case where "iterative" has an exact SQL twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -159,3 +160,122 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return members.join(
         rep_comp, members.rep == rep_comp.node
     ).select("doc_id", "component")
+
+
+# --------------------------------------------------------------------------
+# pagerank_transitions  (iterative message passing, certified: 3 unrolled
+# power iterations over the event-type transition graph — the same
+# join-agg-per-iteration shape PageRank/label-propagation run at scale,
+# with kmeans_train-style exact-decimal certification)
+# --------------------------------------------------------------------------
+
+_PR_D = 0.85  # damping
+_PR_ITERS = 3
+
+_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS cnt
+  FROM (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst,
+         CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY src) AS w
+  FROM pairs
+), nodes AS (
+  SELECT DISTINCT event_type AS node FROM events
+), nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+r1 AS (
+  SELECT nodes.node,
+         0.15 / nn.n + {_PR_D} * COALESCE(i.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r0.r * e.w AS DECIMAL(18,12))) AS DOUBLE) AS s
+    FROM edges e JOIN r0 ON r0.node = e.src GROUP BY e.dst
+  ) i ON i.node = nodes.node
+),
+r2 AS (
+  SELECT nodes.node,
+         0.15 / nn.n + {_PR_D} * COALESCE(i.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r1.r * e.w AS DECIMAL(18,12))) AS DOUBLE) AS s
+    FROM edges e JOIN r1 ON r1.node = e.src GROUP BY e.dst
+  ) i ON i.node = nodes.node
+),
+r3 AS (
+  SELECT nodes.node,
+         0.15 / nn.n + {_PR_D} * COALESCE(i.s, 0.0) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r2.r * e.w AS DECIMAL(18,12))) AS DOUBLE) AS s
+    FROM edges e JOIN r2 ON r2.node = e.src GROUP BY e.dst
+  ) i ON i.node = nodes.node
+)
+SELECT node, r AS pagerank FROM r3
+"""
+
+
+@register("pagerank_transitions", _PAGERANK_ORACLE)
+def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type transition graph, 3 power
+    iterations unrolled into one plan.  Each iteration is the scale
+    shape iterative graph algorithms run on clusters: join ranks to
+    edges on src, per-dst aggregate of rank*weight contributions, then
+    the damping update — never a driver-side adjacency structure.
+    Per-edge contributions accumulate as DECIMAL(18,12) (exact,
+    associative) so three chained float iterations still hash-match
+    the oracle bit-for-bit.  Dangling-mass redistribution is omitted on
+    both sides (documented simplification; ranks need not sum to 1)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out_total = F.sum("cnt").over(Window.partitionBy("src"))
+    edges = cache_slot(
+        "pagerank_edges",
+        pairs.select(
+            "src", "dst", (F.col("cnt").cast("double") / out_total).alias("w")
+        ),
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select(
+                "dst",
+                (F.col("r") * F.col("w")).cast("decimal(18,12)").alias("term"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("term").cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))
