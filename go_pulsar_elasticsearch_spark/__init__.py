@@ -51,6 +51,7 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.ingest import avro  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
+        classifier,
         clustering,
         components,
         corpus,

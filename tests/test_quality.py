@@ -36,3 +36,25 @@ def test_gopher_keep_is_conjunction_of_rules(spark, sf_dir):
     assert bad == 0
     # rules discriminate: both kept and dropped docs exist
     assert 0 < out.filter("keep").count() < out.count()
+
+
+def test_quality_classifier_separates_classes(spark, sf_dir):
+    """The LR quality classifier must genuinely separate the weak
+    classes: AUC >= 0.85 vs the gopher labels, and its top-confidence
+    decile must be overwhelmingly keep-labeled."""
+    import go_pulsar_elasticsearch_spark as gpe
+    from go_pulsar_elasticsearch_spark.registry import QUERIES
+
+    gpe.load_all()
+    rows = QUERIES["quality_classifier_lr"](spark, sf_dir).collect()
+    assert len(rows) > 100
+    # Mann-Whitney AUC from ranks
+    scored = sorted(rows, key=lambda r: r["p_good"])
+    pos = [i for i, r in enumerate(scored, 1) if r["label_weak"]]
+    n_pos, n_neg = len(pos), len(scored) - len(pos)
+    assert n_pos > 10 and n_neg > 10, "degenerate fixture labels"
+    auc = (sum(pos) - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert auc >= 0.85, f"AUC {auc:.3f}"
+    top = scored[-len(scored) // 10 :]
+    frac_keep = sum(r["label_weak"] for r in top) / len(top)
+    assert frac_keep >= 0.9, f"top-decile keep fraction {frac_keep:.2f}"
