@@ -5,14 +5,18 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 2): 175 registered queries, 170 with oracles.  The five
+State (round 3): 185 registered queries, 178 with oracles.  The seven
 rows-only entries are approximate/float/streaming by design:
-``agg_approx`` (HLL/quantile sketches), ``multimodal_features``
-(mapInPandas byte-stub decode), ``similarity_topk_fast`` (numpy
-float64 path, validated vs the exact decimal twin in tests),
-``near_dedup_minhash_ml`` (MLlib MinHashLSH internals), and
-``stream_ingest_e2e`` (streaming drain).  Even the iterative k-means
-training loop is oracled (unrolled exact-decimal CTE iterations).
+``agg_approx`` (HLL/quantile sketches — error-bound asserted in
+tests), ``multimodal_features`` (mapInPandas byte-stub decode),
+``similarity_topk_fast`` (numpy float64 path, validated vs the exact
+decimal twin in tests), ``ann_pq`` (product quantization, recall@5
+0.98 vs exact in tests), ``near_dedup_minhash_ml`` (MLlib MinHashLSH
+internals), ``quality_classifier_lr`` (pyspark.ml fitting, AUC
+asserted in tests), and ``stream_ingest_e2e`` (streaming drain).  Even
+the iterative k-means training and 3-iteration PageRank are oracled
+(unrolled exact-decimal CTE iterations), and the Avro decode is
+certified as a real binary round-trip.
 
 All real code lives in ``go_pulsar_elasticsearch_spark/``; this module
 only adapts the package registry to the driver's interface.
