@@ -47,3 +47,22 @@ def test_ann_pq_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, f"recall@5 {recall:.2f}"
     for k in hits:
         assert pq[k] == pytest.approx(exact[k], abs=1e-9), k
+
+
+def test_ml_minhash_recovers_true_near_dup_pairs(spark, sf_dir):
+    """The rows-only MLlib MinHashLSH variant gains real evidence: its
+    candidate set (Jaccard distance <= 0.8) must recover >= 90% of the
+    TRUE near-duplicate pairs certified by the oracled two-stage
+    verify op (exact Jaccard >= 0.5 => distance <= 0.5, well inside
+    the threshold)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_verify_jaccard"](spark, sf_dir).collect()
+    }
+    ml = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["near_dedup_minhash_ml"](spark, sf_dir).collect()
+    }
+    assert len(truth) > 10, "fixture should contain true near-dups"
+    recall = len(truth & ml) / len(truth)
+    assert recall >= 0.9, f"ml recall of true pairs {recall:.2f}"
