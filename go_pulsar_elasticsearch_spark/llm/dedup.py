@@ -263,6 +263,34 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
+def _md5_prefix_bit_sums(n_bits: int) -> tuple[str, list]:
+    """Signed bit-sum aggregate expressions over a word-hash column `h`.
+
+    Instead of 4*n_bits string ops per word (instr+substring per bit),
+    the first n_bits/4 hex digits are folded ONCE per word into a long
+    `v` (digit j weighted 16^(n_hex-1-j); max 16^15-1 < 2^60 fits), and
+    each bit-sum is a cheap shift/mask over v.  Bit i keeps its original
+    definition — bit (i%4) of hex digit i//4 — which sits at position
+    4*(n_hex-1 - i//4) + i%4 of v, so the aggregated values (and every
+    oracle) are unchanged; this is purely an evaluation-cost rewrite
+    (~4x less per-word string work)."""
+    n_hex = n_bits // 4
+    v = " + ".join(
+        f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
+        f" * {16 ** (n_hex - 1 - j)}L"
+        for j in range(n_hex)
+    )
+    sums = [
+        F.sum(
+            F.expr(f"(shiftright(v, {4 * (n_hex - 1 - i // 4) + i % 4}) & 1)")
+            * 2
+            - 1
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    return f"({v})", sums
+
+
 # --------------------------------------------------------------------------
 # near_dedup_simhash  (32-bit, cross-engine bit extraction from md5)
 # --------------------------------------------------------------------------
@@ -316,6 +344,7 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash each distinct word ONCE; all 32 bit-sums are conditional
     # aggregates over that hash in a single groupBy pass (2 shuffles
     # total: distinct + group — the exploded-by-32 formulation costs 6)
+    v_expr, bit_sums = _md5_prefix_bit_sums(32)
     words = (
         docs.select(
             "doc_id",
@@ -326,18 +355,8 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .select("doc_id", F.md5(F.col("w")).alias("h"))
+        .select("doc_id", F.expr(v_expr).alias("v"))
     )
-    bit_sums = [
-        F.sum(
-            F.expr(
-                f"((instr('0123456789abcdef', substring(h, {i // 4 + 1}, 1)) - 1)"
-                f" DIV {1 << (i % 4)}) % 2"
-            )
-            * 2
-            - 1
-        ).alias(f"s{i}")
-        for i in range(32)
-    ]
     sums = words.groupBy("doc_id").agg(*bit_sums)
     simhash = None
     for i in range(32):
@@ -488,6 +507,7 @@ def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies via all-pairs — correctness twin, not the scale plan.)"""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
+    v_expr, bit_sums = _md5_prefix_bit_sums(_SIM64_BITS)
     words = (
         docs.select(
             "doc_id",
@@ -496,18 +516,8 @@ def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .select("doc_id", F.md5(F.col("w")).alias("h"))
+        .select("doc_id", F.expr(v_expr).alias("v"))
     )
-    bit_sums = [
-        F.sum(
-            F.expr(
-                f"((instr('0123456789abcdef', substring(h, {i // 4 + 1}, 1)) - 1)"
-                f" DIV {1 << (i % 4)}) % 2"
-            )
-            * 2
-            - 1
-        ).alias(f"s{i}")
-        for i in range(_SIM64_BITS)
-    ]
     sums = words.groupBy("doc_id").agg(*bit_sums)
     simhash = None
     for i in range(_SIM64_BITS):
