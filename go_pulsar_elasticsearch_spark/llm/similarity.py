@@ -1059,7 +1059,9 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.array(list(pdf["subvec"]), dtype=np.float64)
         cents = x[: _PQ_K].copy()  # deterministic init: K lowest vec_ids
         for _ in range(_PQ_ITERS):
-            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||x-c||^2 == argmin(-2 x.c + ||c||^2): one BLAS
+            # matmul instead of an (n, k, d) broadcast temp
+            d = -2.0 * (x @ cents.T) + (cents ** 2).sum(axis=1)
             assign = d.argmin(axis=1)
             for c in range(_PQ_K):
                 m = assign == c
@@ -1104,7 +1106,7 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             xs = x.reshape(n, _PQ_M, d // _PQ_M)
             codes = np.empty((n, _PQ_M), dtype=np.int32)
             for s in range(_PQ_M):
-                dist = ((xs[:, s, None, :] - cb[None, s]) ** 2).sum(axis=2)
+                dist = -2.0 * (xs[:, s, :] @ cb[s].T) + (cb[s] ** 2).sum(axis=1)
                 codes[:, s] = dist.argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
