@@ -474,3 +474,56 @@ def bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BPE_TOPN)
         .select("pair", "n", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# seeded_shuffle_shards  (the write-order stage: deterministic global
+# shuffle + shard assignment before training consumes the corpus)
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "epoch-0"
+_N_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+), sharded AS (
+  SELECT doc_id, source, skey,
+         CAST((strpos('0123456789abcdef', substr(skey, 1, 1)) - 1) % {_N_SHARDS}
+              AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, source, skey, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+            AS BIGINT) AS pos_in_shard
+FROM sharded
+"""
+
+
+@register("seeded_shuffle_shards", _SHUFFLE_ORACLE)
+def seeded_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: order by md5(seed:doc_id) — a
+    reproducible pseudo-random permutation, re-rollable by changing the
+    seed per epoch — with shard assignment from the key's first nibble
+    and a per-shard position.  This is the stage that fixes training
+    data ORDER: global sorts don't scale, so the order is (shard,
+    pos_in_shard), each shard sorted independently after one hash-key
+    shuffle — exactly how sharded training data is laid out on disk.
+
+    No rand()/shuffle() anywhere: the permutation is a pure function of
+    (seed, doc_id), so re-runs, retries, and the oracle all agree."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", "source", skey.alias("skey"))
+    shard = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring("skey", 1, 1)) - 1)
+        % _N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+    )
