@@ -19,12 +19,11 @@ All deterministic, all certified against DuckDB.
 100 TB posture:
 - gopher rules are a narrow per-row projection fused into the scan —
   zero shuffles; at scale this is the cheapest filter to run FIRST.
-- segment_dedup shuffles (a) segments by text for the document
-  frequency count (map-side combined; segment text is the shuffle key,
-  high cardinality) and (b) segments back by doc_id for reassembly.
-  Content moves twice; at 100 TB replace the segment text key with its
-  sha2 (same plan shape, 32-byte keys) — kept as plain text here so the
-  oracle stays readable.
+- segment_dedup shuffles (a) sha2(segment) for the document frequency
+  count (32-byte keys, map-side combined — segment TEXT never rides
+  this shuffle) and (b) segments by doc_id for reassembly, so content
+  moves exactly once; the drop decisions travel back as a broadcast
+  (doc_id, position) set of the boilerplate hits only.
 - dedup_keep_best is one shuffle on the content hash carrying
   (hash, n_chars, doc_id) triples only.
 """
@@ -178,13 +177,21 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("j", "seg"),
     )
-    freq = segs.groupBy("seg").agg(
-        F.countDistinct("doc_id").alias("df")
+    # document frequency over sha2(segment): the frequency shuffle
+    # carries 32-byte keys, never segment text; the drop decisions come
+    # back as a (doc_id, j) position set (only the boilerplate hits —
+    # broadcastable), so segment text moves ONLY in the per-doc
+    # reassembly shuffle.  (sha2 collisions would need 2^128 segments.)
+    hsegs = segs.select("doc_id", "j", F.sha2("seg", 256).alias("h"))
+    freq = hsegs.groupBy("h").agg(F.countDistinct("doc_id").alias("df"))
+    dropped = (
+        hsegs.join(freq.filter(F.col("df") >= _SEG_MAX_DF), "h")
+        .select("doc_id", "j", F.lit(True).alias("rm"))
     )
-    joined = segs.join(freq, "seg")
+    joined = segs.join(F.broadcast(dropped), ["doc_id", "j"], "left")
     kept_arr = F.array_sort(
         F.collect_list(
-            F.when(F.col("df") < _SEG_MAX_DF, F.struct("j", "seg"))
+            F.when(F.col("rm").isNull(), F.struct("j", "seg"))
         )
     )
     return (
@@ -192,7 +199,7 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             kept_arr.alias("kept"),
             F.count("*").alias("n_segments"),
-            F.sum((F.col("df") >= _SEG_MAX_DF).cast("long")).alias("n_removed"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(False)).cast("long")).alias("n_removed"),
         )
         .select(
             "doc_id",
