@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 3): 185 registered queries, 178 with oracles.  The seven
+State (round 3): 186 registered queries, 179 with oracles.  The seven
 rows-only entries are approximate/float/streaming by design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``multimodal_features`` (mapInPandas byte-stub decode),
