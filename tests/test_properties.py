@@ -203,3 +203,43 @@ def test_cache_slot_bounds_live_frames(spark):
     release_slot("_test_slot")
     assert "_test_slot" not in _slots
     assert not df2.storageLevel.useMemory and not df2.storageLevel.useDisk
+
+
+_avro_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+)
+_avro_record = st.fixed_dictionaries(
+    {
+        "identifier": _avro_text,
+        "name": _avro_text,
+        "uuid": _avro_text,
+        "type": _avro_text,
+        "ingestion_time": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "tags": st.one_of(
+            st.none(),
+            st.lists(
+                st.fixed_dictionaries(
+                    {"type": _avro_text, "value": _avro_text}
+                ),
+                max_size=10,
+            ),
+        ),
+    }
+)
+
+
+@given(rec=_avro_record)
+@settings(max_examples=200, deadline=None)
+def test_avro_codec_roundtrip_any_record(rec):
+    """Spec-compliance property: encode->decode is identity for EVERY
+    IngestionData value — arbitrary unicode, full int64 range
+    (zigzag edge cases), both union branches, any tag-array length."""
+    from go_pulsar_elasticsearch_spark.ingest.avro import INGESTION_AVRO_SCHEMA
+    from go_pulsar_elasticsearch_spark.ingest.avro_codec import (
+        decode,
+        encode,
+        parse_schema,
+    )
+
+    schema = parse_schema(INGESTION_AVRO_SCHEMA)
+    assert decode(schema, encode(schema, rec)) == rec
