@@ -69,6 +69,11 @@ HEADLINE = [
     "ann_pq",
     "minhash_verify_jaccard",
     "tfidf_doc_similarity",
+    "dup_span_fraction",
+    "pagerank_transitions",
+    "cdc_merge_apply",
+    "function_score",
+    "seeded_shuffle_shards",
 ]
 
 
