@@ -164,6 +164,30 @@ def main() -> None:
         timings[name] = round(min(reps), 3)
         cold_total += reps[0]
 
+    # Full registered set, one run each (cold, includes codegen): the
+    # regression tripwire the headline set can't be — a per-query diff
+    # of BENCH_r{N} catches a slowdown in ANY registered operator, not
+    # just the 43 headliners.  Headline stays best-of-3 (steady-state
+    # comparability across rounds); full-set numbers are single-run and
+    # therefore noisier — compare trends, not ±30% wiggles.
+    full: dict[str, float] = {}
+    skip = {"stream_ingest_e2e"}  # starts a real streaming job; measured
+    # separately as stream_ingest_rows_per_s
+    for name in sorted(QUERIES):
+        if name in skip:
+            continue
+        if name in timings:
+            full[name] = timings[name]
+            continue
+        t0 = time.time()
+        try:
+            materialize(QUERIES[name](spark, sf_dir))
+            full[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # never let one op sink the whole bench
+            full[name] = -1.0
+            print(f"BENCH ERROR {name}: {type(exc).__name__}: {exc}",
+                  file=sys.stderr)
+
     stream_rps = bench_stream_ingest(spark, sf_dir)
 
     out = {
@@ -175,6 +199,8 @@ def main() -> None:
         "stream_ingest_rows_per_s": round(stream_rps, 1),
         "warmup_s": warmup_s,
         "cold_first_run_total_s": round(cold_total, 3),
+        "full_queries": full,
+        "full_total_s": round(sum(v for v in full.values() if v > 0), 3),
     }
     print(json.dumps(out))
 

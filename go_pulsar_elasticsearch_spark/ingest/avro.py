@@ -100,7 +100,13 @@ def decode_avro_payload(raw: DataFrame, value_col: str = "value",
 
     Prefers the spark-avro JVM path; falls back to the pure-spec
     Python codec behind mapInPandas when the jar is absent.  Output
-    schema and null semantics are identical on both paths."""
+    schema is identical on both paths.  One documented null-semantics
+    divergence: the Python fallback is STRICT about trailing bytes
+    after the decoded record (nulls the row -> DLQ), while from_avro
+    decodes the datum and ignores trailing bytes — a payload with
+    trailing garbage DLQs on the fallback path but indexes on the JVM
+    path.  Strictness is deliberate: trailing bytes mean a framing bug
+    upstream, and surfacing it in the DLQ beats silently truncating."""
     if avro_available(raw.sparkSession if hasattr(raw, "sparkSession") else None):
         from pyspark.sql.avro.functions import from_avro
 

@@ -148,13 +148,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     comps = connected_components(pairs)  # over representatives
-    # multi-copy groups whose rep has no edge are clusters of their own
+    # multi-copy groups whose rep has no edge are clusters of their own;
+    # the group size rides on rep_docs (exact_text_groups), so no
+    # members groupBy is needed to find them
     lonely_multi = (
-        members.groupBy("rep")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= 2)
-        .join(comps, F.col("rep") == F.col("node"), "left_anti")
-        .select(F.col("rep").alias("node"), F.col("rep").alias("component"))
+        rep_docs.filter(F.col("cnt") >= 2)
+        .join(comps, F.col("doc_id") == F.col("node"), "left_anti")
+        .select(F.col("doc_id").alias("node"), F.col("doc_id").alias("component"))
     )
     rep_comp = comps.unionByName(lonely_multi)
     return members.join(
@@ -252,14 +252,26 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src", "dst", (F.col("cnt").cast("double") / out_total).alias("w")
         ),
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
-    nn = nodes.agg(F.count("*").alias("n"))
+    # the rank vector is VOCABULARY-sized (one row per event type,
+    # data-size-independent), so both per-iteration joins broadcast it:
+    # the edges side keeps its cached partitioning across all three
+    # iterations (no re-exchange per iteration — the r3 plan carried 18
+    # exchanges, one full set per unrolled iteration) and each iteration
+    # costs exactly one shuffle, the per-dst contribution aggregation.
+    nodes = cache_slot(
+        "pagerank_nodes", ev.select(F.col("event_type").alias("node")).distinct()
+    )
+    # one-row frame consumed by r0 + every iteration: cached so the
+    # SinglePartition count exchange runs once, not once per consumer
+    nn = cache_slot("pagerank_nn", nodes.agg(F.count("*").alias("n")))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(_PR_ITERS):
         inflow = (
-            edges.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            edges.join(
+                F.broadcast(ranks.select(F.col("node").alias("src"), "r")), "src"
+            )
             .select(
                 "dst",
                 (F.col("r") * F.col("w")).cast("decimal(18,12)").alias("term"),
@@ -269,7 +281,7 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(inflow, nodes.node == inflow.dst, "left")
+            .join(F.broadcast(inflow), nodes.node == inflow.dst, "left")
             .select(
                 "node",
                 (

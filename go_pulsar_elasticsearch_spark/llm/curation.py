@@ -152,14 +152,40 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = kept.join(near_drop, "doc_id", "left_anti")
 
-    # 5. token accounting with a running corpus total
+    # 5. token accounting with a running corpus total — two-pass prefix
+    # sum, NO global-order window anywhere in the plan:
+    #   pass 1: range-partition on doc_id (RangePartitioner guarantees
+    #           partition i holds strictly lower doc_ids than i+1) and
+    #           take a per-partition running sum (sort within partition,
+    #           no global sort);
+    #   pass 2: the per-partition totals (one row per partition) become
+    #           exclusive prefix offsets — the only ordered window runs
+    #           over n_partitions rows, data-size-independent — and are
+    #           broadcast back.
+    # running = partition offset + within-partition running sum.
     n_tokens = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("bigint")
-    # global-order window is intentional here: this is the corpus budget
-    # manifest (id + token count, a few rows per thousand input docs),
-    # not a data path — at extreme scale switch to a two-pass prefix sum
-    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return survivors.select("doc_id", n_tokens.alias("n_tokens")).select(
+    toks = survivors.select("doc_id", n_tokens.alias("n_tokens"))
+    ranged = cache_slot(
+        "curation_ranged",
+        toks.repartitionByRange(16, "doc_id").withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+    )
+    part_w = (
+        Window.partitionBy("_pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_local_run", F.sum("n_tokens").over(part_w))
+    off_w = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_psum"))
+        .withColumn("_offset", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
         "doc_id",
         "n_tokens",
-        F.sum("n_tokens").over(win).alias("running_tokens"),
+        (F.col("_offset") + F.col("_local_run")).alias("running_tokens"),
     )

@@ -76,53 +76,62 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_BANDS = 8
 
 
-def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
-    """(doc_id, band, sig): per-band min of salted md5 over distinct
-    word-3-gram shingles — the shared LSH signature builder used by
-    near_dedup_minhash, dedup_components, and curation_pipeline (one
-    definition; the oracles encode the same salt format 'b:shingle')."""
+def doc_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, arr): per-doc DISTINCT word-3-gram shingle array, built
+    entirely map-side (docs under 3 words produce no shingles — filtered,
+    matching every oracle's `len(w) >= 3` gate).  Deliberately NOT
+    cached: the array build is narrow CPU over the (usually cached)
+    input, and the frames consumers actually reuse — band signatures,
+    exploded posting lists — are cached downstream; persisting the
+    text-sized array frame as well just doubles the memory writes.
+    A `cnt` column on the input (exact_text_groups' group size) rides
+    along untouched — weight-carrying consumers never re-join it."""
     w = F.split("text", " ")
-    # NO .distinct() on the shingle multiset: MIN is duplicate-insensitive,
-    # so de-duplicating first would only add a full shuffle of the shingle
-    # set.  Without it the per-doc band minima collapse in the map-side
-    # partial aggregation — the shuffle carries 8 hashes/doc, the shingles
-    # themselves never leave the scan stage.  (The oracle keeps its
-    # DISTINCT; the minima are identical either way.)
-    shingles = (
-        docs.select("doc_id", w.alias("w"))
+    extra = [c for c in docs.columns if c == "cnt"]
+    return (
+        docs.select("doc_id", *extra, w.alias("w"))
         .filter(F.size("w") >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2)))"
-                )
-            ).alias("shingle"),
+            *extra,
+            F.expr(
+                "array_distinct(transform(sequence(1, size(w) - 2),"
+                " i -> concat_ws(' ', element_at(w, i),"
+                " element_at(w, i + 1), element_at(w, i + 2))))"
+            ).alias("arr"),
         )
     )
-    # every consumer self-joins or multi-references this frame; caching
-    # it (8 short rows per doc — MBs at bench scale, spill-backed) halves
-    # the shingle scan+agg work, which dominates the operators' cost.
-    # cache_slot bounds the footprint to ONE live sig frame per session
-    # (a bare .persist() here leaked one frame per invocation).
-    return cache_slot("minhash_band_sigs", _sigs_from_shingles(shingles, n_bands))
 
 
-def _sigs_from_shingles(shingles: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
-    """(doc_id, shingle) -> (doc_id, band, sig).  MIN is duplicate-
-    insensitive, so distinct and non-distinct shingle frames yield the
-    same signatures — callers with a cached DISTINCT shingle frame
-    (minhash_recall_eval) reuse it here instead of re-scanning docs."""
-    band_mins = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("shingle")))).alias(f"sig{b}")
+def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
+    """(doc_id, band, sig): per-band min of salted md5 over distinct
+    word-3-gram shingles — the shared LSH signature builder used by
+    near_dedup_minhash, dedup_components, curation_pipeline, and the
+    streaming incremental store (one definition; the oracles encode the
+    same salt format 'b:shingle').
+
+    ZERO-shuffle: the per-band minimum is `array_min` over the per-doc
+    shingle array — the r3 form exploded shingles and aggregated them
+    back with a groupBy exchange; this computes identical minima inside
+    the scan stage.  Slot-cached because every consumer self-joins the
+    sig frame (both band-bucket sides)."""
+    arrs = doc_shingle_arrays(docs)
+    extra = [c for c in arrs.columns if c == "cnt"]
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(arr, s -> md5(concat('{b}:', s)))")
+        ).alias(f"sig{b}")
         for b in range(n_bands)
     ]
-    wide = shingles.groupBy("doc_id").agg(*band_mins)
+    wide = arrs.select("doc_id", *extra, *sig_cols)
     stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
-    return wide.select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)")
+    return cache_slot(
+        "minhash_band_sigs",
+        wide.select(
+            "doc_id",
+            *extra,
+            F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+        ),
     )
 
 
@@ -137,45 +146,61 @@ def exact_text_groups(
     runs on rep_docs only; operators re-expand member pairs at the end.
     On a copy-heavy corpus (what a 100 TB crawl is) this is the
     difference between bucket work quadratic in copy count and work
-    that tracks unique texts."""
-    from pyspark.sql import Window
+    that tracks unique texts.
 
+    Plan shape: `h = sha2(text)` functionally determines `text`, so ONE
+    map-side-combined aggregation yields both the group representative
+    (min doc_id) and its text — no `min(...) over (partition by h)`
+    window sorting text-carrying rows (the r3 form, whose per-doc sort
+    was pure overhead on low-duplicate corpora).  Text crosses the wire
+    once, partially collapsed map-side; the members mapping joins only
+    (doc_id, h) pairs against the cached (h, rep) frame."""
     w0 = F.split("text", " ")
     eligible = docs.filter(F.size(w0) >= 3).select(
         "doc_id", "text", F.sha2("text", 256).alias("h")
     )
-    marked = cache_slot(
+    # first() is safe: every text in an h-group is identical by
+    # construction (sha2 collisions would need 2^128 docs).  The group
+    # size `cnt` is free here (same shuffle) and rides along on
+    # rep_docs so counter-output consumers (minhash_recall_eval) can
+    # weight pairs WITHOUT ever joining a counts frame back on.
+    reps = cache_slot(
         slot_key,
-        eligible.withColumn("rep", F.min("doc_id").over(Window.partitionBy("h"))),
+        eligible.groupBy("h").agg(
+            F.min("doc_id").alias("rep"),
+            F.first("text").alias("text"),
+            F.count("*").alias("cnt"),
+        ),
     )
-    members = marked.select("doc_id", "rep")
-    rep_docs = marked.filter(F.col("doc_id") == F.col("rep")).select(
-        "doc_id", "text"
+    members = (
+        eligible.select("doc_id", "h")
+        .join(reps.select("h", "rep"), "h")
+        .select("doc_id", "rep")
     )
+    rep_docs = reps.select(F.col("rep").alias("doc_id"), "text", "cnt")
     return members, rep_docs
 
 
 def shingle_frame(docs: DataFrame) -> DataFrame:
-    """DISTINCT word-3-gram shingles (doc_id, shingle) — the shared
-    posting-list builder for exact-Jaccard verification.  Slot-cached:
-    verify/recall consume it from three+ branches (sizes, both join
-    sides), and without the cache each branch re-explodes the corpus."""
-    w = F.split("text", " ")
-    shingles = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= 3)
-        .select(
+    """DISTINCT word-3-gram shingles (doc_id, n, shingle) — the shared
+    posting-list builder for exact-Jaccard verification.  `n` is the
+    doc's distinct-shingle count, computed map-side from the array
+    BEFORE exploding, so Jaccard denominators ride along the posting
+    list and no consumer ever needs a `groupBy(doc_id).count()` sizes
+    shuffle or its re-join.  Slot-cached: the posting-list self-join
+    consumes this frame from both sides, and re-exploding the corpus
+    per side is the expensive part."""
+    arrs = doc_shingle_arrays(docs)
+    extra = [c for c in arrs.columns if c == "cnt"]
+    return cache_slot(
+        "shingle_frame",
+        arrs.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(1, size(w) - 2),"
-                    " i -> concat_ws(' ', element_at(w, i),"
-                    " element_at(w, i + 1), element_at(w, i + 2))))"
-                )
-            ).alias("shingle"),
-        )
+            *extra,
+            F.size("arr").alias("n"),
+            F.explode("arr").alias("shingle"),
+        ),
     )
-    return cache_slot("shingle_frame", shingles)
 
 _MINHASH_ORACLE = f"""
 WITH shingles AS (
@@ -571,10 +596,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n^2 — the standard exact-verify stage after MinHash candidates."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    # the slot-cached distinct-shingle frame feeds all three consumers
-    # (sizes + both inverted-index join sides) from one corpus explode
+    # per-doc sizes ride the posting list (shingle_frame carries n
+    # map-side), so the denominator needs NO sizes shuffle and no
+    # re-join — the only exchanges are the inverted-index join's two
+    # sides and the pair aggregation
     grams = shingle_frame(docs).withColumnRenamed("shingle", "gram")
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga, gb = grams.alias("ga"), grams.alias("gb")
     inter = (
         ga.join(
@@ -585,17 +611,17 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max(F.col("ga.n")).alias("na"),
+            F.max(F.col("gb.n")).alias("nb"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jaccard = F.col("n_inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+        F.col("na") + F.col("nb") - F.col("n_inter")
     )
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", "n_inter", jaccard.alias("jaccard"))
+        inter.select("doc_a", "doc_b", "n_inter", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
 
@@ -872,7 +898,7 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     members, rep_docs = exact_text_groups(docs, "verify_groups")
     shingles = shingle_frame(rep_docs)
-    sigs = _sigs_from_shingles(shingles)
+    sigs = minhash_band_sigs(rep_docs)  # map-side from the shared arrays
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -884,22 +910,29 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # denominators ride the posting lists (shingle_frame carries n
+    # map-side): no sizes shuffle, no sizes re-joins
+    sa = shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
+    )
+    sb = shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "shingle"
+    )
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     verified = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _VERIFY_TAU)
     )
     # re-expand: every member pair across two verified groups scores the
@@ -991,11 +1024,12 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs score); at corpus scale this eval runs on a sampled stratum,
     same plan.
 
-    Frame reuse: the DISTINCT shingle frame is built ONCE (slot-cached
-    shingle_frame) and feeds truth sizes, both posting-list join sides,
-    AND the band signatures (via _sigs_from_shingles — MIN is
-    duplicate-insensitive so distinct shingles give identical sigs);
-    previously each consumer re-exploded the corpus (12 exchanges).
+    Frame reuse: the per-doc shingle ARRAY frame is built once
+    (slot-cached doc_shingle_arrays); posting lists explode from it
+    narrowly, per-doc sizes ride the posting list map-side (no sizes
+    shuffle or re-join), and the band signatures are array_min over the
+    same arrays (no groupBy) — the r2 form re-exploded the corpus per
+    consumer and r3 still re-exchanged sizes and sigs (13 exchanges).
 
     Duplicate-heavy safety: like minhash_verify_jaccard, exact
     duplicates collapse to one representative before ANY pair
@@ -1007,27 +1041,37 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     on copy-heavy corpora."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    members, rep_docs = exact_text_groups(docs, "recall_groups")
-    counts = members.groupBy("rep").agg(F.count("*").alias("cnt"))
+    _, rep_docs = exact_text_groups(docs, "recall_groups")
     shingles = shingle_frame(rep_docs)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # denominators (n) AND group weights (cnt) ride the posting lists
+    # map-side — truth costs the two posting-list exchanges + the pair
+    # aggregation, and no counts frame is ever joined back on
+    sa = shingles.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
+        F.col("cnt").alias("cnt_a"), "shingle",
+    )
+    sb = shingles.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
+        F.col("cnt").alias("cnt_b"), "shingle",
+    )
     inter = (
         sa.join(sb, (sa.shingle == sb.shingle) & (F.col("doc_b") > F.col("doc_a")))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.max("cnt_a").alias("cnt_a"),
+            F.max("cnt_b").alias("cnt_b"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
-    truth = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .filter(jac >= _EVAL_TAU)
-        .select("doc_a", "doc_b")
+    truth = inter.filter(jac >= _EVAL_TAU).select(
+        "doc_a", "doc_b", "cnt_a", "cnt_b"
     )
-    sigs = _sigs_from_shingles(shingles)
+    sigs = minhash_band_sigs(rep_docs)  # map-side, carries cnt too
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -1036,22 +1080,25 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.max(F.col("a.cnt")).alias("cnt_a"),
+            F.max(F.col("b.cnt")).alias("cnt_b"),
+        )
     )
     # arithmetic re-expansion: weight each rep-pair by |A|*|B|, and add
     # the within-group pair count (always truth AND candidate AND hit).
     # ONE full-outer pass classifies every rep-pair as truth/candidate/
-    # both, so truth and cand lineages each execute exactly once.
-    ca = counts.select(F.col("rep").alias("doc_a"), F.col("cnt").alias("cnt_a"))
-    cb = counts.select(F.col("rep").alias("doc_b"), F.col("cnt").alias("cnt_b"))
+    # both, so truth and cand lineages each execute exactly once; the
+    # weights arrive on BOTH sides, so the outer join needs no fill-in.
     pairs = (
         truth.withColumn("is_t", F.lit(1))
+        .withColumnsRenamed({"cnt_a": "tca", "cnt_b": "tcb"})
         .join(cand.withColumn("is_c", F.lit(1)), ["doc_a", "doc_b"], "full")
-        .join(ca, "doc_a")
-        .join(cb, "doc_b")
     )
-    wgt = F.col("cnt_a") * F.col("cnt_b")
+    wgt = F.coalesce("tca", "cnt_a") * F.coalesce("tcb", "cnt_b")
     tallies = pairs.agg(
         F.coalesce(F.sum(wgt * F.coalesce("is_t", F.lit(0))), F.lit(0)).alias("t0"),
         F.coalesce(F.sum(wgt * F.coalesce("is_c", F.lit(0))), F.lit(0)).alias("c0"),
@@ -1060,7 +1107,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("h0"),
     )
-    within = counts.agg(
+    within = rep_docs.agg(
         F.coalesce(
             F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2), F.lit(0)
         ).cast("long").alias("n_within")

@@ -64,12 +64,21 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_payload(payload: bytes, mime: str, fake: bool = False) -> dict:
-    """Decode one media payload.  Real codecs are not available in this
-    environment — callers must opt into the deterministic fake."""
+    """Decode one media payload.  Uncompressed containers (BMP, WAV/PCM)
+    decode for REAL via the dependency-free parsers in media_codec.py
+    (certified by `multimodal_decode`); compressed codecs (PNG, MP4) are
+    not available in this environment — callers opt into the
+    deterministic fake for those."""
     if not fake:
+        from go_pulsar_elasticsearch_spark.llm import media_codec
+
+        if mime in ("image/bmp", "image/x-ms-bmp"):
+            return media_codec.decode_bmp(payload)
+        if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+            return media_codec.decode_wav(payload)
         raise NotImplementedError(
-            "media codecs (PIL/librosa/av) not installed; pass fake=True "
-            "for the deterministic byte-statistics decoder"
+            f"no codec for {mime} (PIL/librosa/av not installed); pass "
+            "fake=True for the deterministic byte-statistics decoder"
         )
     n = len(payload)
     return {
@@ -312,4 +321,131 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "doc_id long, byte_len long, n_distinct_bytes long, "
         "top_byte_hex string, top_byte_count long",
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_decode — REAL container decode (BMP + WAV), hash-certified.
+# Each doc synthesizes a spec-conformant payload from doc_id arithmetic,
+# round-trips it through the real encoder AND parser (media_codec.py),
+# and emits the PARSED header fields + exact channel/sample statistics;
+# the oracle recomputes the same values from the generating arithmetic
+# without ever seeing bytes.  A parser bug (wrong offset, missed row
+# padding, bad chunk walk, endianness) cannot hash-match.
+# --------------------------------------------------------------------------
+
+_DECODE_ORACLE = """
+WITH bmp AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), bmp_px AS (
+  SELECT doc_id, w, h,
+         SUM((doc_id*7  + (i % w) + 3*(i // w)) % 256) AS sum_r,
+         SUM((doc_id*11 + 2*(i % w) + (i // w)) % 256) AS sum_g,
+         SUM((doc_id*13 + (i % w) + (i // w)) % 256) AS sum_b
+  FROM (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM bmp)
+  GROUP BY 1, 2, 3
+), wav AS (
+  SELECT doc_id, 50 + doc_id % 100 AS n, 8000 + (doc_id % 3)*4000 AS rate
+  FROM documents WHERE doc_id % 2 = 1
+), wav_s AS (
+  SELECT doc_id, n, rate,
+         SUM(abs((doc_id*31 + i*17) % 4096 - 2048)) AS sum_abs,
+         MAX(abs((doc_id*31 + i*17) % 4096 - 2048)) AS peak
+  FROM (SELECT doc_id, n, rate, unnest(range(0, n)) AS i FROM wav)
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, 'bmp' AS kind,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w*h AS BIGINT) AS n_units,
+       CAST(NULL AS BIGINT) AS sample_rate,
+       CAST(sum_r + sum_g + sum_b AS BIGINT) AS sum_values,
+       CAST(sum_r + sum_g + sum_b AS DOUBLE) / (3*w*h) AS mean_value,
+       CAST(NULL AS BIGINT) AS peak_abs
+FROM bmp_px
+UNION ALL
+SELECT doc_id, 'wav',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(n AS BIGINT),
+       CAST(rate AS BIGINT),
+       CAST(sum_abs AS BIGINT),
+       CAST(sum_abs AS DOUBLE) / n,
+       CAST(peak AS BIGINT)
+FROM wav_s
+"""
+
+
+@register("multimodal_decode", _DECODE_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode over BinaryType payloads: even doc_ids carry a
+    24-bit BMP (width 4-16, height 3-9, channel values from doc_id
+    arithmetic), odd doc_ids a 16-bit PCM WAV (50-149 samples at
+    8/12/16 kHz).  The mapInPandas stage encodes the payload with the
+    real encoder, parses it back with the real parser, and emits ONLY
+    parsed values: dimensions/rates from the headers, channel/sample
+    sums from the pixel rows and PCM frames.  mean_value is an exact
+    integer ratio (both engines divide the same exact ints — IEEE
+    division is correctly rounded, so doubles match bitwise).
+
+    At 100 TB the shape is the production one: payload bytes stream
+    through Arrow batches, one Python decode per blob, no shuffle at
+    all (the plan is scan -> mapInPandas)."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = 4 + d % 13, 3 + d % 7
+                    grid = [
+                        [
+                            (
+                                (d * 7 + x + 3 * y) % 256,
+                                (d * 11 + 2 * x + y) % 256,
+                                (d * 13 + x + y) % 256,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    parsed = decode_bmp(encode_bmp(w, h, grid))
+                    s = parsed["sum_r"] + parsed["sum_g"] + parsed["sum_b"]
+                    rows.append((
+                        d, "bmp", parsed["width"], parsed["height"],
+                        parsed["n_pixels"], None, s,
+                        s / (3 * parsed["n_pixels"]), None,
+                    ))
+                else:
+                    n = 50 + d % 100
+                    rate = 8000 + (d % 3) * 4000
+                    samples = [(d * 31 + i * 17) % 4096 - 2048 for i in range(n)]
+                    parsed = decode_wav(encode_wav(rate, samples))
+                    rows.append((
+                        d, "wav", None, None, parsed["n_samples"],
+                        parsed["sample_rate"], parsed["sum_abs"],
+                        parsed["sum_abs"] / parsed["n_samples"],
+                        parsed["peak_abs"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "width", "height", "n_units",
+                    "sample_rate", "sum_values", "mean_value", "peak_abs",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, kind string, width long, height long, n_units long, "
+        "sample_rate long, sum_values long, mean_value double, peak_abs long",
     )

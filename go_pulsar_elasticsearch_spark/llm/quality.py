@@ -188,7 +188,12 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hsegs.join(freq.filter(F.col("df") >= _SEG_MAX_DF), "h")
         .select("doc_id", "j", F.lit(True).alias("rm"))
     )
-    joined = segs.join(F.broadcast(dropped), ["doc_id", "j"], "left")
+    # No broadcast hint: `dropped` scales with total boilerplate
+    # occurrences corpus-wide ((doc_id, j) per hit), which a high
+    # boilerplate fraction makes arbitrarily large — AQE picks broadcast
+    # when it actually fits, and a sort-merge join on (doc_id, j) stays
+    # correct at any scale.
+    joined = segs.join(dropped, ["doc_id", "j"], "left")
     kept_arr = F.array_sort(
         F.collect_list(
             F.when(F.col("rm").isNull(), F.struct("j", "seg"))

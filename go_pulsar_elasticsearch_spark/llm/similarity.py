@@ -1143,7 +1143,8 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("crk", F.row_number().over(cand_w))
         .filter(F.col("crk") <= _PQ_RERANK)
     )
-    # exact re-rank: raw-vector cosine for the 40 candidates per query
+    # exact re-rank: raw-vector cosine for the top-_PQ_RERANK candidates
+    # per query
     qn = {int(i): q for i, q in zip(qids, qmat)}
 
     def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

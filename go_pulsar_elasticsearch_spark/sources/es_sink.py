@@ -75,7 +75,8 @@ def enforce_strict_mapping(
     mistyped = [
         f
         for f in df.schema.fields
-        # asNullable() normalizes nullability recursively (arrays/structs)
+        # simpleString() drops nullability at every nesting level
+        # (arrays/structs included), so this compares types modulo null
         if _canon(f.dataType) != _canon(declared[f.name])
     ]
     if mistyped:

@@ -63,3 +63,106 @@ def test_frame_sampling_bytes(spark, sf_dir):
             for k in range(0, (len(payload) + 255) // 256, 2)
         }
         assert got[row["doc_id"]] == expect
+
+
+# --------------------------------------------------------------------------
+# media_codec golden fixtures: pin the BMP/WAV byte layouts to the spec so
+# an encoder/decoder bug pair cannot cancel out in the round-trip query
+# --------------------------------------------------------------------------
+
+import struct
+
+from go_pulsar_elasticsearch_spark.llm.media_codec import (
+    MediaFormatError,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
+
+
+def test_bmp_golden_bytes_2x2():
+    """Hand-assembled expected bytes: 2x2, 24-bit, rows bottom-up, BGR,
+    stride 2*3=6 -> padded to 8 with two zero bytes per row."""
+    grid = [[(255, 0, 0), (0, 255, 0)],   # top row:    red, green
+            [(0, 0, 255), (10, 20, 30)]]  # bottom row: blue, rgb(10,20,30)
+    data = encode_bmp(2, 2, grid)
+    assert data[:2] == b"BM"
+    assert struct.unpack_from("<I", data, 2)[0] == len(data) == 54 + 16
+    assert struct.unpack_from("<I", data, 10)[0] == 54          # pixel offset
+    assert struct.unpack_from("<ii", data, 18) == (2, 2)        # w, h
+    assert struct.unpack_from("<H", data, 28)[0] == 24          # bpp
+    # bottom row first: blue=(0,0,255)->BGR ff 00 00; (10,20,30)->1e 14 0a
+    assert data[54:62] == bytes([255, 0, 0, 30, 20, 10, 0, 0])
+    # then top row: red -> 00 00 ff ; green -> 00 ff 00
+    assert data[62:70] == bytes([0, 0, 255, 0, 255, 0, 0, 0])
+    parsed = decode_bmp(data)
+    assert parsed == {
+        "width": 2, "height": 2, "n_pixels": 4,
+        "sum_r": 265, "sum_g": 275, "sum_b": 285, "top_down": False,
+    }
+
+
+def test_bmp_row_padding_and_topdown():
+    # width 3 -> raw stride 9, padded stride 12: padding must be skipped
+    grid = [[(1, 2, 3)] * 3, [(4, 5, 6)] * 3]
+    parsed = decode_bmp(encode_bmp(3, 2, grid))
+    assert (parsed["sum_r"], parsed["sum_g"], parsed["sum_b"]) == (15, 21, 27)
+    # top-down variant: negative height, rows in natural order
+    data = bytearray(encode_bmp(3, 2, grid))
+    struct.pack_into("<i", data, 22, -2)
+    rows = data[54:]
+    parsed2 = decode_bmp(bytes(data[:54]) + bytes(rows))
+    assert parsed2["top_down"] is True
+    assert parsed2["sum_r"] == 15 and parsed2["n_pixels"] == 6
+
+
+def test_bmp_rejects_garbage_and_truncation():
+    with pytest.raises(MediaFormatError, match="magic"):
+        decode_bmp(b"PNG....")
+    ok = encode_bmp(2, 2, [[(0, 0, 0)] * 2] * 2)
+    with pytest.raises(MediaFormatError, match="truncated"):
+        decode_bmp(ok[:-3])
+
+
+def test_wav_golden_bytes_and_chunk_walk():
+    samples = [0, 1000, -1000, 32767, -32768]
+    data = encode_wav(8000, samples)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert data[12:16] == b"fmt " and struct.unpack_from("<I", data, 16)[0] == 16
+    fmt_code, n_ch, rate = struct.unpack_from("<HHI", data, 20)
+    assert (fmt_code, n_ch, rate) == (1, 1, 8000)
+    assert data[36:40] == b"data"
+    assert struct.unpack_from("<h", data, 46)[0] == 1000  # sample[1], LE int16
+    parsed = decode_wav(data)
+    assert parsed == {
+        "n_channels": 1, "sample_rate": 8000, "bits_per_sample": 16,
+        "n_samples": 5, "sum_abs": 0 + 1000 + 1000 + 32767 + 32768,
+        "peak_abs": 32768,
+    }
+    # insert an odd-sized LIST chunk between fmt and data: the walker
+    # must skip it (word-aligned) and still find the data chunk
+    lst = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = data[:36] + lst + data[36:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == parsed
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    with pytest.raises(MediaFormatError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    data = bytearray(encode_wav(8000, [1, 2, 3]))
+    struct.pack_into("<H", data, 20, 3)  # audioFormat = IEEE float
+    with pytest.raises(MediaFormatError, match="PCM"):
+        decode_wav(bytes(data))
+
+
+def test_decode_payload_routes_real_codecs():
+    from go_pulsar_elasticsearch_spark.llm.multimodal import decode_payload
+
+    bmp = encode_bmp(2, 1, [[(9, 9, 9), (1, 1, 1)]])
+    assert decode_payload(bmp, "image/bmp")["sum_r"] == 10
+    wav = encode_wav(16000, [5, -5])
+    assert decode_payload(wav, "audio/wav")["sum_abs"] == 10
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG", "image/png")

@@ -7,9 +7,17 @@ scales ~linearly from sf0.1 to sf1-equivalent on the same 32 cores, its
 shuffle/join structure has no quadratic or driver-bound term hiding in
 it (a plan with one would blow past linear immediately at 10x).
 
-Usage: python tools/scale_probe.py [src_sf_dir] [replicas] [query ...]
-Writes /tmp/gpe_scale_x{N}; prints one JSON line per query with base
-and scaled steady-state latencies and the ratio.
+Usage: python tools/scale_probe.py [src_sf_dir] [replicas] [--mutate] [query ...]
+Writes /tmp/gpe_scale_x{N} (or ..._mut); prints one JSON line per query
+with base and scaled steady-state latencies and the ratio.
+
+--mutate: perturb ~5% of words per documents replica (deterministic
+hash-positioned, suffix-tagged) so replicas are NEAR-duplicates of the
+original rather than exact copies.  This is the honest adversary for
+the post-r3 dedup family: exact copies collapse via exact_text_groups
+before any LSH work, so exact-copy replicas no longer stress the
+banding/verification path at all — mutated copies cannot collapse and
+must flow through the full LSH + verify machinery.
 """
 
 from __future__ import annotations
@@ -45,7 +53,7 @@ _OFFSETS = {
 _DIMS = ("region", "nation", "supplier", "part")  # shared, not replicated
 
 
-def build(spark, src: str, dst: str, replicas: int) -> None:
+def build(spark, src: str, dst: str, replicas: int, mutate: bool = False) -> None:
     if os.path.exists(dst):
         shutil.rmtree(dst)
     os.makedirs(dst)
@@ -59,6 +67,21 @@ def build(spark, src: str, dst: str, replicas: int) -> None:
                 p = df
                 for col, step in _OFFSETS[name].items():
                     p = p.withColumn(col, F.col(col) + F.lit(i * step))
+                if mutate and name == "documents" and i > 0:
+                    # ~5% of word positions per copy get a replica-tagged
+                    # suffix; positions vary by (doc, position, replica)
+                    # via murmur3 (deterministic for fixed args), so each
+                    # copy is a ~0.95-Jaccard NEAR-dup of the original —
+                    # it cannot exact-collapse, and its shingles/sigs
+                    # genuinely differ
+                    p = p.withColumn(
+                        "text",
+                        F.expr(
+                            "concat_ws(' ', transform(split(text, ' '),"
+                            f" (w, j) -> CASE WHEN pmod(hash(doc_id, j, {i}), 20) = 0"
+                            f" THEN concat(w, '~{i}') ELSE w END))"
+                        ),
+                    )
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
@@ -92,13 +115,17 @@ DEFAULT_QUERIES = [
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    names = sys.argv[3:] or DEFAULT_QUERIES
-    dst = f"/tmp/gpe_scale_x{replicas}"
+    args = [a for a in sys.argv[1:]]
+    mutate = "--mutate" in args
+    if mutate:
+        args.remove("--mutate")
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    replicas = int(args[1]) if len(args) > 1 else 10
+    names = args[2:] or DEFAULT_QUERIES
+    dst = f"/tmp/gpe_scale_x{replicas}" + ("_mut" if mutate else "")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, dst, replicas)
+    build(spark, src, dst, replicas, mutate)
     for name in names:
         base = steady(spark, name, src)
         big = steady(spark, name, dst)
