@@ -128,18 +128,23 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary lands in the later bin).  Output is the shard manifest:
     bin -> doc range + token count.
 
-    The global-order running sum is the manifest pass (rows = documents,
-    not tokens); at extreme scale replace with the standard two-pass
-    prefix sum — per-partition subtotals broadcast back as offsets; the
-    binning math is unchanged."""
+    The running total is the standard two-pass prefix sum
+    (functions/prefix.py): range-partition on doc_id, per-partition
+    running sums, n_partitions offsets broadcast back — no global-order
+    window, so the manifest pass scales with the cluster."""
+    from go_pulsar_elasticsearch_spark.functions.prefix import global_running_sum
+
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     n_tokens = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("bigint")
-    win = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    binned = docs.select("doc_id", n_tokens.alias("n_tokens")).select(
+    cum = global_running_sum(
+        docs.select("doc_id", n_tokens.alias("n_tokens")),
+        [F.col("doc_id")], "n_tokens", "running", "pack_prefix",
+    )
+    binned = cum.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(win) - 1) / _BIN_TOKENS).alias("bin_id"),
+        F.floor((F.col("running") - 1) / _BIN_TOKENS).alias("bin_id"),
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
 from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.prefix import global_running_sum
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE, _MARKERS, _STOPWORDS_RE
 from go_pulsar_elasticsearch_spark.registry import register
@@ -153,39 +154,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = kept.join(near_drop, "doc_id", "left_anti")
 
     # 5. token accounting with a running corpus total — two-pass prefix
-    # sum, NO global-order window anywhere in the plan:
-    #   pass 1: range-partition on doc_id (RangePartitioner guarantees
-    #           partition i holds strictly lower doc_ids than i+1) and
-    #           take a per-partition running sum (sort within partition,
-    #           no global sort);
-    #   pass 2: the per-partition totals (one row per partition) become
-    #           exclusive prefix offsets — the only ordered window runs
-    #           over n_partitions rows, data-size-independent — and are
-    #           broadcast back.
-    # running = partition offset + within-partition running sum.
+    # sum (functions/prefix.py): range-partition on doc_id, local
+    # running sums, n_partitions offsets broadcast back.  NO
+    # global-order window anywhere in the plan.
     n_tokens = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).cast("bigint")
     toks = survivors.select("doc_id", n_tokens.alias("n_tokens"))
-    ranged = cache_slot(
-        "curation_ranged",
-        toks.repartitionByRange(16, "doc_id").withColumn(
-            "_pid", F.spark_partition_id()
-        ),
-    )
-    part_w = (
-        Window.partitionBy("_pid").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn("_local_run", F.sum("n_tokens").over(part_w))
-    off_w = (
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_psum"))
-        .withColumn("_offset", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)))
-        .select("_pid", "_offset")
-    )
-    return local.join(F.broadcast(offsets), "_pid").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("_offset") + F.col("_local_run")).alias("running_tokens"),
-    )
+    return global_running_sum(
+        toks, [F.col("doc_id")], "n_tokens", "running_tokens",
+        "curation_prefix",
+    ).select("doc_id", "n_tokens", "running_tokens")

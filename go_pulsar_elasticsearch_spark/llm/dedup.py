@@ -189,7 +189,14 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
     list and no consumer ever needs a `groupBy(doc_id).count()` sizes
     shuffle or its re-join.  Slot-cached: the posting-list self-join
     consumes this frame from both sides, and re-exploding the corpus
-    per side is the expensive part."""
+    per side is the expensive part.
+
+    Plan-shape note: `n` and the exploded elements come out of ONE
+    `inline(transform(arr, s -> struct(size(arr), s)))` generator, so
+    the expensive shingle-array build is evaluated once per row as the
+    Generate input.  Referencing `arr` from two separate projections
+    (`size(arr)` + `explode(arr)`) makes Catalyst re-derive the array
+    build around the Generate — measured 9x slower at sf0.1."""
     arrs = doc_shingle_arrays(docs)
     extra = [c for c in arrs.columns if c == "cnt"]
     return cache_slot(
@@ -197,8 +204,9 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
         arrs.select(
             "doc_id",
             *extra,
-            F.size("arr").alias("n"),
-            F.explode("arr").alias("shingle"),
+            F.inline(
+                F.expr("transform(arr, s -> struct(size(arr) AS n, s AS shingle))")
+            ),
         ),
     )
 

@@ -382,9 +382,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer recency (days before the
     as-of date), order frequency and exact monetary total, each cut into
     quartile bands (ntile with a deterministic custkey tie-break).  One
-    customer-keyed aggregation; the three ntile windows run over the
-    small per-customer table, not raw orders."""
+    customer-keyed aggregation; each quartile cut is the two-pass
+    global ntile (functions/prefix.py) — range partition + local row
+    numbers + broadcast offsets + SQL-standard tile arithmetic — so no
+    band requires a single-partition sort of the customer table."""
     from go_pulsar_elasticsearch_spark.functions.exact import dsum
+    from go_pulsar_elasticsearch_spark.functions.prefix import global_ntile
 
     tune(spark)
     o = t(spark, sf_dir, "orders")
@@ -396,21 +399,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dsum("o_totalprice", scale=2).alias("monetary"),
     )
-    return per_cust.select(
+    banded = global_ntile(
+        per_cust, [F.asc("recency_days"), F.asc("custkey")], 4, "r_band",
+        "rfm_r",
+    )
+    banded = global_ntile(
+        banded, [F.desc("frequency"), F.asc("custkey")], 4, "f_band", "rfm_f"
+    )
+    banded = global_ntile(
+        banded, [F.desc("monetary"), F.asc("custkey")], 4, "m_band", "rfm_m"
+    )
+    return banded.select(
         "custkey",
         F.col("recency_days").cast("int").alias("recency_days"),
         "frequency",
         "monetary",
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("custkey")))
-        .cast("int")
-        .alias("r_band"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .cast("int")
-        .alias("f_band"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-        .cast("int")
-        .alias("m_band"),
+        F.col("r_band").cast("int").alias("r_band"),
+        F.col("f_band").cast("int").alias("f_band"),
+        F.col("m_band").cast("int").alias("m_band"),
     )

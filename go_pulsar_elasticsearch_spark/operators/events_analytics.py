@@ -888,15 +888,19 @@ def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark decision: `withWatermark` should cover the bucket that
     holds your completeness target (e.g. p99).
 
-    The arrival-order running max is a single global sort — this is a
-    DIAGNOSTIC run on a sample/window at 100 TB (the plan is the same;
-    only the input is bounded), not a data-path operator."""
+    The arrival-order high-water mark is the two-pass prefix MAX
+    (functions/prefix.py) — range-partitioned on arrival order, local
+    running maxes, prior-partition maxes broadcast back — so even this
+    diagnostic runs without a global sort."""
+    from go_pulsar_elasticsearch_spark.functions.prefix import global_running_max
+
     tune(spark)
     ev = t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    hw = global_running_max(
+        ev.select("event_id", "ts"), [F.col("event_id")], "ts", "hwm",
+        "late_prefix",
     )
-    late_ms = F.unix_millis(F.max("ts").over(w)) - F.unix_millis("ts")
+    late_ms = F.unix_millis("hwm") - F.unix_millis("ts")
     bucket = (
         F.when(late_ms == 0, "on-time")
         .when(late_ms <= 60000, "<=1min")
@@ -906,7 +910,7 @@ def late_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(">1d")
     )
     return (
-        ev.select(bucket.alias("lateness_bucket"), late_ms.alias("late_ms"))
+        hw.select(bucket.alias("lateness_bucket"), late_ms.alias("late_ms"))
         .groupBy("lateness_bucket")
         .agg(
             F.count("*").alias("n"),

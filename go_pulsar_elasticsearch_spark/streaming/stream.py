@@ -121,6 +121,8 @@ def run_ingest_pipeline(
     metrics: StreamMetrics | None = None,
     available_now: bool = True,
     processing_time: str = "30 seconds",
+    bulk_endpoint: str | None = None,
+    bulk_opts=None,
 ):
     """Wire the full ingest stream.  `source` must already contain
     IngestionData columns plus a nullable `parsed` marker column (from
@@ -140,7 +142,15 @@ def run_ingest_pipeline(
 
     Returns the started StreamingQuery.  Trigger default availableNow
     (drain-and-stop, used by tests); production uses processingTime ≡
-    the reference's BATCH_MAX_TIME=30s flush (.env:14)."""
+    the reference's BATCH_MAX_TIME=30s flush (.env:14).
+
+    `bulk_endpoint` switches the main sink from the parquet
+    dated-partition stand-in to the real ES `_bulk` wire protocol
+    (sources/es_bulk.py): strict-mapping gate, per-partition bulk
+    posts, per-ITEM failures routed to `<dlq_dir>/items/epoch=N` —
+    the reference's intended R8+R9 semantics against a live cluster
+    (or the pytest mock endpoint).  The parquet path remains the
+    jar-free local default."""
     key_cols = key_cols or ["uuid"]
     if tiebreak in key_cols:
         raise ValueError(
@@ -169,18 +179,37 @@ def run_ingest_pipeline(
             )
             n_main = derived.count()  # pre-collapse, matching the
             # reference's Indexed counter — ES collapses doc-ids
+            n_item_dlq = 0
             if n_main:
                 deduped = upsert_last_write_wins(
                     derived, key_cols, "ingestion_time", tiebreak
                 )
-                # R11: dated partitions behind the stable sink path.
-                (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
-                 .write.mode("append").partitionBy("ingest_date")
-                 .format("parquet").save(sink_dir))
+                if bulk_endpoint is not None:
+                    # R8 over the wire: ES collapses doc-ids itself, but
+                    # the in-batch upsert still saves redundant sends
+                    from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+                        write_batch_via_bulk,
+                    )
+
+                    res = write_batch_via_bulk(
+                        deduped.drop("ingest_date"),
+                        epoch_id,
+                        bulk_endpoint,
+                        os.path.join(dlq_dir, "items"),
+                        opts=bulk_opts,
+                    )
+                    n_item_dlq = res["dlq"]
+                else:
+                    # R11: dated partitions behind the stable sink path.
+                    (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
+                     .write.mode("append").partitionBy("ingest_date")
+                     .format("parquet").save(sink_dir))
             m.received += n_main + n_dlq
-            m.indexed += n_main
-            m.dlq += n_dlq
-            m.batches.append({"epoch": epoch_id, "main": n_main, "dlq": n_dlq})
+            m.indexed += n_main - n_item_dlq
+            m.index_errors += n_item_dlq
+            m.dlq += n_dlq + n_item_dlq
+            m.batches.append({"epoch": epoch_id, "main": n_main - n_item_dlq,
+                              "dlq": n_dlq + n_item_dlq})
         finally:
             batch_df.unpersist()
 

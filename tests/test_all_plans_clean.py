@@ -26,6 +26,50 @@ _SKIP = {"stream_ingest_e2e"}
 _SHRINKING = "currentrow$(),unboundedfollowing$()"
 
 
+# Global-order windows (Window.orderBy with NO partitionBy -> Exchange
+# SinglePartition + global sort) are the one construct that cannot scale
+# past one executor.  Allowed ONLY where the windowed frame is
+# data-size-independent by construction:
+#   - curation_pipeline: prefix-sum offsets over n_partitions rows (16)
+#   - histogram_equi_width / interp_linear-style grids: bounded bins
+# Every other query must keep windows partitioned.
+_GLOBAL_WINDOW_OK = {
+    "bm25_search",            # rank over the post-limit top-k rows only
+    "rrf_hybrid_search",      # both rank windows run after .limit(k)
+    "more_like_this",         # top-idf term table: vocab-bounded
+    "significant_terms",      # vocab-bounded term table
+    "vocab_topk",             # vocab-bounded
+    "bpe_merge_stats",        # char-pair vocab-bounded table
+    "cooccurrence_pmi",       # |vocab|^2-bounded pair table
+    "quality_drift_monitor",  # 30-row daily rollup
+    "sql_surface_lateral",    # SQL front-door demo: the statement IS the op
+}
+
+
+def _has_global_order_window(plan: str) -> bool:
+    """Physical Window prints `Arguments: [exprs], [partSpec], [orderSpec]`
+    with EMPTY groups omitted: a partitioned+ordered window shows two
+    `], [` group separators, an unpartitioned (global) ordered window only
+    one — and its last group carries the sort direction.  (A partition-only
+    window also shows one separator but no ASC/DESC in the final group.)"""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.strip().startswith("(") and ln.strip().endswith(" Window"):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                arg = lines[j].strip()
+                if arg.startswith("Arguments:"):
+                    if arg.count("], [") == 1:
+                        last = arg.rsplit("], [", 1)[-1]
+                        if (" ASC" in last or " DESC" in last) and (
+                            "_pid#" not in last
+                        ):
+                            # _pid-ordered windows are functions/prefix.py's
+                            # offsets pass: n_partitions rows by construction
+                            return True
+                    break
+    return False
+
+
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in _SKIP))
 def test_plan_is_clean(spark, sf_dir, name):
     from go_pulsar_elasticsearch_spark.plans.inspect import formatted_plan
@@ -39,3 +83,9 @@ def test_plan_is_clean(spark, sf_dir, name):
     assert _SHRINKING not in low.replace(" ", ""), (
         f"{name}: shrinking window frame (O(n^2))"
     )
+    if name not in _GLOBAL_WINDOW_OK:
+        assert not _has_global_order_window(plan), (
+            f"{name}: global-order window (Window.orderBy without "
+            "partitionBy — SinglePartition sort; partition it or add to "
+            "_GLOBAL_WINDOW_OK with a bounded-frame justification)"
+        )

@@ -228,3 +228,52 @@ def test_streaming_foreachbatch_end_to_end(spark, mock_es, tmp_path):
     poison_rows = spark.read.parquet(parse_dlq).collect()
     assert len(poison_rows) == 2
     assert metrics.indexed == 4 and metrics.index_errors == 1 and metrics.dlq == 3
+
+
+def test_run_ingest_pipeline_with_bulk_sink(spark, mock_es, tmp_path):
+    """run_ingest_pipeline(bulk_endpoint=...) swaps the parquet sink for
+    the wire-protocol bulk path: docs land in the mock index keyed by
+    uuid (in-batch duplicates collapse before the wire), per-item
+    failures land in <dlq>/items, and the counters reconcile."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.streaming.stream import (
+        StreamMetrics,
+        decode_json_payload,
+        file_stream,
+        run_ingest_pipeline,
+    )
+
+    state, url = mock_es
+    state.fail_ids = {"uuid-3"}
+    src = str(tmp_path / "src")
+    rows = []
+    for i in range(6):
+        rows.append(json.dumps({
+            "identifier": f"id-{i}", "name": f"n-{i}",
+            # uuid-0 appears twice (i=0 and i=5): upsert keeps the later
+            # ingestion_time before anything reaches the wire
+            "uuid": f"uuid-{i % 5}", "type": "t",
+            "ingestion_time": 1622548800000 + i * 1000,
+        }))
+    spark.createDataFrame([(v,) for v in rows], "value string") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    metrics = StreamMetrics()
+    raw = file_stream(spark, src, schema="value string", max_files=8)
+    q = run_ingest_pipeline(
+        spark,
+        decode_json_payload(raw),
+        sink_dir=str(tmp_path / "sink"),
+        dlq_dir=str(tmp_path / "dlq"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics=metrics,
+        bulk_endpoint=url,
+    )
+    q.awaitTermination()
+
+    assert sorted(state.docs) == ["uuid-0", "uuid-1", "uuid-2", "uuid-4"]
+    assert state.docs["uuid-0"]["name"] == "n-5"  # last write won pre-wire
+    item_rows = spark.read.parquet(str(tmp_path / "dlq" / "items")).collect()
+    assert [r.uuid for r in item_rows] == ["uuid-3"]
+    assert metrics.indexed == 6 - 1 and metrics.index_errors == 1
