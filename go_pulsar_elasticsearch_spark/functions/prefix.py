@@ -34,9 +34,14 @@ _N_PARTS = 16
 
 def _ranged(df: DataFrame, order_exprs: list[Column], slot_key: str,
             n_parts: int) -> DataFrame:
+    # cache the input too: repartitionByRange EXECUTES its child twice
+    # (once to sample range boundaries, once to shuffle), and chained
+    # prefix calls would otherwise re-run the whole upstream lineage
+    # for every sampling pass
+    src = cache_slot(slot_key + "_src", df)
     return cache_slot(
         slot_key,
-        df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        src.repartitionByRange(n_parts, *order_exprs).withColumn(
             "_pid", F.spark_partition_id()
         ),
     )
@@ -124,21 +129,36 @@ def global_ntile(df: DataFrame, order_exprs: list[Column], n: int,
     """out = NTILE(n) OVER (ORDER BY order_exprs), via the two-pass row
     number + SQL-standard tile arithmetic: with N rows, the first N%n
     tiles hold ceil(N/n) rows, the rest floor(N/n) — exactly Spark's and
-    DuckDB's ntile."""
-    rn_col = f"_{out_col}_rn"
-    with_rn = global_row_number(df, order_exprs, rn_col, slot_key, n_parts)
-    # total row count: 1-row frame, broadcast (offsets already summed
-    # per partition, but the simplest exact form is a count over df)
-    total = with_rn.groupBy().agg(F.max(rn_col).alias("_N"))
+    DuckDB's ntile.  The total N comes from the same n_partitions-row
+    offsets frame as the row numbers (no extra full pass over df)."""
+    ranged = _ranged(df, order_exprs, slot_key, n_parts)
+    local_w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pagg"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_pagg").over(off_w), F.lit(0))
+        )
+        .withColumn(
+            "_N",
+            F.sum("_pagg").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select("_pid", "_off", "_N")
+    )
+    rn = F.col("_off") + F.col("_loc")
     q = F.floor(F.col("_N") / n)
     r = F.col("_N") % n
     big = q + 1  # tile size for the first r tiles
-    rn = F.col(rn_col)
     tile = F.when(
         rn <= r * big, F.floor((rn - 1) / big) + 1
     ).otherwise(r + F.floor((rn - r * big - 1) / q) + 1)
     return (
-        with_rn.crossJoin(F.broadcast(total))
+        ranged.withColumn("_loc", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, tile)
-        .drop(rn_col, "_N")
+        .drop("_pid", "_loc", "_off", "_N")
     )

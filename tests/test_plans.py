@@ -178,3 +178,48 @@ def test_large_side_does_not_broadcast_below_threshold(spark, sf_dir):
         assert "BroadcastHashJoin" not in kinds, kinds
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_no_sizes_or_counts_rejoin_in_dedup_family(spark, sf_dir):
+    """Round-4 structural guarantee, asserted on the OPTIMIZED logical
+    plan (stable across cache/AQE state, unlike textual exchange
+    counts — PLANS.md records those per round): the posting-list ops
+    must not re-aggregate per-doc sizes or collapse-group counts into a
+    separate frame that is joined back on.  Sizes/weights ride the
+    posting list map-side, so no `Aggregate [doc_id]`-shaped subtree
+    may appear in these plans (the pair aggregation groups on BOTH ids
+    and is allowed; exact_text_groups' collapse groups on the hash)."""
+    for name in ["ngram_jaccard", "minhash_verify_jaccard",
+                 "minhash_recall_eval"]:
+        df = QUERIES[name](spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            ln = line.strip().lstrip("+-: ")
+            if ln.startswith("Aggregate ["):
+                keys = ln.split("[", 1)[1].split("]", 1)[0]
+                assert not (
+                    keys.count("#") == 1 and "doc_id" in keys
+                ), f"{name}: single-doc_id-keyed aggregate (sizes re-join?): {ln[:120]}"
+
+
+def test_no_global_sort_in_prefix_ops(spark, sf_dir):
+    """The functions/prefix.py rewrites must never reintroduce the
+    Exchange SinglePartition + global Sort pair on a data-sized frame:
+    every Sort in these plans is within range partitions, and the only
+    SinglePartition exchanges feed scalar/bounded aggregates, never a
+    Sort."""
+    from go_pulsar_elasticsearch_spark.plans.inspect import formatted_plan
+
+    for name in ["curation_pipeline", "pack_sequences", "late_data_profile",
+                 "rfm_segmentation"]:
+        plan = formatted_plan(QUERIES[name](spark, sf_dir))
+        lines = [ln.strip() for ln in plan.splitlines()]
+        for i, ln in enumerate(lines):
+            if "Arguments: SinglePartition" in ln:
+                # the node two lines up is the Exchange; its parent
+                # (previous numbered node) must not be a Sort
+                above = [l for l in lines[:i] if l.startswith("(")]
+                if len(above) >= 2:
+                    assert not above[-2].endswith(" Sort"), (
+                        f"{name}: global sort fed by SinglePartition exchange"
+                    )
