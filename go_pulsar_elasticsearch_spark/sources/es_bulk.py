@@ -236,6 +236,40 @@ def bulk_index_rows(df: DataFrame, endpoint: str,
 # Startup DDL: dated index + alias (es.go:78-116)
 # --------------------------------------------------------------------------
 
+# Transcription of schema/es/mapping.json `mappings` (the body the
+# reference fmt.Sprintf-interpolates at es.go:83): dynamic strict
+# (mapping.json:11), keyword exact-match ids (:21-23, :38-40), text +
+# .keyword dual-indexed fields (:13-20, :24-31, :47-54), date columns
+# (:32-37), and `tags` as a nested object array (:41-56).
+INDEX_MAPPING_ES = {
+    "_source": {"enabled": True},
+    "dynamic": "strict",
+    "properties": {
+        "type": {
+            "type": "text",
+            "fields": {"keyword": {"type": "keyword"}},
+        },
+        "identifier": {"type": "keyword"},
+        "name": {
+            "type": "text",
+            "fields": {"keyword": {"type": "keyword"}},
+        },
+        "ingestion_time": {"type": "date"},
+        "persist_time": {"type": "date"},
+        "uuid": {"type": "keyword"},
+        "tags": {
+            "type": "nested",
+            "properties": {
+                "type": {"type": "text"},
+                "value": {
+                    "type": "text",
+                    "fields": {"keyword": {"type": "keyword"}},
+                },
+            },
+        },
+    },
+}
+
 
 def _http(endpoint: str, path: str, method: str, payload: dict | None,
           timeout_s: float = 10.0) -> tuple[int, dict]:

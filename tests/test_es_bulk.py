@@ -277,3 +277,40 @@ def test_run_ingest_pipeline_with_bulk_sink(spark, mock_es, tmp_path):
     item_rows = spark.read.parquet(str(tmp_path / "dlq" / "items")).collect()
     assert [r.uuid for r in item_rows] == ["uuid-3"]
     assert metrics.indexed == 6 - 1 and metrics.index_errors == 1
+
+
+def test_reference_mapping_transcription(mock_es):
+    """INDEX_MAPPING_ES mirrors schema/es/mapping.json exactly: strict
+    dynamic, keyword ids, text+.keyword duals, date columns, nested
+    tags (tags.type is text, not keyword); ensure_dated_index ships it
+    with the interpolated settings (mapping.json:3-5)."""
+    from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+        INDEX_MAPPING_ES,
+        ensure_dated_index,
+    )
+
+    state, url = mock_es
+    name = ensure_dated_index(url, "index_data", "2021-06-02",
+                              INDEX_MAPPING_ES, shards=4, replicas=0,
+                              refresh_interval="10s")
+    body = state.indices[name]
+    m = body["mappings"]
+    assert m["dynamic"] == "strict" and m["_source"] == {"enabled": True}
+    props = m["properties"]
+    assert set(props) == {"type", "identifier", "name", "ingestion_time",
+                          "persist_time", "uuid", "tags"}
+    assert props["uuid"] == {"type": "keyword"}
+    assert props["name"]["fields"]["keyword"]["type"] == "keyword"
+    assert props["ingestion_time"] == {"type": "date"}
+    assert props["tags"]["type"] == "nested"
+    assert props["tags"]["properties"]["type"] == {"type": "text"}
+    assert props["tags"]["properties"]["value"]["fields"]["keyword"] == {
+        "type": "keyword"}
+    assert body["settings"] == {"number_of_shards": 4,
+                                "number_of_replicas": 0,
+                                "refresh_interval": "10s"}
+    # the strict-mapping Spark gate and the wire mapping declare the
+    # same field set — schema parity between the two enforcement layers
+    from go_pulsar_elasticsearch_spark.sources.es_sink import INDEX_MAPPING_SPARK
+
+    assert set(props) == {f.name for f in INDEX_MAPPING_SPARK.fields}
