@@ -156,6 +156,7 @@ def main() -> None:
     # hidden.
     cold_total = 0.0
     for name in HEADLINE:
+        print(f"BENCH headline {name}", file=sys.stderr)
         reps = []
         for rep in range(3):
             t0 = time.time()
@@ -179,6 +180,7 @@ def main() -> None:
         if name in timings:
             full[name] = timings[name]
             continue
+        print(f"BENCH full {name}", file=sys.stderr)
         t0 = time.time()
         try:
             materialize(QUERIES[name](spark, sf_dir))

@@ -641,22 +641,38 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("near_dedup_minhash_ml")  # rows-only: ml hash family != md5 path
 def near_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash near-dup via pyspark.ml.feature (HashingTF token vectors ->
-    MinHashLSH(seed=42) -> approxSimilarityJoin on Jaccard distance).
-    Deterministic for a fixed seed but its hash family has no SQL twin,
-    so certification is rows-only; the hand-rolled near_dedup_minhash is
-    the oracled equivalent.  At scale this is the same band-bucket join
-    executed inside ml's approxSimilarityJoin."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+    """MinHash near-dup via pyspark.ml.feature (word-3-gram shingle
+    vectors -> MinHashLSH(seed=42) -> approxSimilarityJoin on Jaccard
+    distance).  Deterministic for a fixed seed but its hash family has
+    no SQL twin, so certification is rows-only; the hand-rolled
+    near_dedup_minhash is the oracled equivalent, and
+    test_ml_minhash_recovers_true_near_dup_pairs pins >=90% recall of
+    the certified true pairs.
+
+    Shingles (NGram(n=3)), NOT unigram tokens, on purpose:
+    approxSimilarityJoin buckets on SINGLE minhash values (OR across
+    numHashTables; Spark's MinHashLSH has no AND/band composition), so
+    every doc whose minimum hashed feature is the corpus's most common
+    token lands in ONE bucket.  With unigrams ("the"-class tokens in
+    most docs) that bucket is nearly the whole corpus and the
+    candidate join goes quadratic — at sf0.1 (50k docs) a single
+    hashAgg task ran 13+ min before this was rewritten.  Word-3-gram
+    features cap any feature's document frequency at the boilerplate
+    rate, which keeps every bucket small; it also puts this variant in
+    the same Jaccard space as the certified md5 path.  The banded
+    (AND-composed) scale path remains near_dedup_minhash/_banded."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     tune(spark)
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(docs)
-    # sparse term-presence vectors; 2^18 features keeps collisions rare
+    grams = NGram(n=3, inputCol="tokens", outputCol="grams").transform(tokens)
+    # sparse shingle-presence vectors; 2^20 features keeps hash-bucket
+    # collisions (which would re-inflate minhash bucket DF) rare
     tf = HashingTF(
-        inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True
-    ).transform(tokens)
-    tf = tf.filter(F.size("tokens") > 0)
+        inputCol="grams", outputCol="features", numFeatures=1 << 20, binary=True
+    ).transform(grams)
+    tf = tf.filter(F.size("grams") > 0)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(tf)
     pairs = model.approxSimilarityJoin(tf, tf, 0.8, distCol="jaccard_dist")
