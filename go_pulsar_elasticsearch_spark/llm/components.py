@@ -148,6 +148,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     comps = connected_components(pairs)  # over representatives
+    if members is None:  # no collapse applied: components are final
+        return comps.select(F.col("node").alias("doc_id"), "component")
     # multi-copy groups whose rep has no edge are clusters of their own;
     # the group size rides on rep_docs (exact_text_groups), so no
     # members groupBy is needed to find them

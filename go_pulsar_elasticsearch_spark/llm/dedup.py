@@ -135,9 +135,12 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     )
 
 
+_COLLAPSE_DUP_GATE = 0.02
+
+
 def exact_text_groups(
-    docs: DataFrame, slot_key: str
-) -> tuple[DataFrame, DataFrame]:
+    docs: DataFrame, slot_key: str, mode: str = "auto"
+) -> tuple[DataFrame | None, DataFrame]:
     """The exact-duplicate collapse shared by the near-dup family:
     (members, rep_docs) where members = (doc_id, rep) maps every
     shingle-eligible doc (>= 3 words — docs below that never produce
@@ -154,11 +157,40 @@ def exact_text_groups(
     window sorting text-carrying rows (the r3 form, whose per-doc sort
     was pure overhead on low-duplicate corpora).  Text crosses the wire
     once, partially collapsed map-side; the members mapping joins only
-    (doc_id, h) pairs against the cached (h, rep) frame."""
+    (doc_id, h) pairs against the cached (h, rep) frame.
+
+    `mode`: "always" | "never" | "auto".  The collapse is purely a
+    performance device — identical texts produce identical signatures
+    and shingle sets, so the direct (uncollapsed) path emits exactly
+    the pairs the collapse + re-expansion would — which means the
+    branch can be chosen from the DATA without changing any result.
+    "auto" probes the exact-duplicate ratio with one map-side-combined
+    pass (count + HyperLogLog distinct over the content hash; no
+    data-sized shuffle) and collapses only past a 2% ratio: a
+    copy-heavy crawl gets the quadratic-bucket protection, a clean
+    corpus skips the groupBy + two member-expansion joins the probe
+    showed it doesn't need (~0.45s of the sf0.1 latency was collapse
+    machinery on a corpus with 8 duplicates in 5000 docs).  A 100 TB
+    caller that already knows its corpus pins the mode explicitly and
+    skips the probe's extra scan.
+
+    Returns (members, rep_docs); members is None when no collapse was
+    applied, which tells callers to skip their re-expansion joins."""
     w0 = F.split("text", " ")
     eligible = docs.filter(F.size(w0) >= 3).select(
         "doc_id", "text", F.sha2("text", 256).alias("h")
     )
+    if mode == "auto":
+        st = eligible.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("h", 0.02).alias("u"),
+        ).first()
+        dup_ratio = 1.0 - st.u / st.n if st.n else 0.0
+        mode = "always" if dup_ratio > _COLLAPSE_DUP_GATE else "never"
+    if mode == "never":
+        return None, eligible.select(
+            "doc_id", "text", F.lit(1).cast("bigint").alias("cnt")
+        )
     # first() is safe: every text in an h-group is identical by
     # construction (sha2 collisions would need 2^128 docs).  The group
     # size `cnt` is free here (same shuffle) and rides along on
@@ -269,6 +301,8 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_bands_agree"))
     )
+    if members is None:  # no collapse applied: pairs are already final
+        return rep_pairs
     ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("ib"))
     cross = (
@@ -959,6 +993,8 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _VERIFY_TAU)
     )
+    if members is None:  # no collapse applied: pairs are already final
+        return verified
     # re-expand: every member pair across two verified groups scores the
     # representatives' jaccard (identical texts => identical shingle
     # sets); every within-group pair is an exact duplicate => 1.0

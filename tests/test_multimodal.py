@@ -34,7 +34,9 @@ def test_fake_decoder_deterministic():
 
 
 def test_extract_features_matches_local_decode(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents").limit(20)
+    # ordered limit: the frame is executed twice (pipeline + collect),
+    # and a bare limit over the repartitioned scan picks different rows
+    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(20)
     feats = {r["doc_id"]: r for r in extract_features(with_payload(docs)).collect()}
     for row in docs.collect():
         payload = row["text"].encode("utf-8")
@@ -51,7 +53,7 @@ def test_frame_sampling_bytes(spark, sf_dir):
     offsets (frame k covers bytes [k*256, (k+1)*256))."""
     from go_pulsar_elasticsearch_spark.llm.multimodal import sample_frames
 
-    docs = t(spark, sf_dir, "documents").limit(5)
+    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(5)
     frames = sample_frames(with_payload(docs), frame_size=256, stride=2)
     got = {}
     for r in frames.collect():

@@ -133,3 +133,76 @@ def test_agg_approx_within_published_error_bounds(spark, sfd):
         assert bounds[0] <= a["approx_median_price"] <= bounds[1], (
             flag, a["approx_median_price"], bounds
         )
+
+
+def test_collapse_gate_branches_are_equivalent(spark):
+    """exact_text_groups' mode gate is a pure performance device: on a
+    copy-heavy corpus the collapsed ("always") and direct ("never")
+    paths must emit IDENTICAL pair sets with identical band counts, and
+    "auto" must pick collapse there (dup ratio ~0.67 >> the 2% gate)
+    while picking the direct path on an all-unique corpus."""
+    import go_pulsar_elasticsearch_spark.llm.dedup as dd
+    from pyspark.sql import functions as F
+
+    base = [
+        (i, " ".join(f"tok{i}w{j}" for j in range(30))) for i in range(20)
+    ]
+    # 3 exact copies of every text -> 60 docs, 20 unique
+    rows = [(i + 100 * c, txt) for i, txt in base for c in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(mode):
+        members, rep_docs = dd.exact_text_groups(docs, f"gate_{mode}", mode)
+        sigs = dd.minhash_band_sigs(rep_docs)
+        a, b = sigs.alias("a"), sigs.alias("b")
+        rp = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_bands_agree"))
+        )
+        if members is None:
+            return rp, members
+        ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ia"))
+        mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("ib"))
+        cross = (
+            rp.join(ma, "doc_a").join(mb, "doc_b")
+            .select(
+                F.least("ia", "ib").alias("doc_a"),
+                F.greatest("ia", "ib").alias("doc_b"),
+                "n_bands_agree",
+            )
+        )
+        x, y = members.alias("x"), members.alias("y")
+        within = x.join(
+            y,
+            (F.col("x.rep") == F.col("y.rep"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        ).select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(8).cast("bigint").alias("n_bands_agree"),
+        )
+        return cross.unionByName(within), members
+
+    collapsed, m_always = pairs("always")
+    direct, m_never = pairs("never")
+    assert m_always is not None and m_never is None
+    got_a = {tuple(r) for r in collapsed.collect()}
+    got_n = {tuple(r) for r in direct.collect()}
+    assert got_a == got_n and len(got_a) >= 60  # 20 groups x C(3,2) within
+
+    # auto picks by data
+    m_auto, _ = dd.exact_text_groups(docs, "gate_auto_dup", "auto")
+    assert m_auto is not None
+    uniq = spark.createDataFrame(base, "doc_id long, text string")
+    m_auto2, rep2 = dd.exact_text_groups(uniq, "gate_auto_uniq", "auto")
+    assert m_auto2 is None
+    assert rep2.schema["cnt"].dataType.simpleString() == "bigint"
