@@ -69,12 +69,21 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     return "partial_" in formatted_plan(df)
 
 
-def roundrobin_exchange_ids(plan: str) -> set[str]:
-    """Node ids of round-robin Exchange nodes in a formatted plan dump.
-    The engine's only round-robin source is catalog's scan-parallelism
-    repair, so these identify layout-repair shuffles.  Round-robin-ness
-    lives on the detail section's Arguments line (RoundRobinPartitioning
-    pre-AQE, roundrobinpartitioning in final-plan dumps)."""
+_REPAIR_ARGS_RE = re.compile(
+    r"hashpartitioning\((?:o_orderkey|l_orderkey|event_id|doc_id|vec_id)"
+    r"#\d+L?, \d+\), REPARTITION_BY_NUM",
+    re.IGNORECASE,
+)
+
+
+def layout_repair_exchange_ids(plan: str) -> set[str]:
+    """Node ids of catalog._repair_scan_parallelism's Exchange nodes in
+    a formatted plan dump.  The repair is the engine's only explicit
+    repartition-by-number (REPARTITION_BY_NUM shuffle origin — every
+    algorithmic shuffle is ENSURE_REQUIREMENTS, and prefix.py's range
+    repartition plans as RangePartitioning), always hashed on a fact
+    table's natural key, so that pair of markers on the detail
+    section's Arguments line identifies it."""
     lines = plan.splitlines()
     rr_ids: set[str] = set()
     for i, line in enumerate(lines):
@@ -83,10 +92,17 @@ def roundrobin_exchange_ids(plan: str) -> set[str]:
             continue
         for nxt in lines[i + 1 : i + 4]:
             if nxt.startswith("Arguments:"):
-                if "roundrobinpartitioning" in nxt.lower():
+                if (
+                    _REPAIR_ARGS_RE.search(nxt)
+                    or "roundrobinpartitioning" in nxt.lower()
+                ):
                     rr_ids.add(m.group(1))
                 break
     return rr_ids
+
+
+# backwards-compatible alias (pre-hash-repair name)
+roundrobin_exchange_ids = layout_repair_exchange_ids
 
 
 def exchange_count(df: DataFrame, include_layout_repair: bool = False) -> int:
@@ -105,7 +121,7 @@ def exchange_count(df: DataFrame, include_layout_repair: bool = False) -> int:
     # The formatted dump shows each node twice (tree + detail section);
     # the historical count keeps that 2x convention — thresholds in
     # tests are calibrated to it.
-    rr_ids = roundrobin_exchange_ids(plan)
+    rr_ids = layout_repair_exchange_ids(plan)
     return sum(
         1
         for line in lines

@@ -89,8 +89,12 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     — the 100 TB strategy for repeated orders⋈lineitem joins."""
     from go_pulsar_elasticsearch_spark.plans.inspect import exchange_count
 
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
+    # raw scans, NOT catalog.t(): the scan-parallelism repair hashes
+    # orders/lineitem on their orderkeys, which already co-partitions
+    # this join (an implicit bucketing) and would erase the
+    # bucketed-vs-plain difference this test demonstrates
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     import shutil
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
