@@ -137,6 +137,9 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
 
 _COLLAPSE_DUP_GATE = 0.02
 
+# (analyzed-plan semanticHash) -> "always" | "never"; session-lifetime
+_PROBE_CACHE: dict[int, str] = {}
+
 
 def exact_text_groups(
     docs: DataFrame, slot_key: str, mode: str = "auto"
@@ -181,12 +184,24 @@ def exact_text_groups(
         "doc_id", "text", F.sha2("text", 256).alias("h")
     )
     if mode == "auto":
-        st = eligible.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct("h", 0.02).alias("u"),
-        ).first()
-        dup_ratio = 1.0 - st.u / st.n if st.n else 0.0
-        mode = "always" if dup_ratio > _COLLAPSE_DUP_GATE else "never"
+        # memoized per corpus LINEAGE (analyzed-plan semantic hash):
+        # every dedup-family query over the same docs frame shares one
+        # probe scan per session instead of re-counting — the probe is
+        # corpus metadata, not query state
+        try:
+            probe_key = docs._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            probe_key = None
+        mode = _PROBE_CACHE.get(probe_key) if probe_key is not None else None
+        if mode is None:
+            st = eligible.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("h", 0.02).alias("u"),
+            ).first()
+            dup_ratio = 1.0 - st.u / st.n if st.n else 0.0
+            mode = "always" if dup_ratio > _COLLAPSE_DUP_GATE else "never"
+            if probe_key is not None:
+                _PROBE_CACHE[probe_key] = mode
     if mode == "never":
         return None, eligible.select(
             "doc_id", "text", F.lit(1).cast("bigint").alias("cnt")
