@@ -58,6 +58,7 @@ def load_all() -> None:
         curation,
         decontamination,
         dedup,
+        domains,
         hybrid,
         multimodal,
         quality,

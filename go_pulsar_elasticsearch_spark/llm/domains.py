@@ -1,0 +1,132 @@
+"""Domain-level corpus curation: per-source caps and quota sampling.
+
+Real crawls are dominated by a handful of over-represented domains, and
+the standard curation response is (a) keep only the best K documents per
+domain, or (b) downsample each domain to a target quota.  Both are here
+as certified operators over the `documents` table's `source` column
+(the fixture's stand-in for registrable domain), complementing
+`mixture_weights_temperature` (llm/sampling.py), which computes the
+epoch-level sampling weights from the same per-source distribution.
+
+Scale shapes:
+- `domain_caps` is a per-domain top-K: one shuffle on `source`, then a
+  bounded rank inside each domain.  A mega-domain serializes its own
+  partition — the documented mitigation at 100 TB is the two-phase
+  variant (per-partition local top-K with `slice(sort_array(...))`
+  partial aggregation, then a final top-K over <= K rows per partition
+  per domain); at the fixture's domain cardinality the window IS the
+  right plan, and AQE's skew handling covers moderate imbalance.
+- `per_domain_quota_sample` never sorts: pass 1 collapses the corpus to
+  |domains| counts, pass 2 broadcasts those counts back and keeps a doc
+  iff md5-bucket(doc_id) clears the domain's integer acceptance
+  threshold — deterministic (re-runs and late-arriving replicas agree),
+  no RNG, no per-domain state beyond one int.  This is the same
+  hash-bucket idiom as corpus.py's split/shard operators (two md5 hex
+  digits -> 0..255, identical in Spark `instr` / DuckDB `strpos`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.corpus import _MD5_BUCKET_SQL, _md5_bucket
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# domain_caps
+# --------------------------------------------------------------------------
+
+_CAP_K = 15  # bites at sf0.01+ (25 docs/source in the fixture)
+
+_CAPS_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rank_in_source AS BIGINT) AS rank_in_source
+FROM ranked WHERE rank_in_source <= {_CAP_K}
+"""
+
+
+@register("domain_caps", _CAPS_ORACLE)
+def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top {K} documents per source, best-first by length with
+    doc_id as the total-order tie-break (a real pipeline ranks by a
+    quality score — `dedup_keep_best` in llm/quality.py certifies that
+    composition; this operator certifies the cap itself).
+
+    One shuffle (hash on source), bounded per-domain rank — never a
+    global sort.  See the module docstring for the mega-domain caveat
+    and its two-phase mitigation."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rank_in_source", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank_in_source") <= _CAP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# per_domain_quota_sample
+# --------------------------------------------------------------------------
+
+_QUOTA = 18  # target docs per source; sources under quota keep everything
+
+_QUOTA_ORACLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), thresh AS (
+  -- integer acceptance threshold on the 0..255 bucket: floor(256*q/n),
+  -- clamped at 256 (domains under quota keep everything).  Pure integer
+  -- arithmetic -> bit-identical across engines.
+  SELECT source, n,
+         CASE WHEN n <= {_QUOTA} THEN 256
+              ELSE CAST(floor(256.0 * {_QUOTA} / n) AS BIGINT) END AS keep_lt
+  FROM counts
+)
+SELECT d.doc_id, d.source, t.keep_lt
+FROM documents d JOIN thresh t ON d.source = t.source
+WHERE {_MD5_BUCKET_SQL("d.doc_id")} < t.keep_lt
+"""
+
+
+@register("per_domain_quota_sample", _QUOTA_ORACLE)
+def per_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every over-represented source toward a fixed quota by
+    deterministic hash acceptance: keep a doc iff its md5 bucket
+    (0..255 from doc_id) is below floor(256*quota/n_source).  In
+    expectation each domain lands at ~quota docs, with zero RNG state —
+    replaying the pipeline, or sampling a late-arriving shard of the
+    same domain, reproduces the identical keep set.
+
+    Two passes, no sort anywhere: the counts agg collapses the corpus
+    to |domains| rows (map-side combined), which then BROADCAST back
+    onto the scan — the only data-sized work is one filtered pass.  At
+    100 TB the counts frame is domain-cardinality (millions of rows at
+    web scale, still broadcastable at ~tens of MB; a sort-merge join on
+    source is the fallback AQE picks if not)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    thresh = counts.select(
+        "source",
+        F.when(F.col("n") <= _QUOTA, F.lit(256).cast("bigint")).otherwise(
+            F.floor(F.lit(256.0 * _QUOTA) / F.col("n")).cast("bigint")
+        ).alias("keep_lt"),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(thresh), "source")
+        .filter(_md5_bucket("doc_id") < F.col("keep_lt"))
+        .select("doc_id", "source", "keep_lt")
+    )
