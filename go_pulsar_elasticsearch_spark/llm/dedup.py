@@ -350,18 +350,16 @@ def _md5_prefix_bit_sums(n_bits: int) -> tuple[str, list]:
 
     Instead of 4*n_bits string ops per word (instr+substring per bit),
     the first n_bits/4 hex digits are folded ONCE per word into a long
-    `v` (digit j weighted 16^(n_hex-1-j); max 16^15-1 < 2^60 fits), and
-    each bit-sum is a cheap shift/mask over v.  Bit i keeps its original
-    definition — bit (i%4) of hex digit i//4 — which sits at position
-    4*(n_hex-1 - i//4) + i%4 of v, so the aggregated values (and every
-    oracle) are unchanged; this is purely an evaluation-cost rewrite
-    (~4x less per-word string work)."""
+    `v` — `conv(hex_prefix, 16, 10)`, one JVM intrinsic per word
+    replacing n_hex instr+substring lookups; the value is identical to
+    the digit-weighted sum (big-endian hex, max 16^15-1 < 2^60 fits) —
+    and each bit-sum is a cheap shift/mask over v.  Bit i keeps its
+    original definition — bit (i%4) of hex digit i//4 — which sits at
+    position 4*(n_hex-1 - i//4) + i%4 of v, so the aggregated values
+    (and every oracle, which spell the fold digit-by-digit in DuckDB)
+    are unchanged; this is purely an evaluation-cost rewrite."""
     n_hex = n_bits // 4
-    v = " + ".join(
-        f"(instr('0123456789abcdef', substring(h, {j + 1}, 1)) - 1)"
-        f" * {16 ** (n_hex - 1 - j)}L"
-        for j in range(n_hex)
-    )
+    v = f"cast(conv(substring(h, 1, {n_hex}), 16, 10) as bigint)"
     sums = [
         F.sum(
             F.expr(f"(shiftright(v, {4 * (n_hex - 1 - i // 4) + i % 4}) & 1)")
