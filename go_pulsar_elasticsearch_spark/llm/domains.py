@@ -11,11 +11,10 @@ epoch-level sampling weights from the same per-source distribution.
 Scale shapes:
 - `domain_caps` is a per-domain top-K: one shuffle on `source`, then a
   bounded rank inside each domain.  A mega-domain serializes its own
-  partition — the documented mitigation at 100 TB is the two-phase
-  variant (per-partition local top-K with `slice(sort_array(...))`
-  partial aggregation, then a final top-K over <= K rows per partition
-  per domain); at the fixture's domain cardinality the window IS the
-  right plan, and AQE's skew handling covers moderate imbalance.
+  partition — `domain_caps_twophase` is the 100 TB-safe plan (salted
+  local top-K, then a cap-bounded re-rank), hash-certified against the
+  SAME oracle; at the fixture's domain cardinality the plain window is
+  the right plan, and AQE's skew handling covers moderate imbalance.
 - `per_domain_quota_sample` never sorts: pass 1 collapses the corpus to
   |domains| counts, pass 2 broadcasts those counts back and keeps a doc
   iff md5-bucket(doc_id) clears the domain's integer acceptance
@@ -56,7 +55,7 @@ FROM ranked WHERE rank_in_source <= {_CAP_K}
 
 @register("domain_caps", _CAPS_ORACLE)
 def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep the top {K} documents per source, best-first by length with
+    """Keep the top K=15 documents per source, best-first by length with
     doc_id as the total-order tie-break (a real pipeline ranks by a
     quality score — `dedup_keep_best` in llm/quality.py certifies that
     composition; this operator certifies the cap itself).
@@ -73,6 +72,49 @@ def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "n_chars")
         .withColumn("rank_in_source", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank_in_source") <= _CAP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# domain_caps_twophase  (the mega-domain-safe plan, same certified output)
+# --------------------------------------------------------------------------
+
+_CAP_SALTS = 16
+
+
+@register("domain_caps_twophase", _CAPS_ORACLE)
+def domain_caps_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTICAL output to domain_caps (same oracle, hash-certified),
+    via the plan that survives a mega-domain: salted two-phase top-K.
+
+    Phase 1 ranks within (source, salt) — salt = md5-bucket(doc_id) %
+    16, deterministic, not layout-dependent — so a domain holding half
+    the corpus is spread over 16 reducers instead of melting one; each
+    (source, salt) group keeps its local top-K, a lossless superset of
+    the global top-K (any row in the global top-K is in its own salt's
+    top-K).  Phase 2 re-ranks the survivors per source: <= K*16 rows
+    per domain regardless of domain size — the second window's input is
+    CAP-bounded, data-size-independent.  At 100 TB the salt count
+    scales with the biggest domain's row count / executor memory;
+    correctness never depends on it."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    salt = _md5_bucket("doc_id") % _CAP_SALTS
+    w1 = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    local = (
+        docs.withColumn("_salt", salt)
+        .withColumn("_lrk", F.row_number().over(w1))
+        .filter(F.col("_lrk") <= _CAP_K)
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        local.withColumn("rank_in_source", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank_in_source") <= _CAP_K)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
     )
 
 
