@@ -73,10 +73,18 @@ def _repair_scan_parallelism(
     every cheap query over the 600k-row single-partition lineitem."""
     try:
         cores = spark.sparkContext.defaultParallelism
-        size = os.path.getsize(path)
+        if os.path.isdir(path):
+            # directory dataset: every part file is at least one split
+            sizes = [
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file() and e.name.endswith(".parquet")
+            ]
+        else:
+            sizes = [os.path.getsize(path)]
     except OSError:
         return df
-    est_splits = max(1, size // _OPEN_COST_BYTES)
+    est_splits = sum(max(1, s // _OPEN_COST_BYTES) for s in sizes)
     if est_splits * 2 < cores:
         return df.repartition(cores, F.col(key))
     return df
