@@ -203,6 +203,11 @@ def main() -> None:
         "cold_first_run_total_s": round(cold_total, 3),
         "full_queries": full,
         "full_total_s": round(sum(v for v in full.values() if v > 0), 3),
+        # Host speed swings ±40% between sessions.  tpch_q5/q6/q18 have
+        # been code-identical since round 1: read them as the host-speed
+        # canary before attributing any cross-round per-query delta to a
+        # code change (README "Current bench" note).
+        "canaries": {k: timings[k] for k in ("tpch_q5", "tpch_q6", "tpch_q18") if k in timings},
     }
     print(json.dumps(out))
 
