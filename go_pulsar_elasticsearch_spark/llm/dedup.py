@@ -418,7 +418,15 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     final Hamming <= 6 predicate then makes the band pre-filter purely a
     pruning step — output identical to the all-pairs formulation, but as
     a shuffled equi-join (no broadcast-nested-loop, no broadcast-size
-    ceiling, partitionable by (band, val) across executors)."""
+    ceiling, partitionable by (band, val) across executors).
+
+    Scale caveat (SCALE.md shuffle inventory): a 4-bit band has only 16
+    bucket values, so bucket size is corpus/16 and candidate volume is
+    quadratic-over-16 in corpus size — this operator is the CERTIFIED
+    32-bit baseline (Hamming<=6 over 32 bits admits no stronger lossless
+    banding: radius 6 forces >= 8 bands).  The 100 TB path is
+    `near_dedup_simhash_banded`: 60-bit fingerprints, radius 3, 4x15-bit
+    bands = 32k bucket values, candidates tracking true near-dups."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     # hash each distinct word ONCE; all 32 bit-sums are conditional
