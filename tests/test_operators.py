@@ -31,7 +31,10 @@ def test_oracle_keys_subset_of_queries():
     }
 
 
-@pytest.mark.parametrize("name", ["agg_grouped", "join_multiway_star", "win_ranking"])
+@pytest.mark.parametrize("name", [
+    "agg_grouped", "join_multiway_star", "win_ranking",
+    "domain_caps", "domain_caps_twophase", "per_domain_quota_sample",
+])
 def test_spot_oracle_match(spark, sf_dir, name):
     con = duckdb.connect()
     for t in TABLES:
