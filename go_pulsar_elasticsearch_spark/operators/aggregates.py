@@ -418,3 +418,51 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_band").cast("int").alias("f_band"),
         F.col("m_band").cast("int").alias("m_band"),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_mode  (deterministic modal value per group)
+# --------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH counted AS (
+  SELECT lang, source, COUNT(*) AS n_docs
+  FROM documents GROUP BY lang, source
+), ranked AS (
+  SELECT lang, source, n_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY n_docs DESC, source ASC
+         ) AS rk
+  FROM counted
+)
+SELECT lang, source AS modal_source, n_docs AS modal_count
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("agg_mode", _MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (the most frequent source per language),
+    spelled as count + rank rather than Spark's `mode()` aggregate:
+    `mode()` leaves ties unspecified (either engine may pick a
+    different winner), while count -> row_number with a (count DESC,
+    value ASC) total order is deterministic and therefore certifiable.
+
+    Scale shape: the groupBy collapses the corpus to |lang x source|
+    rows map-side-combined; the rank window runs over that collapsed
+    frame, partitioned by lang — never over raw rows."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    counted = docs.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("source"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("modal_source"),
+            F.col("n_docs").alias("modal_count"),
+        )
+    )
