@@ -37,7 +37,12 @@ TABLES = (
 _FACT_KEYS = {
     "orders": "o_orderkey",
     "lineitem": "l_orderkey",
-    "events": "event_id",
+    # user_id, not event_id: every events operator windows/groups/joins
+    # by user (sessionize, funnels, retention, as-of/interval joins), so
+    # hashing the repair on the workload key co-partitions the whole
+    # family — the same implicit-bucketing effect the orderkey gives
+    # orders⋈lineitem.  1500 uniform users at sf0.1: no skew exposure.
+    "events": "user_id",
     "documents": "doc_id",
     "embeddings": "vec_id",
 }

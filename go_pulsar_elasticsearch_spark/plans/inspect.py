@@ -70,7 +70,7 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 
 _REPAIR_ARGS_RE = re.compile(
-    r"hashpartitioning\((?:o_orderkey|l_orderkey|event_id|doc_id|vec_id)"
+    r"hashpartitioning\((?:o_orderkey|l_orderkey|user_id|doc_id|vec_id)"
     r"#\d+L?, \d+\), REPARTITION_BY_NUM",
     re.IGNORECASE,
 )
