@@ -30,15 +30,25 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """Min-label propagation: every node ends labeled with the smallest
     node id in its component.  Returns (node, component).  Each iteration
     is one grouped aggregation over the (bidirectional) edge list; stops
-    when an iteration changes nothing."""
+    when an iteration changes nothing.
+
+    Iteration hygiene: the bidirectional edge list is slot-cached ONCE —
+    without it every iteration re-executes the whole upstream candidate
+    generation (the LSH band join) — and the convergence signal is a
+    `_ch` flag computed in the SAME pass as the new labels, so the
+    change check is a filter over the just-checkpointed frame instead
+    of a per-iteration labels⋈labels join."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("component"))
-    bi = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    bi = cache_slot(
+        "cc_edges",
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        ),
     )
     converged = False
     for _ in range(max_iter):
@@ -47,28 +57,24 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        new_comp = F.least(
+            F.col("component"),
+            F.coalesce(F.col("nbr_component"), F.col("component")),
+        )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < F.col("component")).alias("_ch"),
             )
             # checkpoint BEFORE the change check so the propagation join
             # runs once per iteration, not once for the count and again
             # for the checkpoint
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_ch")).limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break
