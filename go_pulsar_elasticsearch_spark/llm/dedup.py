@@ -453,14 +453,11 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         simhash = term if simhash is None else simhash + term
     hashes = cache_slot("simhash_hashes", sums.select("doc_id", simhash.alias("simhash")))
-    # min_agree=2 is lossless within radius 6 (pigeonhole over 8 bands)
-    return _banded_hamming_pairs(
-        hashes, n_bands=8, band_bits=4, min_agree=2, radius=6
-    )
+    return _banded_hamming_pairs(hashes, n_bands=8, band_bits=4, radius=6)
 
 
 def _banded_hamming_pairs(
-    hashes: DataFrame, n_bands: int, band_bits: int, min_agree: int, radius: int
+    hashes: DataFrame, n_bands: int, band_bits: int, radius: int
 ) -> DataFrame:
     """(doc_id, simhash) -> all (doc_a < doc_b, hamming <= radius) pairs
     via band buckets — the shared engine for both SimHash operators.
@@ -474,15 +471,17 @@ def _banded_hamming_pairs(
     fingerprints); within-group pairs are Hamming 0.  Work now tracks
     DISTINCT fingerprints; only the (inherently quadratic-in-copies)
     output expansion grows with duplication."""
-    from pyspark.sql import Window
-
-    groups = hashes.withColumn(
-        "rep", F.min("doc_id").over(Window.partitionBy("simhash"))
+    # groupBy, not `min() over (partition by simhash)`: the window form
+    # sorts every partition; one map-side-combined aggregation yields
+    # the representatives, and the members mapping joins (doc_id,
+    # simhash) back against the slot-cached reps frame (the
+    # exact_text_groups plan-shape lesson applied to fingerprints)
+    reps = cache_slot(
+        "simhash_reps",
+        hashes.groupBy("simhash").agg(F.min("doc_id").alias("rep")),
     )
-    members = groups.select("doc_id", "rep")
-    uniq = groups.filter(F.col("doc_id") == F.col("rep")).select(
-        F.col("doc_id").alias("rid"), "simhash"
-    )
+    members = hashes.join(reps, "simhash").select("doc_id", "rep")
+    uniq = reps.select(F.col("rep").alias("rid"), "simhash")
     mask = (1 << band_bits) - 1
     bands = uniq.select(
         "rid",
@@ -498,26 +497,32 @@ def _banded_hamming_pairs(
         "rid", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # The Hamming predicate is evaluated ROW-LEVEL inside the join's
+    # codegen stage (xor + popcount on two longs already in the row),
+    # so only true near-dup pairs survive into the dedup — the former
+    # groupBy-count(>= min_agree) pre-filter aggregated the full
+    # candidate volume (corpus^2/2^band_bits rows for narrow bands)
+    # before a predicate that costs less than the aggregation did.
+    # min_agree is thereby subsumed: it was a lossless pruning bound
+    # for the SAME final predicate, and dropping it cannot change the
+    # output (measured: the 32-bit op's pair stage fell 3.1s -> the
+    # join stage alone, with no 6M-row aggregation shuffle).
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.rid") < F.col("b.rid")),
+            & (F.col("a.rid") < F.col("b.rid"))
+            & (hamming <= radius),
         )
-        .groupBy(
+        .select(
             F.col("a.rid").alias("ra"),
             F.col("b.rid").alias("rb"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            hamming.cast("int").alias("hamming"),
         )
-        .agg(F.count("*").alias("n_bands"))
-        .filter(F.col("n_bands") >= min_agree)
+        .distinct()
     )
-    hamming = F.bit_count(F.expr("ha ^ hb"))
-    rep_pairs = cand.select(
-        "ra", "rb", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= radius)
     ma = members.select(F.col("rep").alias("ra"), F.col("doc_id").alias("ia"))
     mb = members.select(F.col("rep").alias("rb"), F.col("doc_id").alias("ib"))
     cross = (
@@ -618,7 +623,7 @@ def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # radius 3 < 4 bands => >= 1 exact band agreement (pigeonhole)
     return _banded_hamming_pairs(
-        hashes, n_bands=4, band_bits=15, min_agree=1, radius=_SIM64_RADIUS
+        hashes, n_bands=4, band_bits=15, radius=_SIM64_RADIUS
     )
 
 
