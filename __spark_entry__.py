@@ -5,15 +5,18 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 3): 186 registered queries, 179 with oracles.  The seven
-rows-only entries are approximate/float/streaming by design:
+State (round 4): 197 registered queries, 188 with oracles.  The nine
+rows-only entries are approximate/float/iterative by design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``multimodal_features`` (mapInPandas byte-stub decode),
 ``similarity_topk_fast`` (numpy float64 path, validated vs the exact
 decimal twin in tests), ``ann_pq`` (product quantization, recall@5
 0.98 vs exact in tests), ``near_dedup_minhash_ml`` (MLlib MinHashLSH
 internals), ``quality_classifier_lr`` (pyspark.ml fitting, AUC
-asserted in tests), and ``stream_ingest_e2e`` (streaming drain).  Even
+asserted in tests), ``embedding_pca_project`` (eigendecomposition —
+row-for-row vs numpy in tests), ``bpe_encode`` (iterative greedy merge
+training — token-for-token vs an independent reference in tests), and
+``stream_ingest_e2e`` (streaming drain).  Even
 the iterative k-means training and 3-iteration PageRank are oracled
 (unrolled exact-decimal CTE iterations), and the Avro decode is
 certified as a real binary round-trip.

@@ -51,6 +51,7 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.ingest import avro  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
+        bpe,
         classifier,
         clustering,
         components,
@@ -60,7 +61,9 @@ def load_all() -> None:
         dedup,
         domains,
         hybrid,
+        lm_score,
         multimodal,
+        pca,
         quality,
         query_dsl,
         sampling,
