@@ -1281,3 +1281,80 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count("*")).alias("dup_fraction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ngram_containment  (directed overlap: the quote/subset detector)
+# --------------------------------------------------------------------------
+
+# Jaccard misses asymmetric duplication: a document QUOTED inside a much
+# larger one shares nearly all of its own shingles but few of the
+# host's, so |A∩B|/|A∪B| stays small while containment
+# |A∩B|/min(|A|,|B|) goes to 1 (Broder 1997's resemblance vs
+# containment split).  Dedup pipelines cut on containment to catch
+# wrapper pages, quote farms, and doc-in-doc concatenations that
+# Jaccard-thresholded LSH deliberately keeps.
+
+_CONTAIN_T = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  doc_a, doc_b,
+  CAST(n_inter AS BIGINT) AS n_inter,
+  CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / least(sa.n, sb.n) >= {_CONTAIN_T}
+"""
+
+
+@register("ngram_containment", _CONTAIN_ORACLE)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment >= 0.5 on gram-sharing pairs: |A∩B| over the
+    SMALLER doc's shingle count, catching asymmetric near-duplication
+    (quotes, doc-in-doc) that the symmetric Jaccard denominator dilutes.
+
+    Same inverted-index plan as ngram_jaccard — and literally the same
+    slot-cached posting-list frame, so running both ops in one session
+    shares the shingle build; only the pair aggregation differs."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    grams = shingle_frame(docs).withColumnRenamed("shingle", "gram")
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    inter = (
+        ga.join(
+            gb,
+            (F.col("ga.gram") == F.col("gb.gram"))
+            & (F.col("ga.doc_id") < F.col("gb.doc_id")),
+        )
+        .groupBy(
+            F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.max(F.col("ga.n")).alias("na"),
+            F.max(F.col("gb.n")).alias("nb"),
+        )
+    )
+    containment = F.col("n_inter").cast("double") / F.least("na", "nb")
+    return (
+        inter.select(
+            "doc_a", "doc_b", "n_inter", containment.alias("containment")
+        )
+        .filter(F.col("containment") >= _CONTAIN_T)
+    )

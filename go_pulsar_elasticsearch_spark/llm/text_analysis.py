@@ -499,3 +499,105 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_true") == F.col("lang_pred")).cast("long")
         ).alias("n_correct"),
     )
+
+
+# --------------------------------------------------------------------------
+# text_entropy  (character/word Shannon entropy: the gibberish signal)
+# --------------------------------------------------------------------------
+
+# Quality batteries (Dolma, RedPajama-v2) cut on Shannon entropy at both
+# granularities: near-zero char entropy = repeated-character junk,
+# near-zero word entropy = boilerplate loops, abnormally HIGH char
+# entropy = binary/base64 spillage.  Both are exact-int frequency
+# ratios + the round-6 ln + exact-decimal sum recipe, so the whole op
+# is hash-certified.
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, substr(text, i, 1) AS ch
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) > 0)
+), cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM chars
+  GROUP BY doc_id, ch
+), cn AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id
+), ce AS (
+  SELECT cc.doc_id,
+         -CAST(SUM(CAST(cc.c * round(ln(CAST(cc.c AS DOUBLE) / cn.n), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / cn.n AS h_char
+  FROM cc JOIN cn ON cn.doc_id = cc.doc_id
+  GROUP BY cc.doc_id, cn.n
+), words AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  WHERE word <> ''
+), wc AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c FROM words
+  GROUP BY doc_id, word
+), wn AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY doc_id
+), we AS (
+  SELECT wc.doc_id,
+         -CAST(SUM(CAST(wc.c * round(ln(CAST(wc.c AS DOUBLE) / wn.n), 6)
+                        AS DECIMAL(18,6))) AS DOUBLE) / wn.n AS h_word
+  FROM wc JOIN wn ON wn.doc_id = wc.doc_id
+  GROUP BY wc.doc_id, wn.n
+)
+SELECT ce.doc_id, ce.h_char, we.h_word
+FROM ce JOIN we ON we.doc_id = ce.doc_id
+"""
+
+
+@register("text_entropy", _ENTROPY_ORACLE)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy at character and word granularity
+    (nats) — low char entropy flags repeated-character junk, low word
+    entropy flags boilerplate loops, high char entropy flags binary
+    spillage.
+
+    Scale shape: both explodes are narrow; the (doc_id, symbol) counts
+    partial-aggregate map-side, so the shuffle carries at most
+    |alphabet| (resp. |doc vocabulary|) rows per document — bounded,
+    nothing corpus-proportional beyond the scan.  The entropy sums ride
+    the exact-decimal recipe (c * round(ln(c/n), 6) summed as
+    DECIMAL(18,6)) for bit-identical certification."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+
+    def _entropy(sym_frame: DataFrame, out: str) -> DataFrame:
+        cc = sym_frame.groupBy("doc_id", "sym").agg(F.count("*").alias("c"))
+        cn = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+        term = F.col("c") * F.round(
+            F.log(F.col("c").cast("double") / F.col("n")), 6
+        )
+        return (
+            cc.join(cn, "doc_id")
+            .groupBy("doc_id", "n")
+            .agg(
+                F.sum(term.cast("decimal(18,6)")).cast("double").alias("_s")
+            )
+            .select(
+                "doc_id", (-F.col("_s") / F.col("n")).alias(out)
+            )
+        )
+
+    chars = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text)),"
+                    " i -> substring(text, i, 1))"
+                )
+            ).alias("sym"),
+        )
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("sym")
+    ).filter(F.col("sym") != "")
+    return _entropy(chars, "h_char").join(
+        _entropy(words, "h_word"), "doc_id"
+    )
