@@ -74,6 +74,11 @@ HEADLINE = [
     "cdc_merge_apply",
     "function_score",
     "seeded_shuffle_shards",
+    # round 4 additions (second half): LM scoring + tokenizer + containment
+    "lm_perplexity_bucket",
+    "lm_bigram_perplexity",
+    "bpe_encode",
+    "ngram_containment",
 ]
 
 

@@ -294,18 +294,25 @@ def kl_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     The slice-drift diagnostic a mixture pipeline runs before trusting
     per-domain sampling weights.
 
-    Plan shape: one (source, word) count (the only corpus-sized
-    shuffle), a vocab-sized corpus-count join, a |sources|-row totals
-    broadcast, and an exact-decimal weighted-log-ratio sum that
-    collapses straight to |sources| rows."""
+    Plan shape: ONE corpus-sized shuffle — the (source, word) count —
+    which is slot-cached and rolled up three ways (corpus word counts,
+    per-source totals, grand totals) without touching the corpus again;
+    the vocab-sized corpus-count join and the |sources|-row totals ride
+    broadcasts, and the exact-decimal weighted-log-ratio sum collapses
+    straight to |sources| rows."""
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    cnt = tok.groupBy("word").agg(F.count("*").alias("c"))
+    sc = cache_slot(
+        "kl_source_word",
+        tok.groupBy("source", "word").agg(F.count("*").alias("cs")),
+    )
+    cnt = sc.groupBy("word").agg(F.sum("cs").alias("c"))
     tot = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
-    sc = tok.groupBy("source", "word").agg(F.count("*").alias("cs"))
     ns = sc.groupBy("source").agg(F.sum("cs").alias("n_tok"))
     ratio = (
         F.col("cs").cast("double")

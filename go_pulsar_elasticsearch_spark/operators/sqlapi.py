@@ -214,3 +214,43 @@ def sql_surface_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique").cast("long").alias("n_unique"),
         F.col("uniq_rank").cast("int").alias("uniq_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# variant_funcs  (Spark 4 VariantType: the semi-structured fast path)
+# --------------------------------------------------------------------------
+
+# Same logical answers as map_funcs' JSON extraction, but routed through
+# Spark 4's VariantType (parse_json -> variant_get): the engine keeps a
+# binary-shredded encoding instead of re-parsing JSON text per access,
+# which is the 100 TB answer for wide semi-structured columns (one parse
+# at ingest, typed sub-field access everywhere downstream).  The oracle
+# extracts the same values from the JSON text, certifying that the
+# variant path produces identical answers to a plain JSON reading.
+
+_VARIANT_ORACLE = """
+SELECT
+  event_id,
+  CAST(props->>'k' AS INTEGER) AS k_int,
+  CAST(props->>'k' AS VARCHAR) AS k_str,
+  CAST(props->>'missing' AS INTEGER) AS miss_val,
+  CAST(props->>'k' IS NOT NULL AS BOOLEAN) AS has_k
+FROM events
+"""
+
+
+@register("variant_funcs", _VARIANT_ORACLE)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_json -> VariantType -> typed variant_get sub-field access
+    (int and string casts, a missing path via try_variant_get, and an
+    existence flag).  Stateless per-row — rides the scan at any SF."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("miss_val"),
+        F.try_variant_get(v, "$.k", "int").isNotNull().alias("has_k"),
+    )

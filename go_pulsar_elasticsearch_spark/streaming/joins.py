@@ -162,3 +162,60 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_ts",
         "click_ts",
     )
+
+
+# --------------------------------------------------------------------------
+# stream-static enrichment (dimension lookup on a live stream)
+# --------------------------------------------------------------------------
+
+
+def static_enrich(stream_df: DataFrame, customer: DataFrame,
+                  nation: DataFrame) -> DataFrame:
+    """Enrich a (possibly streaming) events frame with the customer ->
+    nation dimension chain.  Structured Streaming allows joining an
+    unbounded side to static DataFrames directly — the static side is
+    re-planned per micro-batch (so slowly-changing dims pick up file
+    updates), needs NO watermark, and keeps the whole join stateless.
+
+    100 TB posture: both dims broadcast (the hint is correct here —
+    dimensions are bounded by construction, unlike segment_dedup's
+    occurrence lists), so the stream never shuffles: enrichment rides
+    the ingest scan as a map-side hash join at any stream rate."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).join(
+        nation.select(
+            F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+        ),
+        "_nk",
+    ).drop("_nk")
+    return stream_df.join(F.broadcast(dim), "user_id")
+
+
+_STATIC_ENRICH_ORACLE = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.event_type,
+  c.c_mktsegment AS mktsegment,
+  n.n_name AS nation
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@register("stream_static_enrich", _STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the stream-static dimension join: every event
+    enriched with its user's market segment and nation.  Identical
+    helper as the streaming path; tests/test_streaming_joins.py drives
+    the true readStream plan through static_enrich and asserts it emits
+    exactly these rows."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return static_enrich(
+        ev, t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    ).select("event_id", "user_id", "event_type", "mktsegment", "nation")

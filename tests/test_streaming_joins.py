@@ -175,3 +175,42 @@ def test_streaming_left_outer_emits_null_for_unmatched_view(spark, tmp_path):
     }
     assert (1, 10, 100) in rows           # matched pair
     assert (2, 20, None) in rows          # unmatched view -> null click
+
+
+def test_stream_static_enrich_matches_batch_analog(spark, sf_dir, tmp_path):
+    """The true streaming path (readStream over event files joined to
+    the static dims) must emit exactly the batch analog's rows, across
+    multiple micro-batches."""
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.streaming.joins import (
+        static_enrich,
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "ev")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 3 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") % 3 == 2).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = static_enrich(
+        stream, t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    ).select("event_id", "user_id", "event_type", "mktsegment", "nation")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("static_enrich_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("static_enrich_t").collect()}
+    want = {tuple(r) for r in stream_static_enrich(spark, sf_dir).collect()}
+    assert got == want
+    assert len(want) > 0
