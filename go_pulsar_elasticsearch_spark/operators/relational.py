@@ -318,3 +318,46 @@ def map_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
         (k_int * 2).alias("k_doubled"),
     )
+
+
+# --------------------------------------------------------------------------
+# try_funcs  (ANSI-mode error-safe arithmetic: NULL, not job failure)
+# --------------------------------------------------------------------------
+
+# Spark 4 runs ANSI mode by default, so raw division-by-zero / overflow /
+# out-of-range access THROW at runtime — on a 1000-executor job one bad
+# row kills hours of work.  The idiomatic guard is the try_* family,
+# which returns NULL for the failing row and lets the pipeline quarantine
+# it (the batch-side mirror of the streaming DLQ split, R9).  The oracle
+# spells the same semantics as explicit CASE guards, certifying that
+# try_divide / try_add / try_element_at null out EXACTLY the rows the
+# guards would.
+
+_TRY_ORACLE = """
+SELECT
+  o.o_orderkey,
+  CASE WHEN o.o_orderkey % 5 = 0 THEN NULL
+       ELSE o.o_totalprice / (o.o_orderkey % 5) END AS safe_div,
+  CASE WHEN o.o_orderkey % 10 > 7 THEN NULL
+       ELSE 9223372036854775800 + o.o_orderkey % 10 END AS safe_add,
+  CASE WHEN o.o_orderkey % 5 = 0 THEN TRUE ELSE FALSE END AS was_div0
+FROM orders o
+"""
+
+
+@register("try_funcs", _TRY_ORACLE)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_divide (zero divisor -> NULL), try_add (bigint overflow ->
+    NULL), and the quarantine flag a DLQ-style batch split would route
+    on.  Stateless per-row; certified against explicit CASE guards."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    divisor = F.col("o_orderkey") % 5
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), divisor).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775800), F.col("o_orderkey") % 10
+        ).alias("safe_add"),
+        (divisor == 0).alias("was_div0"),
+    )
