@@ -75,7 +75,15 @@ def _repair_scan_parallelism(
     round-robin): per-row deterministic with no skew exposure, and it
     avoids round-robin's sortBeforeRepartition, which fully sorts each
     input partition on one core first — measured as a ~0.3-0.5s tax on
-    every cheap query over the 600k-row single-partition lineitem."""
+    every cheap query over the 600k-row single-partition lineitem.
+
+    Known trade (tests/test_runtime_filters.py): the injected
+    repartition sits between the scan and any join, which breaks
+    InjectRuntimeFilter's scan-adjacent pattern — runtime BLOOM filters
+    are not injected over repaired scans.  Acceptable here because the
+    repair only fires on layouts so small that a bloom filter saves
+    nothing; at production layouts the size gate keeps the scan bare
+    and bloom injection applies."""
     try:
         cores = spark.sparkContext.defaultParallelism
         if os.path.isdir(path):
