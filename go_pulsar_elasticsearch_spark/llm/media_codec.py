@@ -163,3 +163,48 @@ def decode_wav(data: bytes) -> dict:
         "sum_abs": sum(abs(s) for s in samples),
         "peak_abs": max((abs(s) for s in samples), default=0),
     }
+
+
+def decode_bmp_pixels(data: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP into the full pixel grid:
+    returns width, height, and rgb_rows[y][x] = (r, g, b) with y=0 the
+    TOP row regardless of on-disk row order (bottom-up or top-down).
+    Same header validation as decode_bmp; used by the perceptual-hash
+    operators, which need pixel access rather than channel sums."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise MediaFormatError("not a BMP payload (missing 'BM' magic)")
+    _magic, _file_size, _r1, _r2, data_offset = struct.unpack_from(
+        "<2sIHHI", data, 0
+    )
+    (
+        bi_size, width, height_raw, _planes, bpp, compression,
+        _img_size, _xppm, _yppm, _clr_used, _clr_imp,
+    ) = struct.unpack_from("<IiiHHIIiiII", data, 14)
+    if bi_size < 40:
+        raise MediaFormatError(f"unsupported DIB header size {bi_size}")
+    if bpp != 24 or compression != 0:
+        raise MediaFormatError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    row_stride = (width * 3 + 3) & ~3
+    need = data_offset + row_stride * height
+    if len(data) < need:
+        raise MediaFormatError(
+            f"truncated BMP: need {need} bytes, have {len(data)}"
+        )
+    rows = []
+    for disk_row in range(height):
+        off = data_offset + disk_row * row_stride
+        rowbytes = data[off:off + width * 3]
+        rows.append(
+            [
+                (rowbytes[3 * x + 2], rowbytes[3 * x + 1], rowbytes[3 * x])
+                for x in range(width)
+            ]
+        )
+    if not top_down:
+        rows.reverse()  # bottom-up on disk -> top-row-first grid
+    return {"width": width, "height": height, "rgb_rows": rows}

@@ -449,3 +449,165 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, kind string, width long, height long, n_units long, "
         "sample_rate long, sum_values long, mean_value double, peak_abs long",
     )
+
+
+# --------------------------------------------------------------------------
+# image_ahash_neardup — perceptual-hash image dedup, hash-certified
+# end-to-end through REAL encoded bytes.
+#
+# The standard image near-dup recipe (aHash): grayscale, resample to
+# 8x8, threshold each cell against the mean -> 64-bit fingerprint;
+# near-duplicate images differ in a few bits.  Everything here is
+# integer arithmetic (floor grayscale, nearest-neighbor indexing,
+# 64*g > sum comparison), so the WHOLE pipeline — including the pair
+# join — has an exact DuckDB twin; the Spark side additionally
+# round-trips every image through the real BMP encoder+parser, so a
+# codec bug (padding, BGR order, bottom-up rows) breaks the hash match.
+#
+# Synthetic corpus: consecutive doc_ids (2g, 2g+1) share a base image,
+# the odd one with +1 on the red channel — a brightness nudge that
+# perturbs a few threshold-borderline cells, the realistic near-dup.
+# --------------------------------------------------------------------------
+
+_AHASH_RADIUS = 3  # <= 3 differing bits over 4x16-bit bands -> >= 1
+                   # band agrees exactly (pigeonhole), so the band
+                   # equi-join loses no pair within the radius
+
+_AHASH_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS delta,
+         4 + (doc_id // 2) % 13 AS w, 3 + (doc_id // 2) % 7 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, k,
+         (  (g*2654435761 + sx*97 + sy*193 + delta) % 256
+          + (g*2246822519 + sx*59 + sy*131) % 256
+          + (g*3266489917 + sx*73 + sy*151) % 256) // 3 AS gv
+  FROM (
+    SELECT doc_id, g, delta, k,
+           ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy
+    FROM (SELECT *, unnest(range(0, 64)) AS k FROM imgs)
+  )
+), tot AS (
+  SELECT doc_id, SUM(gv) AS total FROM px GROUP BY doc_id
+), bits AS (
+  SELECT px.doc_id, k,
+         CASE WHEN 64 * gv > total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+), words AS (
+  SELECT doc_id, CAST(k // 16 AS INTEGER) AS j,
+         CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT) AS word
+  FROM bits GROUP BY doc_id, k // 16
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM words a JOIN words b
+    ON a.j = b.j AND a.word = b.word AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(bit_count(xor(wa.word, wb.word))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wb.j = wa.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_AHASH_RADIUS}
+"""
+
+
+@register("image_ahash_neardup", _AHASH_ORACLE)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash image near-dup: synthesize each doc's BMP, round-trip
+    it through the real encoder+parser (media_codec), compute the 64-bit
+    aHash from the PARSED pixels, and emit pairs within Hamming
+    distance 3 via a 4x16-bit band equi-join (never all-pairs; the
+    pigeonhole bound makes the band pre-filter lossless at radius 3).
+
+    Scale shape: hashing is scan -> mapInPandas (no shuffle; bytes never
+    leave the executor); the pair stage shuffles 4 x 8-byte words per
+    image.  Flat images collapse to word 0 and can crowd a band bucket —
+    the same bounded-DF caveat as OR-composed LSH (SCALE.md); production
+    interleaves bit positions or widens bands past 16 bits."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_j, out_w = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, delta = d // 2, d % 2
+                w, h = 4 + g % 13, 3 + g % 7
+                grid = [
+                    [
+                        (
+                            (g * 2654435761 + x * 97 + y * 193 + delta) % 256,
+                            (g * 2246822519 + x * 59 + y * 131) % 256,
+                            (g * 3266489917 + x * 73 + y * 151) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                parsed = decode_bmp_pixels(encode_bmp(w, h, grid))
+                rows = parsed["rgb_rows"]
+                gv = [
+                    sum(rows[(k // 8) * h // 8][(k % 8) * w // 8]) // 3
+                    for k in range(64)
+                ]
+                total = sum(gv)
+                bits = [1 if 64 * v > total else 0 for v in gv]
+                for j in range(4):
+                    word = sum(
+                        bits[16 * j + m] << m for m in range(16)
+                    )
+                    out_doc.append(d)
+                    out_j.append(j)
+                    out_w.append(word)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "j": pd.Series(out_j, dtype="int32"),
+                    "word": pd.Series(out_w, dtype="int64"),
+                }
+            )
+
+    words = ids.mapInPandas(hash_words, "doc_id long, j int, word long")
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+
+    words = cache_slot("ahash_words", words)
+    a, b = words.alias("a"), words.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    ham = (
+        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(
+            wb,
+            (F.col("wb.doc_id") == F.col("doc_b"))
+            & (F.col("wb.j") == F.col("wa.j")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.expr("wa.word").bitwiseXOR(F.expr("wb.word")))
+            )
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= _AHASH_RADIUS)

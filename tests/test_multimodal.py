@@ -168,3 +168,43 @@ def test_decode_payload_routes_real_codecs():
     assert decode_payload(wav, "audio/wav")["sum_abs"] == 10
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x89PNG", "image/png")
+
+
+def test_bmp_pixel_decoder_roundtrips_grid():
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    grid = [[(x * 10 % 256, y * 20 % 256, (x + y) % 256) for x in range(5)]
+            for y in range(3)]
+    parsed = decode_bmp_pixels(encode_bmp(5, 3, grid))
+    assert parsed["width"] == 5 and parsed["height"] == 3
+    assert parsed["rgb_rows"] == grid  # top-row-first, bottom-up undone
+
+
+def test_ahash_recovers_constructed_near_dups(spark, sf_dir):
+    """Each (2g, 2g+1) pair shares a base image with a +1 red nudge —
+    the vast majority must land within the radius, every emitted pair
+    must respect it, and accidental (non-constructed) pairs must be
+    rare (diverse images hash apart)."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.llm.multimodal import (
+        _AHASH_RADIUS,
+        image_ahash_neardup,
+    )
+
+    out = image_ahash_neardup(spark, sf_dir).collect()
+    assert all(0 <= r["hamming"] <= _AHASH_RADIUS for r in out)
+    n_docs = t(spark, sf_dir, "documents").count()
+    constructed = {
+        (2 * g, 2 * g + 1)
+        for g in range(n_docs // 2)
+    }
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    recovered = len(got & constructed) / len(constructed)
+    assert recovered > 0.9, recovered
+    accidental = len(got - constructed)
+    assert accidental < 0.05 * len(constructed), accidental
