@@ -208,3 +208,42 @@ def decode_bmp_pixels(data: bytes) -> dict:
     if not top_down:
         rows.reverse()  # bottom-up on disk -> top-row-first grid
     return {"width": width, "height": height, "rgb_rows": rows}
+
+
+def decode_wav_samples(data: bytes) -> dict:
+    """Parse a RIFF/PCM WAV into the raw sample list (16-bit signed,
+    interleaved if multi-channel): returns n_channels, sample_rate, and
+    samples.  Same chunk walk and validation as decode_wav; used by the
+    audio-fingerprint operators, which need sample access rather than
+    aggregate statistics."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaFormatError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt_info = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise MediaFormatError("fmt chunk too short")
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise MediaFormatError(
+                    f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})"
+                )
+            fmt_info = (n_ch, rate)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)
+    if fmt_info is None or pcm is None:
+        raise MediaFormatError("missing fmt or data chunk")
+    n_ch, rate = fmt_info
+    n = len(pcm) // 2
+    return {
+        "n_channels": n_ch,
+        "sample_rate": rate,
+        "samples": list(struct.unpack(f"<{n}h", pcm[: n * 2])),
+    }

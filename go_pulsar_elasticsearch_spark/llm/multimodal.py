@@ -611,3 +611,142 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= _AHASH_RADIUS)
+
+
+# --------------------------------------------------------------------------
+# audio_fingerprint_neardup — energy-profile audio fingerprint, certified
+# through real RIFF/PCM bytes (the WAV twin of image_ahash_neardup).
+#
+# The standard landmark-free audio fingerprint: split the signal into
+# frames, compare consecutive frame energies, keep the comparison BITS
+# (robust to gain changes and noise).  65 two-sample frames -> 64 bits;
+# everything is integer arithmetic (|sample| sums, strict >), so the
+# whole pipeline has an exact DuckDB twin while the Spark side
+# round-trips every clip through the real WAV encoder+parser.
+#
+# Synthetic corpus: consecutive doc_ids (2g, 2g+1) share base samples,
+# the odd one +1 on every sample — the tiny-gain-shift near-dup.
+# --------------------------------------------------------------------------
+
+_AFP_N = 130        # samples per clip -> 65 frames of 2 -> 64 bits
+_AFP_RADIUS = 3     # 4x16-bit bands, pigeonhole-lossless at <= 3
+
+_AFP_ORACLE = f"""
+WITH clips AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS delta FROM documents
+), energies AS (
+  SELECT doc_id, k,
+         SUM(abs((g*2654435761 + (2*k + i)*(2*k + i)*97
+                  + (2*k + i)*g*13) % 4096 - 2048 + delta)) AS e
+  FROM (SELECT doc_id, g, delta, k, unnest(range(0, 2)) AS i
+        FROM (SELECT *, unnest(range(0, 65)) AS k FROM clips))
+  GROUP BY doc_id, k
+), bits AS (
+  SELECT a.doc_id, a.k,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM energies a JOIN energies b
+    ON b.doc_id = a.doc_id AND b.k = a.k + 1
+  WHERE a.k < 64
+), words AS (
+  SELECT doc_id, CAST(k // 16 AS INTEGER) AS j,
+         CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT) AS word
+  FROM bits GROUP BY doc_id, k // 16
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM words a JOIN words b
+    ON a.j = b.j AND a.word = b.word AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(bit_count(xor(wa.word, wb.word))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wb.j = wa.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_AFP_RADIUS}
+"""
+
+
+@register("audio_fingerprint_neardup", _AFP_ORACLE)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-profile audio fingerprint near-dup: synthesize each doc's
+    PCM clip, round-trip it through the real WAV encoder+parser, build
+    the 64-bit consecutive-frame-energy fingerprint from the PARSED
+    samples, and emit pairs within Hamming 3 via the same lossless
+    4x16-bit band equi-join as image_ahash_neardup.
+
+    Scale shape: identical to the image path — hashing is
+    scan -> mapInPandas (audio bytes never shuffle); the pair stage
+    exchanges 4 x 8-byte words per clip."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def fp_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_j, out_w = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, delta = d // 2, d % 2
+                raw = [
+                    (g * 2654435761 + i * i * 97 + i * g * 13) % 4096
+                    - 2048 + delta
+                    for i in range(_AFP_N)
+                ]
+                parsed = decode_wav_samples(encode_wav(8000, raw))
+                s = parsed["samples"]
+                e = [abs(s[2 * k]) + abs(s[2 * k + 1]) for k in range(65)]
+                bits = [1 if e[k] > e[k + 1] else 0 for k in range(64)]
+                for j in range(4):
+                    word = sum(bits[16 * j + m] << m for m in range(16))
+                    out_doc.append(d)
+                    out_j.append(j)
+                    out_w.append(word)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "j": pd.Series(out_j, dtype="int32"),
+                    "word": pd.Series(out_w, dtype="int64"),
+                }
+            )
+
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+
+    words = cache_slot(
+        "afp_words", ids.mapInPandas(fp_words, "doc_id long, j int, word long")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    ham = (
+        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(
+            wb,
+            (F.col("wb.doc_id") == F.col("doc_b"))
+            & (F.col("wb.j") == F.col("wa.j")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.expr("wa.word").bitwiseXOR(F.expr("wb.word")))
+            )
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= _AFP_RADIUS)

@@ -208,3 +208,34 @@ def test_ahash_recovers_constructed_near_dups(spark, sf_dir):
     assert recovered > 0.9, recovered
     accidental = len(got - constructed)
     assert accidental < 0.05 * len(constructed), accidental
+
+
+def test_wav_sample_decoder_roundtrips():
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    parsed = decode_wav_samples(encode_wav(16000, samples))
+    assert parsed["samples"] == samples
+    assert parsed["sample_rate"] == 16000
+    assert parsed["n_channels"] == 1
+
+
+def test_audio_fingerprint_recovers_constructed_near_dups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.llm.multimodal import (
+        _AFP_RADIUS,
+        audio_fingerprint_neardup,
+    )
+
+    out = audio_fingerprint_neardup(spark, sf_dir).collect()
+    assert all(0 <= r["hamming"] <= _AFP_RADIUS for r in out)
+    n_docs = t(spark, sf_dir, "documents").count()
+    constructed = {(2 * g, 2 * g + 1) for g in range(n_docs // 2)}
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert len(got & constructed) / len(constructed) > 0.9
+    assert len(got - constructed) < 0.05 * len(constructed)
