@@ -254,3 +254,76 @@ def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.missing", "int").alias("miss_val"),
         F.try_variant_get(v, "$.k", "int").isNotNull().alias("has_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# sql_surface_pipe  (Spark 4 SQL pipe syntax |> — same answers as the
+# classic GROUP BY the oracle runs)
+# --------------------------------------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+"""
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,1))) AS DOUBLE) AS sum_qty
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n, sum_qty
+"""
+
+
+@register("sql_surface_pipe", _PIPE_ORACLE)
+def sql_surface_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (`FROM t |> WHERE … |> AGGREGATE …`)
+    through the front door, certified to produce exactly the classic
+    GROUP BY's rows.  Pipe operators compile to the same logical plan
+    as the nested form — Catalyst sees no difference, so every
+    optimization (pushdown, partial agg) applies unchanged."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)
+
+
+# --------------------------------------------------------------------------
+# sql_surface_recursive  (Spark 4 recursive CTE — bounded halving chain)
+# --------------------------------------------------------------------------
+
+_RECURSIVE_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT n_nationkey AS start_key, n_nationkey AS k, 0 AS depth
+  FROM nation
+  UNION ALL
+  SELECT start_key, CAST(FLOOR(k / 2) AS INTEGER), depth + 1
+  FROM chain WHERE k > 0
+)
+SELECT CAST(start_key AS INTEGER) AS start_key,
+       CAST(MAX(depth) AS INTEGER) AS chain_len,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(SUM(k) AS BIGINT) AS sum_keys
+FROM chain GROUP BY start_key
+"""
+
+
+@register("sql_surface_recursive", _RECURSIVE_ORACLE)
+def sql_surface_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through spark.sql (new in Spark 4): per-nation
+    halving chain k -> floor(k/2) down to 0, aggregated to chain length
+    + visited-key sum.  The IDENTICAL statement runs on DuckDB — both
+    engines implement the SQL-standard recursive union semantics.
+    FLOOR(k/2) rather than integer `/`: Spark's int division and
+    DuckDB's differ in spelling (DIV vs //), floor is portable.
+
+    Scale note: each recursion step is one self-union over the frontier
+    — bounded here by log2(max key); unbounded recursions need the
+    engine's row/depth limits (spark.sql.cteRecursionLevelLimit)."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_ORACLE)
