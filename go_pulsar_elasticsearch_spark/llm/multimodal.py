@@ -495,9 +495,9 @@ WITH imgs AS (
          CASE WHEN 64 * gv > total THEN 1 ELSE 0 END AS bit
   FROM px JOIN tot ON tot.doc_id = px.doc_id
 ), words AS (
-  SELECT doc_id, CAST(k // 16 AS INTEGER) AS j,
-         CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT) AS word
-  FROM bits GROUP BY doc_id, k // 16
+  SELECT doc_id, CAST(k % 4 AS INTEGER) AS j,
+         CAST(SUM(bit * CAST(pow(2, k // 4) AS BIGINT)) AS BIGINT) AS word
+  FROM bits GROUP BY doc_id, k % 4
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM words a JOIN words b
@@ -563,7 +563,7 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bits = [1 if 64 * v > total else 0 for v in gv]
                 for j in range(4):
                     word = sum(
-                        bits[16 * j + m] << m for m in range(16)
+                        bits[4 * m + j] << m for m in range(16)
                     )
                     out_doc.append(d)
                     out_j.append(j)
@@ -648,9 +648,9 @@ WITH clips AS (
     ON b.doc_id = a.doc_id AND b.k = a.k + 1
   WHERE a.k < 64
 ), words AS (
-  SELECT doc_id, CAST(k // 16 AS INTEGER) AS j,
-         CAST(SUM(bit * CAST(pow(2, k % 16) AS BIGINT)) AS BIGINT) AS word
-  FROM bits GROUP BY doc_id, k // 16
+  SELECT doc_id, CAST(k % 4 AS INTEGER) AS j,
+         CAST(SUM(bit * CAST(pow(2, k // 4) AS BIGINT)) AS BIGINT) AS word
+  FROM bits GROUP BY doc_id, k % 4
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM words a JOIN words b
@@ -702,7 +702,7 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e = [abs(s[2 * k]) + abs(s[2 * k + 1]) for k in range(65)]
                 bits = [1 if e[k] > e[k + 1] else 0 for k in range(64)]
                 for j in range(4):
-                    word = sum(bits[16 * j + m] << m for m in range(16))
+                    word = sum(bits[4 * m + j] << m for m in range(16))
                     out_doc.append(d)
                     out_j.append(j)
                     out_w.append(word)
