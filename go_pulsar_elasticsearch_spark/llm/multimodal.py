@@ -524,9 +524,12 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: hashing is scan -> mapInPandas (no shuffle; bytes never
     leave the executor); the pair stage shuffles 4 x 8-byte words per
-    image.  Flat images collapse to word 0 and can crowd a band bucket —
-    the same bounded-DF caveat as OR-composed LSH (SCALE.md); production
-    interleaves bit positions or widens bands past 16 bits."""
+    image.  Bands take every 4th bit (k % 4) rather than 16 contiguous
+    bits: aHash bits are spatially correlated, so contiguous bands
+    crowd their buckets as the corpus grows (the bounded-DF caveat of
+    OR-composed LSH, SCALE.md — measured 3.4x wall-time at the 30x
+    replica before the interleave); any disjoint 4-way split keeps the
+    pigeonhole guarantee, so the qualifying pair set is unchanged."""
     from go_pulsar_elasticsearch_spark.llm.media_codec import (
         decode_bmp_pixels,
         encode_bmp,
