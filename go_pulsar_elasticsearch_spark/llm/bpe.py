@@ -155,7 +155,10 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_bpe_tokens",
         "n_word_chars",
-        (F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens")).alias(
-            "chars_per_token"
-        ),
+        # NULL (not NaN) for a wordless doc: 0.0/0 is IEEE NaN, which
+        # would poison downstream averages
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"),
+        ).alias("chars_per_token"),
     )

@@ -1329,9 +1329,12 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SMALLER doc's shingle count, catching asymmetric near-duplication
     (quotes, doc-in-doc) that the symmetric Jaccard denominator dilutes.
 
-    Same inverted-index plan as ngram_jaccard — and literally the same
-    slot-cached posting-list frame, so running both ops in one session
-    shares the shingle build; only the pair aggregation differs."""
+    Same inverted-index plan as ngram_jaccard, built by the same
+    shingle_frame helper; note cache_slot re-registration EVICTS the
+    previous frame, so running both ops in one session rebuilds the
+    posting list (the slot shares the build only across this op's own
+    two join sides — the cross-op sharing would need a lineage-keyed
+    cache)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     grams = shingle_frame(docs).withColumnRenamed("shingle", "gram")

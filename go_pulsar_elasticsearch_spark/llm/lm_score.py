@@ -64,6 +64,49 @@ from go_pulsar_elasticsearch_spark.session import tune
 _CE_HEAD_LT = 3.400
 _CE_MID_LT = 3.404
 
+def tokenize(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) stream — THE tokenization every LM-scoring
+    consumer shares (the streaming monitor imports these helpers, so
+    batch and incremental scoring cannot drift)."""
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+def score_docs(docs: DataFrame, counts: DataFrame) -> DataFrame:
+    """Score documents against an explicit unigram count table
+    (word, c): add-one smoothing, round-6 ln, exact-decimal CE sum,
+    fixed bucket thresholds.  lm_perplexity_bucket is exactly this over
+    the corpus's own counts; streaming/lm_monitor.py scores each
+    micro-batch against the accumulated store with the same function."""
+    tok = tokenize(docs)
+    tot = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    lm = counts.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ),
+            6,
+        ).alias("logp"),
+    )
+    doc = tok.join(lm, "word").groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        dsum("logp", 6, 18, out_scale=6).alias("_slp"),
+    )
+    ce = -F.col("_slp") / F.col("n_tok")
+    return doc.select(
+        "doc_id",
+        "n_tok",
+        ce.alias("ce"),
+        F.when(ce < _CE_HEAD_LT, "head")
+        .when(ce < _CE_MID_LT, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 _PPL_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, word
@@ -112,34 +155,8 @@ def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical regardless of summation order."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-    cnt = tok.groupBy("word").agg(F.count("*").alias("c"))
-    tot = cnt.agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")
-    )
-    lm = cnt.crossJoin(F.broadcast(tot)).select(
-        "word",
-        F.round(
-            F.log((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v")).cast("double")),
-            6,
-        ).alias("logp"),
-    )
-    doc = tok.join(lm, "word").groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        dsum("logp", 6, 18, out_scale=6).alias("_slp"),
-    )
-    ce = -F.col("_slp") / F.col("n_tok")
-    return doc.select(
-        "doc_id",
-        "n_tok",
-        ce.alias("ce"),
-        F.when(ce < _CE_HEAD_LT, "head")
-        .when(ce < _CE_MID_LT, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    )
+    cnt = tokenize(docs).groupBy("word").agg(F.count("*").alias("c"))
+    return score_docs(docs, cnt)
 
 
 # --------------------------------------------------------------------------
@@ -148,7 +165,11 @@ def lm_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_ORACLE = f"""
 WITH arr AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  -- empty tokens (consecutive/leading/trailing spaces) are dropped
+  -- BEFORE pairing, so bigrams are over the same symbol set as the
+  -- unigram op's tokenization and the smoothing vocabulary V
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
 ), big AS (
   SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
   FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
@@ -191,7 +212,10 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     CE order-independent."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    arr = docs.select("doc_id", F.split("text", " ").alias("w"))
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    )
     big = (
         arr.filter(F.size("w") >= 2)
         .select(

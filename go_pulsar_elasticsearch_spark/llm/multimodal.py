@@ -451,6 +451,44 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_band_pairs(words: DataFrame, radius: int) -> DataFrame:
+    """Shared pair stage for the perceptual near-dup ops: candidates
+    from an exact-band equi-join over (j, word), then the full Hamming
+    distance over all 4 bands, filtered at ``radius``.  Lossless for
+    radius < 4 by pigeonhole over any disjoint 4-way bit split."""
+    a, b = words.alias("a"), words.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    return (
+        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
+        .join(
+            wb,
+            (F.col("wb.doc_id") == F.col("doc_b"))
+            & (F.col("wb.j") == F.col("wa.j")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.expr("wa.word").bitwiseXOR(F.expr("wb.word")))
+            )
+            .cast("int")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= radius)
+    )
+
+
 # --------------------------------------------------------------------------
 # image_ahash_neardup — perceptual-hash image dedup, hash-certified
 # end-to-end through REAL encoded bytes.
@@ -583,37 +621,7 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 
     words = cache_slot("ahash_words", words)
-    a, b = words.alias("a"), words.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    wa, wb = words.alias("wa"), words.alias("wb")
-    ham = (
-        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
-        .join(
-            wb,
-            (F.col("wb.doc_id") == F.col("doc_b"))
-            & (F.col("wb.j") == F.col("wa.j")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.bit_count(F.expr("wa.word").bitwiseXOR(F.expr("wb.word")))
-            )
-            .cast("int")
-            .alias("hamming")
-        )
-    )
-    return ham.filter(F.col("hamming") <= _AHASH_RADIUS)
+    return _word_band_pairs(words, _AHASH_RADIUS)
 
 
 # --------------------------------------------------------------------------
@@ -722,34 +730,4 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = cache_slot(
         "afp_words", ids.mapInPandas(fp_words, "doc_id long, j int, word long")
     )
-    a, b = words.alias("a"), words.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.word") == F.col("b.word"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    wa, wb = words.alias("wa"), words.alias("wb")
-    ham = (
-        cand.join(wa, F.col("wa.doc_id") == F.col("doc_a"))
-        .join(
-            wb,
-            (F.col("wb.doc_id") == F.col("doc_b"))
-            & (F.col("wb.j") == F.col("wa.j")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(
-                F.bit_count(F.expr("wa.word").bitwiseXOR(F.expr("wb.word")))
-            )
-            .cast("int")
-            .alias("hamming")
-        )
-    )
-    return ham.filter(F.col("hamming") <= _AFP_RADIUS)
+    return _word_band_pairs(words, _AFP_RADIUS)

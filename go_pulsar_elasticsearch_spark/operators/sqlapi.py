@@ -231,12 +231,15 @@ def sql_surface_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_ORACLE = """
 SELECT
   event_id,
-  CAST(props->>'k' AS INTEGER) AS k_int,
+  TRY_CAST(props->>'k' AS INTEGER) AS k_int,
   CAST(props->>'k' AS VARCHAR) AS k_str,
-  CAST(props->>'missing' AS INTEGER) AS miss_val,
-  CAST(props->>'k' IS NOT NULL AS BOOLEAN) AS has_k
+  TRY_CAST(props->>'missing' AS INTEGER) AS miss_val,
+  CAST(TRY_CAST(props->>'k' AS INTEGER) IS NOT NULL AS BOOLEAN) AS has_k
 FROM events
 """
+# TRY_CAST mirrors try_variant_get: a non-integer k yields NULL on both
+# sides instead of aborting the oracle run, and has_k means "k extracts
+# AS INT" on both sides.
 
 
 @register("variant_funcs", _VARIANT_ORACLE)

@@ -177,10 +177,12 @@ def static_enrich(stream_df: DataFrame, customer: DataFrame,
     re-planned per micro-batch (so slowly-changing dims pick up file
     updates), needs NO watermark, and keeps the whole join stateless.
 
-    100 TB posture: both dims broadcast (the hint is correct here —
-    dimensions are bounded by construction, unlike segment_dedup's
-    occurrence lists), so the stream never shuffles: enrichment rides
-    the ingest scan as a map-side hash join at any stream rate."""
+    100 TB posture: customer is SF-proportional (the largest TPC-H
+    dimension — billions of rows at warehouse scale), so no broadcast
+    hint: at fixture sizes AQE broadcasts it anyway (the stream never
+    shuffles), and past the broadcast ceiling the per-batch join
+    degrades gracefully to a shuffle join instead of OOMing the driver
+    on the first micro-batch.  nation-sized dims always broadcast."""
     dim = customer.select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_nationkey").alias("_nk"),
@@ -191,7 +193,7 @@ def static_enrich(stream_df: DataFrame, customer: DataFrame,
         ),
         "_nk",
     ).drop("_nk")
-    return stream_df.join(F.broadcast(dim), "user_id")
+    return stream_df.join(dim, "user_id")
 
 
 _STATIC_ENRICH_ORACLE = """

@@ -39,47 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from go_pulsar_elasticsearch_spark.functions.exact import dsum
-from go_pulsar_elasticsearch_spark.llm.lm_score import _CE_HEAD_LT, _CE_MID_LT
-
-
-def tokenize(docs: DataFrame) -> DataFrame:
-    """(doc_id, word) stream — the batch op's exact tokenization."""
-    return docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.col("word") != "")
-
-
-def score_docs(docs: DataFrame, counts: DataFrame) -> DataFrame:
-    """Score documents against an explicit unigram count table
-    (word, c) with the batch operator's arithmetic: add-one smoothing,
-    round-6 ln, exact-decimal CE sum, fixed bucket thresholds."""
-    tok = tokenize(docs)
-    tot = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
-    lm = counts.crossJoin(F.broadcast(tot)).select(
-        "word",
-        F.round(
-            F.log(
-                (F.col("c") + 1).cast("double")
-                / (F.col("n") + F.col("v")).cast("double")
-            ),
-            6,
-        ).alias("logp"),
-    )
-    doc = tok.join(lm, "word").groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        dsum("logp", 6, 18, out_scale=6).alias("_slp"),
-    )
-    ce = -F.col("_slp") / F.col("n_tok")
-    return doc.select(
-        "doc_id",
-        "n_tok",
-        ce.alias("ce"),
-        F.when(ce < _CE_HEAD_LT, "head")
-        .when(ce < _CE_MID_LT, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    )
+# the batch op's exact tokenization + scoring arithmetic, imported (not
+# copied) so the monitor can never drift from the certified operator;
+# re-exported for callers of this module
+from go_pulsar_elasticsearch_spark.llm.lm_score import (  # noqa: F401
+    score_docs,
+    tokenize,
+)
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
@@ -146,4 +112,8 @@ def run_lm_monitor(spark: SparkSession, src_path: str, store_path: str,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        # a silent partial drain would let callers read a half-written
+        # epoch; stop the leaked query and fail loudly instead
+        q.stop()
+        raise TimeoutError("lm monitor drain did not finish within 180s")

@@ -46,7 +46,9 @@ def main() -> None:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
 
-    # prefer the full tier when both artifacts carry it (wider net)
+    # widest net: full tier plus headliners — where a query is in both
+    # tiers, the headline best-of-3 wins the merge (steady-state numbers
+    # compare cleanly across rounds; full-tier times are one-shot+cold)
     oq = {**old.get("full_queries", {}), **old["queries"]}
     nq = {**new.get("full_queries", {}), **new["queries"]}
     oq = {k: v for k, v in oq.items() if v and v > 0}
