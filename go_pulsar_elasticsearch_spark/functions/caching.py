@@ -43,3 +43,23 @@ def release_slot(key: str) -> None:
     old = _slots.pop(key, None)
     if old is not None:
         old.unpersist(blocking=False)
+
+
+def cache_slot_reuse(key: str, df: DataFrame) -> DataFrame:
+    """Like cache_slot, but REUSES the occupant when the incoming frame
+    is semantically identical (same analyzed-plan semanticHash) — so
+    two operators sharing a builder over the same input (ngram_jaccard
+    + ngram_containment's posting list) share one materialization per
+    session instead of evicting each other.  A different lineage still
+    evicts, keeping the one-live-frame bound."""
+    old = _slots.get(key)
+    if old is not None:
+        try:
+            if (
+                old._jdf.queryExecution().analyzed().semanticHash()
+                == df._jdf.queryExecution().analyzed().semanticHash()
+            ):
+                return old
+        except Exception:
+            pass  # can't compare -> fall through to turnover
+    return cache_slot(key, df)

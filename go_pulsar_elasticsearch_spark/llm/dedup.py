@@ -244,9 +244,16 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
     Generate input.  Referencing `arr` from two separate projections
     (`size(arr)` + `explode(arr)`) makes Catalyst re-derive the array
     build around the Generate — measured 9x slower at sf0.1."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
+
     arrs = doc_shingle_arrays(docs)
     extra = [c for c in arrs.columns if c == "cnt"]
-    return cache_slot(
+    # lineage-keyed reuse: jaccard + containment over the SAME docs
+    # frame share one materialized posting list per session instead of
+    # evicting each other (a different corpus still turns the slot over)
+    return cache_slot_reuse(
         "shingle_frame",
         arrs.select(
             "doc_id",
@@ -1330,11 +1337,10 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quotes, doc-in-doc) that the symmetric Jaccard denominator dilutes.
 
     Same inverted-index plan as ngram_jaccard, built by the same
-    shingle_frame helper; note cache_slot re-registration EVICTS the
-    previous frame, so running both ops in one session rebuilds the
-    posting list (the slot shares the build only across this op's own
-    two join sides — the cross-op sharing would need a lineage-keyed
-    cache)."""
+    shingle_frame helper, whose slot is lineage-keyed
+    (cache_slot_reuse): over the same docs frame both ops share ONE
+    materialized posting list per session; only the pair aggregation
+    differs."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     grams = shingle_frame(docs).withColumnRenamed("shingle", "gram")
