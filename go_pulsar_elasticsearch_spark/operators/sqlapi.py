@@ -330,3 +330,39 @@ def sql_surface_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# collation_group  (Spark 4 collations: case-insensitive semantics as a
+# column PROPERTY rather than scattered lower() calls)
+# --------------------------------------------------------------------------
+
+_COLLATE_ORACLE = """
+SELECT lower(CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+         AS source_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("collation_group", _COLLATE_ORACLE)
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group mixed-case labels under the UTF8_LCASE collation (Spark 4):
+    even doc_ids upper-case their source label, yet the collated groupBy
+    merges them with the lower-case twins — no lower() in the grouping
+    expression.  The grouping key's surfaced representative is
+    engine/partition-dependent, so the certified output lowers it; the
+    oracle is the classic lower() GROUP BY, proving the collation path
+    computes the same partition of rows."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    label = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    return (
+        docs.select(F.collate(label, "UTF8_LCASE").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lower("k").alias("source_ci"), "n_docs")
+    )
