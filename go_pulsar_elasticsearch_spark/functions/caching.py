@@ -55,10 +55,10 @@ def cache_slot_reuse(key: str, df: DataFrame) -> DataFrame:
     old = _slots.get(key)
     if old is not None:
         try:
-            if (
-                old._jdf.queryExecution().analyzed().semanticHash()
-                == df._jdf.queryExecution().analyzed().semanticHash()
-            ):
+            # sameSemantics compares CANONICALIZED plans exactly —
+            # semanticHash() alone is a 32-bit hash whose collision
+            # would silently serve a stale frame to a certified op
+            if df.sameSemantics(old):
                 return old
         except Exception:
             pass  # can't compare -> fall through to turnover

@@ -124,10 +124,10 @@ def encode_wav(sample_rate: int, samples: list[int], n_channels: int = 1) -> byt
     return struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE") + fmt + data_chunk
 
 
-def decode_wav(data: bytes) -> dict:
-    """Walk the RIFF chunk list (skipping unknown chunks, as the format
-    requires — LIST/INFO chunks are common), parse the PCM fmt chunk and
-    the data chunk; returns exact integer sample statistics."""
+def _parse_wav_chunks(data: bytes) -> tuple[int, int, bytes]:
+    """Shared RIFF walk for the WAV decoders: validates the container,
+    walks the chunk list (skipping unknown chunks, word-aligned), and
+    returns (n_channels, sample_rate, pcm_bytes) for 16-bit PCM."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaFormatError("not a RIFF/WAVE payload")
     pos = 12
@@ -146,19 +146,25 @@ def decode_wav(data: bytes) -> dict:
                 raise MediaFormatError(
                     f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})"
                 )
-            fmt_info = (n_ch, rate, bits)
+            fmt_info = (n_ch, rate)
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_info is None or pcm is None:
         raise MediaFormatError("missing fmt or data chunk")
-    n_ch, rate, bits = fmt_info
+    return fmt_info[0], fmt_info[1], pcm
+
+
+def decode_wav(data: bytes) -> dict:
+    """Parse a RIFF/PCM WAV (shared chunk walk in _parse_wav_chunks);
+    returns exact integer sample statistics."""
+    n_ch, rate, pcm = _parse_wav_chunks(data)
     n = len(pcm) // 2
     samples = struct.unpack(f"<{n}h", pcm[: n * 2])
     return {
         "n_channels": n_ch,
         "sample_rate": rate,
-        "bits_per_sample": bits,
+        "bits_per_sample": 16,
         "n_samples": n // n_ch,
         "sum_abs": sum(abs(s) for s in samples),
         "peak_abs": max((abs(s) for s in samples), default=0),
@@ -213,34 +219,10 @@ def decode_bmp_pixels(data: bytes) -> dict:
 def decode_wav_samples(data: bytes) -> dict:
     """Parse a RIFF/PCM WAV into the raw sample list (16-bit signed,
     interleaved if multi-channel): returns n_channels, sample_rate, and
-    samples.  Same chunk walk and validation as decode_wav; used by the
-    audio-fingerprint operators, which need sample access rather than
-    aggregate statistics."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise MediaFormatError("not a RIFF/WAVE payload")
-    pos = 12
-    fmt_info = None
-    pcm = None
-    while pos + 8 <= len(data):
-        cid, size = struct.unpack_from("<4sI", data, pos)
-        body = data[pos + 8:pos + 8 + size]
-        if cid == b"fmt ":
-            if size < 16:
-                raise MediaFormatError("fmt chunk too short")
-            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
-                "<HHIIHH", body, 0
-            )
-            if audio_fmt != 1 or bits != 16:
-                raise MediaFormatError(
-                    f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})"
-                )
-            fmt_info = (n_ch, rate)
-        elif cid == b"data":
-            pcm = body
-        pos += 8 + size + (size & 1)
-    if fmt_info is None or pcm is None:
-        raise MediaFormatError("missing fmt or data chunk")
-    n_ch, rate = fmt_info
+    samples.  Shares the chunk walk and validation with decode_wav via
+    _parse_wav_chunks; used by the audio-fingerprint operators, which
+    need sample access rather than aggregate statistics."""
+    n_ch, rate, pcm = _parse_wav_chunks(data)
     n = len(pcm) // 2
     return {
         "n_channels": n_ch,

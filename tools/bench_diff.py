@@ -15,6 +15,7 @@ reading (a deliberate trade, e.g. an exact-dup collapse, is not a bug).
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 
 _CANARIES = ("tpch_q5", "tpch_q6", "tpch_q18")
@@ -36,7 +37,10 @@ def load(path: str) -> dict:
     for line in reversed(txt.replace("\r", "\n").splitlines()):
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue  # truncated/noise-interleaved candidate
     raise SystemExit(f"{path}: no bench JSON line found")
 
 
@@ -51,14 +55,20 @@ def main() -> None:
     # compare cleanly across rounds; full-tier times are one-shot+cold)
     oq = {**old.get("full_queries", {}), **old["queries"]}
     nq = {**new.get("full_queries", {}), **new["queries"]}
-    oq = {k: v for k, v in oq.items() if v and v > 0}
-    nq = {k: v for k, v in nq.items() if v and v > 0}
+    # bench.py writes -1.0 for a query that ERRORED: a query that ran
+    # before but fails now is the worst regression, not a removal
+    now_failing = sorted(k for k, v in nq.items() if v is not None
+                         and v < 0 and oq.get(k, 0) and oq[k] > 0)
+    oq = {k: v for k, v in oq.items() if v is not None and v > 0}
+    nq = {k: v for k, v in nq.items() if v is not None and v > 0}
 
     host = [nq[c] / oq[c] for c in _CANARIES if c in oq and c in nq]
-    factor = sorted(host)[len(host) // 2] if host else 1.0
+    factor = statistics.median(host) if host else 1.0
     print(f"# host factor (median canary ratio): {factor:.2f} "
           f"({', '.join(f'{c} {nq.get(c, 0):.2f}/{oq.get(c, 0):.2f}' for c in _CANARIES)})")
 
+    for name in now_failing:
+        print(f"NOW FAILING {name}: {oq[name]:.2f}s -> error (-1.0)")
     common = sorted(set(oq) & set(nq))
     flagged = []
     for name in common:
