@@ -1,0 +1,145 @@
+"""ES bulk sink as a Spark 4 Python DataSource STREAM WRITER.
+
+The pipeline already certifies the bulk wire semantics through
+foreachBatch (sources/es_bulk.py + tests/test_es_bulk.py); this module
+exposes the same delivery path through Spark's official sink API —
+``df.writeStream.format("es_bulk_sim")`` — so the engine has a
+first-class, composable sink rather than only a callback:
+
+  write(iterator)  runs once per partition per micro-batch on the
+                   executor: rows -> JSON docs -> chunked ``_bulk``
+                   POSTs (429/5xx retry with doubling backoff via
+                   bulk_post), per-item failures spooled as NDJSON to
+                   the DLQ directory (reference R9's *intended*
+                   semantics — only failed items are re-routed,
+                   es.go:186-199 / main.go:173-202), returns a commit
+                   message with (partition, ok, failed) counts.
+  commit(...)      driver-side after every partition succeeds: writes a
+                   ``_commits/<batchId>.json`` manifest with the
+                   aggregated counts — the exactly-once marker a replay
+                   can check (the doc-id keyed index makes re-delivery
+                   idempotent anyway, es.go:186).
+  abort(...)       records ``_aborts/<batchId>.json`` so operators can
+                   see a half-failed epoch (per-item DLQ spool from
+                   completed partitions remains valid — items are
+                   id-keyed, replays overwrite).
+
+100 TB posture: this is exactly the executor-parallel bulk-worker
+topology of the real connector — N partitions post independently, the
+driver only sees counts; no payload ever funnels through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as uuid_mod
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class EsBulkCommitMessage(WriterCommitMessage):
+    partition_id: int
+    n_ok: int
+    n_failed: int
+
+
+class EsBulkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        self.endpoint = options["endpoint"]
+        self.index = options.get("index", "index_data")
+        self.id_field = options.get("id_field", "uuid")
+        self.dlq_dir = options.get("dlq_dir", "")
+        self.state_dir = options["state_dir"]
+        self.batch_entries = int(options.get("batch_entries", "500"))
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+            BulkClientOptions,
+            bulk_index_docs,
+        )
+
+        opts = BulkClientOptions(
+            index=self.index,
+            id_field=self.id_field,
+            batch_entries=self.batch_entries,
+        )
+        docs = []
+        for row in iterator:
+            d = row.asDict(recursive=True)
+            # JSON-safe: timestamps -> isoformat (mirrors es_bulk's
+            # row path)
+            for k, v in d.items():
+                if hasattr(v, "isoformat"):
+                    d[k] = v.isoformat()
+            docs.append(d)
+        pid = TaskContext.get().partitionId()
+        if not docs:
+            return EsBulkCommitMessage(pid, 0, 0)
+        results = bulk_index_docs(docs, self.endpoint, opts)
+        by_id = {d[self.id_field]: d for d in docs}
+        failed = [
+            (rid, status, err)
+            for rid, status, err in results
+            if status >= 300
+        ]
+        if failed and self.dlq_dir:
+            os.makedirs(self.dlq_dir, exist_ok=True)
+            spool = os.path.join(
+                self.dlq_dir, f"part-{pid}-{uuid_mod.uuid4().hex}.ndjson"
+            )
+            with open(spool, "w") as fh:
+                for rid, status, err in failed:
+                    fh.write(
+                        json.dumps(
+                            {
+                                "uuid": rid,
+                                "status": status,
+                                "error": err,
+                                "doc": by_id.get(rid),
+                            }
+                        )
+                        + "\n"
+                    )
+        return EsBulkCommitMessage(pid, len(results) - len(failed), len(failed))
+
+    def commit(self, messages, batchId) -> None:
+        os.makedirs(os.path.join(self.state_dir, "_commits"), exist_ok=True)
+        agg = {
+            "batch_id": batchId,
+            "n_ok": sum(m.n_ok for m in messages if m),
+            "n_failed": sum(m.n_failed for m in messages if m),
+            "n_partitions": len(messages),
+        }
+        with open(
+            os.path.join(self.state_dir, "_commits", f"{batchId}.json"), "w"
+        ) as fh:
+            json.dump(agg, fh)
+
+    def abort(self, messages, batchId) -> None:
+        os.makedirs(os.path.join(self.state_dir, "_aborts"), exist_ok=True)
+        with open(
+            os.path.join(self.state_dir, "_aborts", f"{batchId}.json"), "w"
+        ) as fh:
+            json.dump({"batch_id": batchId}, fh)
+
+
+class EsBulkDataSource(DataSource):
+    """``spark.dataSource.register(EsBulkDataSource)`` then
+    ``df.writeStream.format("es_bulk_sim")`` with options endpoint,
+    index, id_field, dlq_dir, state_dir."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "es_bulk_sim"
+
+    def streamWriter(self, schema, overwrite) -> EsBulkStreamWriter:
+        return EsBulkStreamWriter(self.options)

@@ -1,0 +1,116 @@
+"""The ES bulk sink through Spark's Python DataSource STREAM WRITER API:
+docs arrive in the mock cluster, per-item failures spool to the DLQ,
+commit manifests appear per epoch, and 429s retry."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.sources.es_writer_sim import EsBulkDataSource
+from tests.es_mock import make_server
+
+
+@pytest.fixture()
+def mock_es():
+    srv, state, url = make_server()
+    yield state, url
+    srv.shutdown()
+
+
+def _stream_docs(spark, tmp_path, rows):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "uuid string, name string, val long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    return (
+        spark.readStream.schema("uuid string, name string, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _run(spark, tmp_path, stream, url, state_dir, dlq_dir):
+    spark.dataSource.register(EsBulkDataSource)
+    q = (
+        stream.writeStream.format("es_bulk_sim")
+        .option("endpoint", url)
+        .option("index", "index_data")
+        .option("id_field", "uuid")
+        .option("state_dir", state_dir)
+        .option("dlq_dir", dlq_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def test_stream_writer_delivers_and_commits(spark, tmp_path, mock_es):
+    state, url = mock_es
+    rows = [(f"u{i}", f"n{i}", i) for i in range(20)]
+    stream = _stream_docs(spark, tmp_path, rows)
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    _run(spark, tmp_path, stream, url, state_dir, dlq)
+    assert set(state.docs) == {f"u{i}" for i in range(20)}
+    commits = glob.glob(f"{state_dir}/_commits/*.json")
+    assert commits, "no commit manifest written"
+    total = sum(json.load(open(c))["n_ok"] for c in commits)
+    assert total == 20
+    assert not glob.glob(f"{dlq}/*.ndjson")
+
+
+def test_stream_writer_routes_only_failed_items_to_dlq(spark, tmp_path, mock_es):
+    state, url = mock_es
+    state.fail_ids = {"u3", "u7"}
+    rows = [(f"u{i}", f"n{i}", i) for i in range(10)]
+    stream = _stream_docs(spark, tmp_path, rows)
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    _run(spark, tmp_path, stream, url, state_dir, dlq)
+    # good items indexed; exactly the failed ids spooled with payloads
+    assert set(state.docs) == {f"u{i}" for i in range(10)} - {"u3", "u7"}
+    spooled = []
+    for f in glob.glob(f"{dlq}/*.ndjson"):
+        spooled += [json.loads(line) for line in open(f)]
+    assert {d["uuid"] for d in spooled} == {"u3", "u7"}
+    assert all(d["doc"]["uuid"] == d["uuid"] for d in spooled)
+    total_failed = sum(
+        json.load(open(c))["n_failed"]
+        for c in glob.glob(f"{state_dir}/_commits/*.json")
+    )
+    assert total_failed == 2
+
+
+def test_stream_writer_retries_429_then_succeeds(spark, tmp_path, mock_es):
+    state, url = mock_es
+    state.reject_queue = [429]  # first bulk request bounced, retry lands
+    rows = [(f"u{i}", f"n{i}", i) for i in range(5)]
+    stream = _stream_docs(spark, tmp_path, rows)
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    _run(spark, tmp_path, stream, url, state_dir, dlq)
+    assert set(state.docs) == {f"u{i}" for i in range(5)}
+    assert not glob.glob(f"{dlq}/*.ndjson")
+
+
+def test_stream_writer_multiple_epochs(spark, tmp_path, mock_es):
+    state, url = mock_es
+    src = str(tmp_path / "src")
+    for part in range(3):  # three files -> three micro-batches
+        rows = [(f"e{part}-{i}", "n", i) for i in range(4)]
+        spark.createDataFrame(
+            rows, "uuid string, name string, val long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("uuid string, name string, val long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    _run(spark, tmp_path, stream, url, state_dir, dlq)
+    assert len(state.docs) == 12
+    commits = glob.glob(f"{state_dir}/_commits/*.json")
+    assert len(commits) == 3  # one manifest per epoch
