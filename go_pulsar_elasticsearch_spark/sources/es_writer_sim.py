@@ -39,6 +39,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -132,9 +133,28 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
             json.dump({"batch_id": batchId}, fh)
 
 
+class EsBulkBatchWriter(DataSourceWriter):
+    """Batch twin (``df.write.format("es_bulk_sim")``): identical
+    per-partition bulk path; the commit manifest lands under batch id 0
+    (a batch write is one epoch)."""
+
+    def __init__(self, options: dict):
+        self._stream = EsBulkStreamWriter(options)
+
+    def write(self, iterator):
+        return self._stream.write(iterator)
+
+    def commit(self, messages) -> None:
+        self._stream.commit(messages, 0)
+
+    def abort(self, messages) -> None:
+        self._stream.abort(messages, 0)
+
+
 class EsBulkDataSource(DataSource):
     """``spark.dataSource.register(EsBulkDataSource)`` then
-    ``df.writeStream.format("es_bulk_sim")`` with options endpoint,
+    ``df.writeStream.format("es_bulk_sim")`` (streaming) or
+    ``df.write.format("es_bulk_sim")`` (batch) with options endpoint,
     index, id_field, dlq_dir, state_dir."""
 
     @classmethod
@@ -143,3 +163,6 @@ class EsBulkDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite) -> EsBulkStreamWriter:
         return EsBulkStreamWriter(self.options)
+
+    def writer(self, schema, overwrite) -> EsBulkBatchWriter:
+        return EsBulkBatchWriter(self.options)

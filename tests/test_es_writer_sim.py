@@ -9,7 +9,6 @@ import json
 
 import pytest
 
-from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.sources.es_writer_sim import EsBulkDataSource
 from tests.es_mock import make_server
@@ -114,3 +113,31 @@ def test_stream_writer_multiple_epochs(spark, tmp_path, mock_es):
     assert len(state.docs) == 12
     commits = glob.glob(f"{state_dir}/_commits/*.json")
     assert len(commits) == 3  # one manifest per epoch
+
+
+def test_batch_writer_delivers_same_path(spark, tmp_path, mock_es):
+    state, url = mock_es
+    state.fail_ids = {"b2"}
+    df = spark.createDataFrame(
+        [(f"b{i}", f"n{i}", i) for i in range(6)],
+        "uuid string, name string, val long",
+    )
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    spark.dataSource.register(EsBulkDataSource)
+    (
+        df.write.format("es_bulk_sim")
+        .option("endpoint", url)
+        .option("index", "index_data")
+        .option("id_field", "uuid")
+        .option("state_dir", state_dir)
+        .option("dlq_dir", dlq)
+        .mode("append")
+        .save()
+    )
+    assert set(state.docs) == {f"b{i}" for i in range(6)} - {"b2"}
+    spooled = []
+    for f in glob.glob(f"{dlq}/*.ndjson"):
+        spooled += [json.loads(line) for line in open(f)]
+    assert {d["uuid"] for d in spooled} == {"b2"}
+    manifest = json.load(open(f"{state_dir}/_commits/0.json"))
+    assert manifest["n_ok"] == 5 and manifest["n_failed"] == 1
