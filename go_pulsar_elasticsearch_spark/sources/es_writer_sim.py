@@ -166,3 +166,68 @@ class EsBulkDataSource(DataSource):
 
     def writer(self, schema, overwrite) -> EsBulkBatchWriter:
         return EsBulkBatchWriter(self.options)
+
+
+def replay_dlq(spark, dlq_dir: str, endpoint: str, index: str = "index_data",
+               id_field: str = "uuid") -> dict:
+    """Re-drive spooled DLQ items through the bulk path (the reference's
+    redelivery loop, pulsar.go MaxDeliveries, done batch-side): read
+    every NDJSON spool file, re-post the ORIGINAL payloads, and report
+    {replayed, ok, still_failing}.  Items that fail again stay in a
+    fresh spool (same format), so replay is safely repeatable; items
+    that land are idempotent overwrites (doc-id keyed, es.go:186).
+
+    Distributed shape: the spool is read as a normal text source and
+    re-posted per partition via mapInPandas — no driver fan-in of
+    payloads; only the counts come back."""
+    import glob as _glob
+
+    from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+        BulkClientOptions,
+        bulk_index_docs,
+    )
+
+    files = sorted(_glob.glob(os.path.join(dlq_dir, "*.ndjson")))
+    if not files:
+        return {"replayed": 0, "ok": 0, "still_failing": 0}
+    entries = spark.read.json(spark.sparkContext.textFile(",".join(files)))
+    docs_df = entries.select("doc.*")
+    opts = BulkClientOptions(index=index, id_field=id_field)
+
+    def post(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            docs = pdf.to_dict("records")
+            results = bulk_index_docs(docs, endpoint, opts)
+            yield pd.DataFrame(
+                {
+                    "uuid": [r[0] for r in results],
+                    "status": pd.Series(
+                        [r[1] for r in results], dtype="int32"
+                    ),
+                }
+            )
+
+    res = docs_df.mapInPandas(post, "uuid string, status int").collect()
+    ok = [r["uuid"] for r in res if r["status"] < 300]
+    failing = [r["uuid"] for r in res if r["status"] >= 300]
+    # consume the old spool; re-spool survivors so replay is repeatable
+    still = entries.filter(entries.uuid.isin(failing)) if failing else None
+    spooled_rows = still.collect() if still is not None else []
+    for f in files:
+        os.remove(f)
+    if spooled_rows:
+        spool = os.path.join(
+            dlq_dir, f"replay-{uuid_mod.uuid4().hex}.ndjson"
+        )
+        with open(spool, "w") as fh:
+            for row in spooled_rows:
+                fh.write(json.dumps(row.asDict(recursive=True)) + "\n")
+    return {
+        "replayed": len(res),
+        "ok": len(ok),
+        "still_failing": len(failing),
+    }

@@ -141,3 +141,31 @@ def test_batch_writer_delivers_same_path(spark, tmp_path, mock_es):
     assert {d["uuid"] for d in spooled} == {"b2"}
     manifest = json.load(open(f"{state_dir}/_commits/0.json"))
     assert manifest["n_ok"] == 5 and manifest["n_failed"] == 1
+
+
+def test_replay_dlq_reindexes_after_fix(spark, tmp_path, mock_es):
+    """The full DLQ lifecycle: items fail -> spool -> operator fixes the
+    cause -> replay lands them; a still-broken item re-spools."""
+    from go_pulsar_elasticsearch_spark.sources.es_writer_sim import replay_dlq
+
+    state, url = mock_es
+    state.fail_ids = {"u1", "u4"}
+    rows = [(f"u{i}", f"n{i}", i) for i in range(6)]
+    stream = _stream_docs(spark, tmp_path, rows)
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    _run(spark, tmp_path, stream, url, state_dir, dlq)
+    assert "u1" not in state.docs and "u4" not in state.docs
+
+    state.fail_ids = {"u4"}  # u1's mapping problem fixed; u4 still broken
+    report = replay_dlq(spark, dlq, url)
+    assert report == {"replayed": 2, "ok": 1, "still_failing": 1}
+    assert "u1" in state.docs and "u4" not in state.docs
+
+    state.fail_ids = set()  # everything fixed
+    report = replay_dlq(spark, dlq, url)
+    assert report == {"replayed": 1, "ok": 1, "still_failing": 0}
+    assert "u4" in state.docs
+    # spool fully drained; a third replay is a no-op
+    assert replay_dlq(spark, dlq, url) == {
+        "replayed": 0, "ok": 0, "still_failing": 0,
+    }
