@@ -169,3 +169,33 @@ def test_replay_dlq_reindexes_after_fix(spark, tmp_path, mock_es):
     assert replay_dlq(spark, dlq, url) == {
         "replayed": 0, "ok": 0, "still_failing": 0,
     }
+
+
+def test_unrecoverable_failure_writes_abort_marker(spark, tmp_path, mock_es):
+    """A 400 whole-request rejection never self-heals (bulk_post raises
+    immediately): the epoch must FAIL — and leave an _aborts marker, not
+    a commit manifest."""
+    state, url = mock_es
+    state.reject_queue = [400] * 20  # every attempt rejected outright
+    rows = [(f"u{i}", f"n{i}", i) for i in range(4)]
+    stream = _stream_docs(spark, tmp_path, rows)
+    state_dir, dlq = str(tmp_path / "state"), str(tmp_path / "dlq")
+    spark.dataSource.register(EsBulkDataSource)
+    q = (
+        stream.writeStream.format("es_bulk_sim")
+        .option("endpoint", url)
+        .option("index", "index_data")
+        .option("id_field", "uuid")
+        .option("state_dir", state_dir)
+        .option("dlq_dir", dlq)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+    assert glob.glob(f"{state_dir}/_aborts/*.json"), "abort marker missing"
+    assert not glob.glob(f"{state_dir}/_commits/*.json")
+    assert state.docs == {}
