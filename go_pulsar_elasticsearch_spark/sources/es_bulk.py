@@ -91,6 +91,8 @@ def _to_jsonable(v):
         v = v.item()
     if isinstance(v, float) and math.isnan(v):
         return None
+    if hasattr(v, "isoformat"):  # plain datetime/date (the Row path)
+        return v.isoformat()
     return v
 
 

@@ -65,6 +65,7 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
 
         from go_pulsar_elasticsearch_spark.sources.es_bulk import (
             BulkClientOptions,
+            _to_jsonable,
             bulk_index_docs,
         )
 
@@ -73,33 +74,32 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
             id_field=self.id_field,
             batch_entries=self.batch_entries,
         )
-        docs = []
-        for row in iterator:
-            d = row.asDict(recursive=True)
-            # JSON-safe: timestamps -> isoformat (mirrors es_bulk's
-            # row path)
-            for k, v in d.items():
-                if hasattr(v, "isoformat"):
-                    d[k] = v.isoformat()
-            docs.append(d)
         pid = TaskContext.get().partitionId()
-        if not docs:
-            return EsBulkCommitMessage(pid, 0, 0)
-        results = bulk_index_docs(docs, self.endpoint, opts)
-        by_id = {d[self.id_field]: d for d in docs}
-        failed = [
-            (rid, status, err)
-            for rid, status, err in results
-            if status >= 300
-        ]
-        if failed and self.dlq_dir:
-            os.makedirs(self.dlq_dir, exist_ok=True)
-            spool = os.path.join(
-                self.dlq_dir, f"part-{pid}-{uuid_mod.uuid4().hex}.ndjson"
-            )
-            with open(spool, "w") as fh:
-                for rid, status, err in failed:
-                    fh.write(
+        n_ok = n_failed = 0
+        spool_fh = None
+
+        def flush(chunk: list[dict]) -> None:
+            # chunked consumption: memory stays O(batch_entries), never
+            # O(partition), matching the module's scale claim
+            nonlocal n_ok, n_failed, spool_fh
+            results = bulk_index_docs(chunk, self.endpoint, opts)
+            by_id = {d[self.id_field]: d for d in chunk}
+            for rid, status, err in results:
+                if status < 300:
+                    n_ok += 1
+                    continue
+                n_failed += 1
+                if self.dlq_dir:
+                    if spool_fh is None:
+                        os.makedirs(self.dlq_dir, exist_ok=True)
+                        spool_fh = open(
+                            os.path.join(
+                                self.dlq_dir,
+                                f"part-{pid}-{uuid_mod.uuid4().hex}.ndjson",
+                            ),
+                            "w",
+                        )
+                    spool_fh.write(
                         json.dumps(
                             {
                                 "uuid": rid,
@@ -110,15 +110,39 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
                         )
                         + "\n"
                     )
-        return EsBulkCommitMessage(pid, len(results) - len(failed), len(failed))
+
+        chunk: list[dict] = []
+        try:
+            for row in iterator:
+                # DEEP JSON-safety (nested timestamps included) via the
+                # shared converter — a shallow isoformat pass misses
+                # datetimes inside structs/arrays
+                chunk.append(
+                    {
+                        k: _to_jsonable(v)
+                        for k, v in row.asDict(recursive=True).items()
+                    }
+                )
+                if len(chunk) >= self.batch_entries:
+                    flush(chunk)
+                    chunk = []
+            if chunk:
+                flush(chunk)
+        finally:
+            if spool_fh is not None:
+                spool_fh.close()
+        return EsBulkCommitMessage(pid, n_ok, n_failed)
 
     def commit(self, messages, batchId) -> None:
         os.makedirs(os.path.join(self.state_dir, "_commits"), exist_ok=True)
+        counted = [m for m in messages if m]
         agg = {
             "batch_id": batchId,
-            "n_ok": sum(m.n_ok for m in messages if m),
-            "n_failed": sum(m.n_failed for m in messages if m),
-            "n_partitions": len(messages),
+            "n_ok": sum(m.n_ok for m in counted),
+            "n_failed": sum(m.n_failed for m in counted),
+            # only partitions whose counts are included — keeps the
+            # manifest internally consistent if a None placeholder shows
+            "n_partitions": len(counted),
         }
         with open(
             os.path.join(self.state_dir, "_commits", f"{batchId}.json"), "w"
@@ -197,10 +221,20 @@ def replay_dlq(spark, dlq_dir: str, endpoint: str, index: str = "index_data",
     def post(batches):
         import pandas as pd
 
+        from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+            _to_jsonable,
+        )
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            docs = pdf.to_dict("records")
+            # normalize like bulk_index_rows does: pandas turns nulled
+            # numerics into NaN (json.dumps would emit a literal real
+            # ES rejects) and int columns with any null into floats
+            docs = [
+                {k: _to_jsonable(v) for k, v in rec.items()}
+                for rec in pdf.to_dict("records")
+            ]
             results = bulk_index_docs(docs, endpoint, opts)
             yield pd.DataFrame(
                 {
@@ -214,18 +248,21 @@ def replay_dlq(spark, dlq_dir: str, endpoint: str, index: str = "index_data",
     res = docs_df.mapInPandas(post, "uuid string, status int").collect()
     ok = [r["uuid"] for r in res if r["status"] < 300]
     failing = [r["uuid"] for r in res if r["status"] >= 300]
-    # consume the old spool; re-spool survivors so replay is repeatable
-    still = entries.filter(entries.uuid.isin(failing)) if failing else None
-    spooled_rows = still.collect() if still is not None else []
-    for f in files:
-        os.remove(f)
-    if spooled_rows:
+    # crash-safe ordering: write the survivors' NEW spool first, delete
+    # the consumed files last — a crash in between duplicates work
+    # (idempotent overwrites) instead of losing the only copy
+    if failing:
+        still = entries.filter(entries.uuid.isin(failing))
         spool = os.path.join(
             dlq_dir, f"replay-{uuid_mod.uuid4().hex}.ndjson"
         )
         with open(spool, "w") as fh:
-            for row in spooled_rows:
+            for row in still.collect():
                 fh.write(json.dumps(row.asDict(recursive=True)) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+    for f in files:
+        os.remove(f)
     return {
         "replayed": len(res),
         "ok": len(ok),

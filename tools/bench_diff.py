@@ -40,7 +40,10 @@ def load(path: str) -> dict:
             try:
                 return json.loads(line)
             except json.JSONDecodeError:
-                continue  # truncated/noise-interleaved candidate
+                print(f"# WARNING {path}: skipped a truncated bench "
+                      "line; using an earlier embedded line",
+                      file=sys.stderr)
+                continue
     raise SystemExit(f"{path}: no bench JSON line found")
 
 
@@ -85,7 +88,7 @@ def main() -> None:
         print("# no canary-normalized regressions >= "
               f"{threshold}x across {len(common)} common queries")
     added = sorted(set(nq) - set(oq))
-    removed = sorted(set(oq) - set(nq))
+    removed = sorted(set(oq) - set(nq) - set(now_failing))
     if added:
         print(f"# added ({len(added)}): {', '.join(added)}")
     if removed:
