@@ -79,6 +79,9 @@ HEADLINE = [
     "lm_bigram_perplexity",
     "bpe_encode",
     "ngram_containment",
+    # perceptual near-dup through real codec bytes
+    "image_ahash_neardup",
+    "audio_fingerprint_neardup",
 ]
 
 
