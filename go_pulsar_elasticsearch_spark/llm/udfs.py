@@ -160,3 +160,63 @@ def udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_idx, c.chunk "
         "FROM gpe_udtf_docs, LATERAL gpe_chunk_doc(doc_id, text) c"
     )
+
+
+# --------------------------------------------------------------------------
+# udtf_ngrams_analyze  (polymorphic UDTF: output schema from analyze())
+# --------------------------------------------------------------------------
+
+_NGRAM_ANALYZE_ORACLE = """
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS w0, w[i + 1] AS w1
+FROM (
+  SELECT doc_id, w, unnest(range(1, len(w))) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 2
+)
+"""
+
+
+@register("udtf_ngrams_analyze", _NGRAM_ANALYZE_ORACLE)
+def udtf_ngrams_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 `analyze()`): the n-gram width
+    is a literal ARGUMENT, and the output schema — one `w{i}` column
+    per gram position — is computed at PLAN time from it, so the same
+    function serves bigram/trigram/any-gram call sites with typed
+    columns instead of an array.  Certified here at n=2 against the
+    SQL bigram expansion; eval itself is width-generic.
+
+    Same lateral-join shape as udtf_chunk_docs: per-row, no shuffle."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeResult
+
+    tune(spark)
+
+    @udtf(useArrow=True)
+    class NgramExplode:
+        @staticmethod
+        def analyze(doc_id, text, n):
+            width = int(n.value)
+            fields = [
+                StructField("doc_id", LongType()),
+                StructField("pos", IntegerType()),
+            ] + [StructField(f"w{i}", StringType()) for i in range(width)]
+            return AnalyzeResult(schema=StructType(fields))
+
+        def eval(self, doc_id, text, n):
+            words = (text or "").split(" ")
+            for i in range(len(words) - n + 1):
+                yield (doc_id, i, *words[i : i + n])
+
+    spark.udtf.register("gpe_ngrams", NgramExplode)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("gpe_ngram_docs")
+    return spark.sql(
+        "SELECT g.doc_id, g.pos, g.w0, g.w1 "
+        "FROM gpe_ngram_docs d, LATERAL gpe_ngrams(d.doc_id, d.text, 2) g"
+    )
