@@ -1,0 +1,68 @@
+"""Streaming state introspection via Spark 4's `statestore` data source:
+the checkpoint's state store is readable as a DataFrame, so an operator
+can audit exactly what a stateful query is carrying — the observability
+story for the engine's watermark/state claims (SCALE.md streaming
+posture) without attaching a debugger to the stream."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _run_sum_query(spark, src, ckpt, name):
+    stream = spark.readStream.schema("k long, v long").parquet(src)
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def test_state_store_matches_batch_aggregate(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    rows = [(i % 3, i) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    df.coalesce(1).write.parquet(src)
+    _run_sum_query(spark, src, ckpt, "state_t1")
+
+    state = spark.read.format("statestore").load(ckpt)
+    got = {
+        r["key"]["k"]: r["value"]["sum"] for r in state.collect()
+    }
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_state_evolves_across_restarts(spark, tmp_path):
+    """A second batch lands, the query restarts from the checkpoint, and
+    the state store shows the UPDATED running totals — proving the
+    checkpointed state, not a per-run artifact, is what the reader
+    exposes."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(0, 10), (1, 20)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_sum_query(spark, src, ckpt, "state_t2a")
+    first = {
+        r["key"]["k"]: r["value"]["sum"]
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert first == {0: 10, 1: 20}
+
+    spark.createDataFrame(
+        [(0, 5), (2, 7)], "k long, v long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_sum_query(spark, src, ckpt, "state_t2b")
+    second = {
+        r["key"]["k"]: r["value"]["sum"]
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+    assert second == {0: 15, 1: 20, 2: 7}
