@@ -66,3 +66,22 @@ def test_state_evolves_across_restarts(spark, tmp_path):
         for r in spark.read.format("statestore").load(ckpt).collect()
     }
     assert second == {0: 15, 1: 20, 2: 7}
+
+
+def test_state_metadata_describes_the_operator(spark, tmp_path):
+    """The companion `state-metadata` source names the stateful operator
+    and its partition/batch ranges — what an operator checks before
+    pointing the statestore reader at a specific store."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(0, 1), (1, 2)], "k long, v long"
+    ).coalesce(1).write.parquet(src)
+    _run_sum_query(spark, src, ckpt, "state_t3")
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    row = md[0]
+    assert row["operatorName"] == "stateStoreSave"  # streaming aggregate
+    assert row["numPartitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert row["minBatchId"] == 0 and row["maxBatchId"] >= 0
