@@ -202,6 +202,11 @@ def udtf_ngrams_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     class NgramExplode:
         @staticmethod
         def analyze(doc_id, text, n):
+            if not isinstance(n.value, int):
+                raise ValueError(
+                    "gpe_ngrams: n must be a constant integer (the "
+                    "output schema is computed from it at plan time)"
+                )
             width = int(n.value)
             fields = [
                 StructField("doc_id", LongType()),

@@ -23,6 +23,14 @@ def _run_sum_query(spark, src, ckpt, name):
     assert q.awaitTermination(120)
 
 
+def _read_state(spark, ckpt) -> dict:
+    """One place that knows the state row layout (key.k -> value.sum)."""
+    return {
+        r["key"]["k"]: r["value"]["sum"]
+        for r in spark.read.format("statestore").load(ckpt).collect()
+    }
+
+
 def test_state_store_matches_batch_aggregate(spark, tmp_path):
     src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
     rows = [(i % 3, i) for i in range(30)]
@@ -30,10 +38,7 @@ def test_state_store_matches_batch_aggregate(spark, tmp_path):
     df.coalesce(1).write.parquet(src)
     _run_sum_query(spark, src, ckpt, "state_t1")
 
-    state = spark.read.format("statestore").load(ckpt)
-    got = {
-        r["key"]["k"]: r["value"]["sum"] for r in state.collect()
-    }
+    got = _read_state(spark, ckpt)
     want = {
         r["k"]: r["s"]
         for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
@@ -51,20 +56,14 @@ def test_state_evolves_across_restarts(spark, tmp_path):
         [(0, 10), (1, 20)], "k long, v long"
     ).coalesce(1).write.mode("append").parquet(src)
     _run_sum_query(spark, src, ckpt, "state_t2a")
-    first = {
-        r["key"]["k"]: r["value"]["sum"]
-        for r in spark.read.format("statestore").load(ckpt).collect()
-    }
+    first = _read_state(spark, ckpt)
     assert first == {0: 10, 1: 20}
 
     spark.createDataFrame(
         [(0, 5), (2, 7)], "k long, v long"
     ).coalesce(1).write.mode("append").parquet(src)
     _run_sum_query(spark, src, ckpt, "state_t2b")
-    second = {
-        r["key"]["k"]: r["value"]["sum"]
-        for r in spark.read.format("statestore").load(ckpt).collect()
-    }
+    second = _read_state(spark, ckpt)
     assert second == {0: 15, 1: 20, 2: 7}
 
 
@@ -84,4 +83,5 @@ def test_state_metadata_describes_the_operator(spark, tmp_path):
     assert row["numPartitions"] == int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    assert row["minBatchId"] == 0 and row["maxBatchId"] >= 0
+    # exactly one availableNow run -> one committed batch
+    assert row["minBatchId"] == 0 and row["maxBatchId"] == 0
