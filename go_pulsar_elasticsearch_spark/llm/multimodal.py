@@ -731,3 +731,161 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "afp_words", ids.mapInPandas(fp_words, "doc_id long, j int, word long")
     )
     return _word_band_pairs(words, _AFP_RADIUS)
+
+
+# --------------------------------------------------------------------------
+# image_ahash_verify — the two-stage perceptual dedup (candidates from
+# the band join, EXACT thumbnail-distance verification), mirroring
+# minhash_verify_jaccard's candidates->verify shape for images.
+#
+# Stage 1 re-derives the aHash words IN DATAFRAME OPS from a decoded
+# (doc_id, cell, gray) thumbnail frame — the only Python is the codec
+# emit — so banding arithmetic itself runs JVM-side here.  Stage 2
+# joins candidate pairs back to the thumbnails and keeps pairs whose
+# exact 8x8 L1 distance is small: the aHash radius can confuse
+# "similar bit pattern" with "similar image" (mean-threshold bits
+# discard magnitude); the L1 verify restores magnitude.
+# --------------------------------------------------------------------------
+
+_VERIFY_L1 = 200  # 64 cells; near-dup nudges land ~20-60, unrelated ~5000
+
+_AHASH_VERIFY_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS delta,
+         4 + (doc_id // 2) % 13 AS w, 3 + (doc_id // 2) % 7 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, k,
+         (  (g*2654435761 + sx*97 + sy*193 + delta) % 256
+          + (g*2246822519 + sx*59 + sy*131) % 256
+          + (g*3266489917 + sx*73 + sy*151) % 256) // 3 AS gv
+  FROM (
+    SELECT doc_id, g, delta, k,
+           ((k % 8) * w) // 8 AS sx, ((k // 8) * h) // 8 AS sy
+    FROM (SELECT *, unnest(range(0, 64)) AS k FROM imgs)
+  )
+), tot AS (
+  SELECT doc_id, SUM(gv) AS total FROM px GROUP BY doc_id
+), bits AS (
+  SELECT px.doc_id, k,
+         CASE WHEN 64 * gv > total THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot ON tot.doc_id = px.doc_id
+), words AS (
+  SELECT doc_id, CAST(k % 4 AS INTEGER) AS j,
+         CAST(SUM(bit * CAST(pow(2, k // 4) AS BIGINT)) AS BIGINT) AS word
+  FROM bits GROUP BY doc_id, k % 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM words a JOIN words b
+    ON a.j = b.j AND a.word = b.word AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(abs(pa.gv - pb.gv)) AS BIGINT) AS l1_thumb
+  FROM cand c
+  JOIN px pa ON pa.doc_id = c.doc_a
+  JOIN px pb ON pb.doc_id = c.doc_b AND pb.k = pa.k
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, l1_thumb FROM verified
+WHERE l1_thumb <= {_VERIFY_L1}
+"""
+
+
+@register("image_ahash_verify", _AHASH_VERIFY_ORACLE)
+def image_ahash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage image dedup: band-join candidates (stage 1) verified
+    by exact 8x8-thumbnail L1 distance (stage 2) — see section comment.
+
+    Scale shape: thumbnails are 64 small ints per image; the verify
+    join's input is CANDIDATE-bounded (same argument as
+    minhash_verify_jaccard), so the exact check never touches
+    non-candidate pairs.  All arithmetic after the codec emit is
+    JVM-side DataFrame ops."""
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_k, out_gv = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, delta = d // 2, d % 2
+                w, h = 4 + g % 13, 3 + g % 7
+                grid = [
+                    [
+                        (
+                            (g * 2654435761 + x * 97 + y * 193 + delta) % 256,
+                            (g * 2246822519 + x * 59 + y * 131) % 256,
+                            (g * 3266489917 + x * 73 + y * 151) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                rows = decode_bmp_pixels(encode_bmp(w, h, grid))["rgb_rows"]
+                for k in range(64):
+                    out_doc.append(d)
+                    out_k.append(k)
+                    out_gv.append(
+                        sum(rows[(k // 8) * h // 8][(k % 8) * w // 8]) // 3
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "k": pd.Series(out_k, dtype="int32"),
+                    "gv": pd.Series(out_gv, dtype="int32"),
+                }
+            )
+
+    px = cache_slot(
+        "ahash_thumbs", ids.mapInPandas(thumbs, "doc_id long, k int, gv int")
+    )
+    tot = px.groupBy("doc_id").agg(F.sum("gv").alias("total"))
+    bits = px.join(tot, "doc_id").select(
+        "doc_id",
+        "k",
+        (64 * F.col("gv") > F.col("total")).cast("bigint").alias("bit"),
+    )
+    words = bits.groupBy(
+        "doc_id", (F.col("k") % 4).cast("int").alias("j")
+    ).agg(
+        F.sum(
+            F.col("bit")
+            * F.expr("cast(pow(2, k div 4) as bigint)")
+        ).alias("word")
+    )
+    a, b = words.alias("a"), words.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    pa, pb = px.alias("pa"), px.alias("pb")
+    return (
+        cand.join(pa, F.col("pa.doc_id") == F.col("doc_a"))
+        .join(
+            pb,
+            (F.col("pb.doc_id") == F.col("doc_b"))
+            & (F.col("pb.k") == F.col("pa.k")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.abs(F.col("pa.gv") - F.col("pb.gv")))
+            .cast("bigint")
+            .alias("l1_thumb")
+        )
+        .filter(F.col("l1_thumb") <= _VERIFY_L1)
+    )
