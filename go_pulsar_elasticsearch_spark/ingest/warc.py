@@ -1,0 +1,112 @@
+"""WARC ingestion: crawl-shaped corpus intake through the custom WARC
+batch data source (sources/warc_source.py).
+
+`warc_ingest` materializes the documents table as WARC/1.0 files once
+(deterministic bytes, content-addressed cache under /tmp), reads them
+back through `spark.read.format("warc_sim")`, and re-derives the
+document row — certified against the documents parquet itself, proving
+the writer+parser+source round-trip is lossless INCLUDING byte-exact
+Content-Length on multi-byte UTF-8 bodies.
+
+This is the batch half of the source story (pulsar_sim is the stream
+half): a reference user pointing the engine at real crawl dumps swaps
+the fixture writer for their segment listing; the reader, partitioning
+(one InputPartition per file), and downstream derivations are unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+
+import duckdb
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+from go_pulsar_elasticsearch_spark.sources.warc_source import (
+    register_warc_source,
+    write_warc,
+)
+
+_N_FILES = 8
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _warc_date(doc_id: int) -> str:
+    return (_EPOCH + datetime.timedelta(seconds=int(doc_id))).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _materialize_warc(sf_dir: str) -> str:
+    """Write {sf_dir}/documents.parquet as _N_FILES WARC files under a
+    content-addressed cache dir (keyed by source path + size + mtime so
+    regenerated fixtures invalidate); idempotent across runs."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
+    ).hexdigest()[:16]
+    out_dir = os.path.join("/tmp", "gpe_warc_cache", key)
+    done = os.path.join(out_dir, "_done")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM '{src}' ORDER BY doc_id"
+    ).fetchall()
+    buckets: list[list[dict]] = [[] for _ in range(_N_FILES)]
+    for doc_id, lang, text in rows:
+        buckets[int(doc_id) % _N_FILES].append(
+            {
+                "record_id": f"urn:gpe:doc:{doc_id}",
+                "warc_type": "response",
+                "target_uri": f"https://corpus.local/{lang}/{doc_id}",
+                "warc_date": _warc_date(doc_id),
+                "body": text,
+            }
+        )
+    for i, recs in enumerate(buckets):
+        write_warc(os.path.join(out_dir, f"part-{i:03d}.warc"), recs)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+_WARC_ORACLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'https://corpus.local/' || lang || '/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       text AS body
+FROM documents
+"""
+
+
+@register("warc_ingest", _WARC_ORACLE)
+def warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the corpus back out of WARC files via the custom Python
+    data source and re-derive the document row.  The oracle recomputes
+    every field (URI, ISO date, byte-exact Content-Length, body) from
+    the original parquet — a full round-trip certification of the
+    writer, the length-delimited parser, and the source's
+    one-partition-per-file scan."""
+    tune(spark)
+    warc_dir = _materialize_warc(sf_dir)
+    register_warc_source(spark)
+    raw = spark.read.format("warc_sim").option("path", warc_dir).load()
+    return raw.select(
+        F.regexp_extract("record_id", r"urn:gpe:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        "content_length",
+        "body",
+    )

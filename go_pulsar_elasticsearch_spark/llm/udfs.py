@@ -1,14 +1,16 @@
-"""UDF surface: Arrow-batched pandas UDFs (scalar + grouped-map).
+"""UDF surface: Arrow-batched pandas UDFs (scalar, grouped-map,
+cogrouped-map, mapInArrow, UDTF).
 
 The rule at scale: row-at-a-time Python UDFs are banned from hot paths
 (~10-100x slower than Arrow-batched); everything Python goes through
-pandas_udf / applyInPandas / mapInPandas.  Both operators here are
-deterministic and certified against SQL twins — proving the UDF path
-computes exactly what the declarative path would.
+pandas_udf / applyInPandas / mapInPandas / mapInArrow.  Every operator
+here is deterministic and certified against a SQL twin — proving the
+UDF path computes exactly what the declarative path would.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -224,4 +226,156 @@ def udtf_ngrams_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT g.doc_id, g.pos, g.w0, g.w1 "
         "FROM gpe_ngram_docs d, LATERAL gpe_ngrams(d.doc_id, d.text, 2) g"
+    )
+
+
+# --------------------------------------------------------------------------
+# udf_cogrouped_asof  (cogroup().applyInPandas — the fourth UDF shape)
+# --------------------------------------------------------------------------
+
+_COGROUP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("purchase_ms", LongType()),
+        StructField("asof_view_ms", LongType()),
+        StructField("ms_since_view", LongType()),
+    ]
+)
+
+
+def _to_epoch_ms(ts: pd.Series) -> pd.Series:
+    """Arrow hands Spark timestamps to pandas as datetime64[us] (or [ns]
+    depending on version); normalize to ns before the epoch division so
+    both shapes produce identical int64 milliseconds."""
+    return ts.astype("datetime64[ns]").astype("int64") // 1_000_000
+
+
+def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+    """Per-user as-of merge: each purchase takes the latest view STRICTLY
+    preceding it in (ts, event_id) order — the exact rule of
+    events_asof_join's window, replayed here on two cogrouped frames.
+
+    Views arrive sorted by (ts, event_id); the latest preceding view is
+    then simply view[k-1] where k = #views whose compound key is below
+    the purchase's.  k splits into a vectorized searchsorted on ts plus
+    an event_id refinement only for exact-ts ties (rare: the loop body
+    runs once per tie, not per row)."""
+    if purchases.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([], dtype="Int64"),
+                "purchase_id": pd.array([], dtype="Int64"),
+                "purchase_ms": pd.array([], dtype="Int64"),
+                "asof_view_ms": pd.array([], dtype="Int64"),
+                "ms_since_view": pd.array([], dtype="Int64"),
+            }
+        )
+    p = purchases.sort_values(["ts", "event_id"], kind="mergesort")
+    p_ms = _to_epoch_ms(p["ts"]).to_numpy()
+    p_id = p["event_id"].to_numpy()
+    asof = np.full(len(p), -1, dtype="int64")  # -1 == no preceding view
+    if not views.empty:
+        v = views.sort_values(["ts", "event_id"], kind="mergesort")
+        v_ms = _to_epoch_ms(v["ts"]).to_numpy()
+        v_id = v["event_id"].to_numpy()
+        lo = np.searchsorted(v_ms, p_ms, side="left")
+        hi = np.searchsorted(v_ms, p_ms, side="right")
+        k = lo.copy()
+        for i in np.nonzero(hi > lo)[0]:  # ts ties only
+            k[i] += np.searchsorted(v_id[lo[i] : hi[i]], p_id[i], side="left")
+        has = k > 0
+        asof[has] = v_ms[k[has] - 1]
+    asof_arr = pd.array(
+        [None if a < 0 else int(a) for a in asof], dtype="Int64"
+    )
+    return pd.DataFrame(
+        {
+            "user_id": p["user_id"].astype("int64").to_numpy(),
+            "purchase_id": p_id,
+            "purchase_ms": p_ms,
+            "asof_view_ms": asof_arr,
+            "ms_since_view": pd.array(p_ms, dtype="Int64") - asof_arr,
+        }
+    )
+
+
+# Shared truth: the cogroup form must hash-match the window form's oracle.
+from go_pulsar_elasticsearch_spark.operators.rangejoin import (  # noqa: E402
+    _ASOF_ORACLE as _COGROUP_ORACLE,
+)
+
+
+@register("udf_cogrouped_asof", _COGROUP_ORACLE)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF (``groupBy().cogroup().applyInPandas``): the
+    two-table as-of join expressed as a per-key pandas merge — purchases
+    and views shuffle once each on user_id, land in the same task, and
+    the Python function sees both frames.  Certified against the SAME
+    oracle as events_asof_join (the window form): two plans, one truth.
+
+    Scale posture: identical shuffle shape to the window form (one
+    exchange per side on the key); the per-group memory bound is the
+    user's event history, same as any keyed stateful op.  Prefer the
+    window form on hot paths (JVM-only); cogroup is the escape hatch
+    for merge logic SQL can't express (model-scoring joins, custom
+    tolerance laddering)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts",
+                                           "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(_asof_merge, schema=_COGROUP_SCHEMA)
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# udf_map_in_arrow  (mapInArrow — zero-copy Arrow batches, no pandas)
+# --------------------------------------------------------------------------
+
+_ARROW_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents
+"""
+
+
+def _arrow_text_stats(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        n_bytes = pc.cast(pc.binary_length(pc.cast(text, pa.binary())),
+                          pa.int64())
+        # len(split(t, ' ')) == count(' ') + 1: split keeps empty tokens.
+        n_words = pc.cast(
+            pc.add(pc.count_substring(text, pattern=" "), 1), pa.int64()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [b.column(b.schema.get_field_index("doc_id")), n_bytes, n_words],
+            names=["doc_id", "n_bytes", "n_words"],
+        )
+
+
+@register("udf_map_in_arrow", _ARROW_ORACLE)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python surface — the function
+    receives raw Arrow RecordBatches (no pandas materialization at all)
+    and computes with pyarrow.compute kernels, which are C++ vectorized.
+    Certified against the SQL byte/word-count twin.
+
+    Use over mapInPandas when the logic is expressible in Arrow kernels
+    (no per-row Python objects, no pandas conversion cost); the batch
+    size knob is spark.sql.execution.arrow.maxRecordsPerBatch, same as
+    the pandas path."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_text_stats, schema="doc_id bigint, n_bytes bigint, n_words bigint"
     )

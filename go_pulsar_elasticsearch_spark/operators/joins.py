@@ -300,3 +300,65 @@ def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey, "right").select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
+
+
+# --------------------------------------------------------------------------
+# join_runtime_prefilter  (manual runtime filter: dim keys -> fact scan)
+# --------------------------------------------------------------------------
+
+# Above this many distinct dim keys the IN-list is no longer a cheap
+# plan literal; fall back to [min,max] bounds (still scan-pushable).
+_PREFILTER_MAX_KEYS = 10_000
+
+_PREFILTER_ORACLE = f"""
+SELECT p.p_size,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       {SUMD('l.l_extendedprice')} AS total_price
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#11'
+GROUP BY p.p_size
+"""
+
+
+@register("join_runtime_prefilter", _PREFILTER_ORACLE)
+def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual runtime filtering: the filtered dimension's join keys are
+    collected once (dim-sized, bounded) and replayed onto the fact scan
+    as a static predicate BEFORE the exact join — the hand-rolled form
+    of dynamic partition pruning / InjectRuntimeFilter, for engines or
+    layouts where the automatic rewrite can't fire (see
+    tests/test_runtime_filters.py: the small-file scan repair breaks the
+    scan-adjacent pattern the injected BLOOM needs).
+
+    Two regimes: up to _PREFILTER_MAX_KEYS (10k) distinct keys the
+    predicate is the exact IN-list (parquet row groups whose
+    dictionary/stats miss every key are skipped outright); beyond that,
+    [min,max] bounds — far weaker on uncorrelated keys, decisive when
+    the key correlates with the dim predicate (time-ordered ingest).
+    Either way the following broadcast equi-join keeps exact semantics,
+    so the oracle is the PLAIN join: the prefilter must be
+    result-invisible.
+
+    Scale: the collect is ≤ _PREFILTER_MAX_KEYS longs (driver-safe by
+    construction); the fact table never shuffles — filtered scan into a
+    broadcast join, partial agg, one exchange on the 50-value group key.
+    """
+    tune(spark)
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    keys = [r[0] for r in p.select("p_partkey").distinct().collect()]
+    li = t(spark, sf_dir, "lineitem")
+    if not keys:
+        li = li.filter(F.lit(False))
+    elif len(keys) <= _PREFILTER_MAX_KEYS:
+        li = li.filter(F.col("l_partkey").isin(keys))
+    else:
+        li = li.filter(F.col("l_partkey").between(min(keys), max(keys)))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_size")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )

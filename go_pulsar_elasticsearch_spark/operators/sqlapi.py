@@ -366,3 +366,75 @@ def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .select(F.lower("k").alias("source_ci"), "n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# agg_listagg  (Spark 4 LISTAGG ... WITHIN GROUP — ordered string agg)
+# --------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+         AS segments,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+_LISTAGG_SPARK_SQL = """
+SELECT c_nationkey,
+       listagg(DISTINCT c_mktsegment, ',')
+         WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("agg_listagg", _LISTAGG_ORACLE)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (SQL:2016, new in Spark 4): ordered,
+    de-duplicated string aggregation as a first-class aggregate —
+    replacing the array_sort(collect_set()) + array_join idiom
+    (agg_collect above) with the standard spelling.  DuckDB's twin is
+    string_agg(DISTINCT ... ORDER BY ...).  The WITHIN GROUP order makes
+    the concatenation deterministic — collect_set alone is
+    partition-order-dependent and must never be certified unsorted.
+
+    Scale: same partial-aggregate shuffle as any groupBy; the per-group
+    string is bounded by the distinct-value domain (segments: 5), never
+    by row count — keep LISTAGG off unbounded-cardinality columns."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_LISTAGG_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# sql_surface_group_by_all  (GROUP BY ALL / ORDER BY ALL — one text, both
+# engines)
+# --------------------------------------------------------------------------
+
+_GBALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql_surface_group_by_all", _GBALL_SQL)
+def sql_surface_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL (the analyst's shorthand both Spark
+    3.4+/4 and DuckDB implement): every non-aggregate select item is
+    inferred as a grouping key, every output column as a sort key.  The
+    IDENTICAL statement runs on both engines — the oracle IS the query
+    text.  Catalyst expands ALL during analysis, so the optimized plan
+    is byte-for-byte the explicit GROUP BY's — no semantic drift for the
+    convenience."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_GBALL_SQL)

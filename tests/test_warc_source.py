@@ -1,0 +1,92 @@
+"""WARC source: writer/parser round-trip, length-delimited robustness
+(bodies quoting 'WARC/1.0'), per-file partitioning, and the registered
+warc_ingest query's equality with the documents table."""
+
+from __future__ import annotations
+
+import pytest
+
+from go_pulsar_elasticsearch_spark.sources.warc_source import (
+    parse_warc,
+    register_warc_source,
+    write_warc,
+)
+
+
+def _rec(i, body):
+    return {
+        "record_id": f"urn:gpe:doc:{i}",
+        "warc_type": "response",
+        "target_uri": f"https://corpus.local/en/{i}",
+        "warc_date": "2024-01-01T00:00:00Z",
+        "body": body,
+    }
+
+
+def test_roundtrip_and_multibyte_lengths(tmp_path):
+    recs = [
+        _rec(0, "plain ascii"),
+        _rec(1, "unicode — émojis 🚀 and CJK 中文"),
+        _rec(2, ""),  # empty body
+    ]
+    p = str(tmp_path / "a.warc")
+    write_warc(p, recs)
+    out = list(parse_warc(open(p, "rb").read()))
+    assert [r["body"] for r in out] == [r["body"] for r in recs]
+    # Content-Length is BYTES, not chars
+    assert out[1]["content_length"] == len(recs[1]["body"].encode("utf-8"))
+    assert out[0]["record_id"] == "urn:gpe:doc:0"
+    assert out[0]["warc_type"] == "response"
+
+
+def test_body_quoting_warc_marker_parses(tmp_path):
+    """A crawl page QUOTING a WARC record must not desync the parser —
+    only Content-Length delimits the payload."""
+    evil = "look at this:\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
+    p = str(tmp_path / "b.warc")
+    write_warc(p, [_rec(0, evil), _rec(1, "after")])
+    out = list(parse_warc(open(p, "rb").read()))
+    assert len(out) == 2
+    assert out[0]["body"] == evil
+    assert out[1]["body"] == "after"
+
+
+def test_truncated_payload_raises(tmp_path):
+    p = str(tmp_path / "c.warc")
+    write_warc(p, [_rec(0, "full body here")])
+    data = open(p, "rb").read()
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc(data[:-10]))
+
+
+def test_partitions_one_per_file_and_scan(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for i in range(3):
+        write_warc(str(d / f"f{i}.warc"), [_rec(10 * i + j, f"doc {i}/{j}")
+                                           for j in range(4)])
+    register_warc_source(spark)
+    df = spark.read.format("warc_sim").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 12
+    assert set(df.columns) == {
+        "record_id", "warc_type", "target_uri", "warc_date",
+        "content_length", "body",
+    }
+
+
+def test_warc_ingest_matches_documents(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.ingest.warc import warc_ingest
+    from pyspark.sql import functions as F
+
+    out = warc_ingest(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("https://corpus.local/"), "lang", F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.octet_length("text").cast("long").alias("content_length"),
+        F.col("text").alias("body"),
+    )
+    got = out.select("doc_id", "url", "content_length", "body")
+    assert got.exceptAll(docs).count() == 0
+    assert docs.exceptAll(got).count() == 0
