@@ -47,10 +47,20 @@ def _materialize_warc(sf_dir: str) -> str:
     content-addressed cache dir (keyed by source path + size + mtime so
     regenerated fixtures invalidate); idempotent across runs."""
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}|v1".encode()
-    ).hexdigest()[:16]
+    # single-file fixture or a Spark-written directory of part files
+    if os.path.isdir(src):
+        parts = sorted(
+            e.path for e in os.scandir(src) if e.name.endswith(".parquet")
+        )
+        sig = "|".join(
+            f"{p}:{os.stat(p).st_size}:{os.stat(p).st_mtime_ns}"
+            for p in parts
+        )
+        src = os.path.join(src, "*.parquet")
+    else:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    key = hashlib.md5(f"{sig}|v1".encode()).hexdigest()[:16]
     out_dir = os.path.join("/tmp", "gpe_warc_cache", key)
     done = os.path.join(out_dir, "_done")
     if os.path.exists(done):

@@ -251,32 +251,24 @@ def _to_epoch_ms(ts: pd.Series) -> pd.Series:
     return ts.astype("datetime64[ns]").astype("int64") // 1_000_000
 
 
-def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
-    """Per-user as-of merge: each purchase takes the latest view STRICTLY
-    preceding it in (ts, event_id) order — the exact rule of
-    events_asof_join's window, replayed here on two cogrouped frames.
+def _asof_one_user(p: pd.DataFrame, v: pd.DataFrame | None):
+    """Numpy as-of core for ONE user's (already per-user) frames: each
+    purchase takes the latest view STRICTLY preceding it in
+    (ts, event_id) order — the exact rule of events_asof_join's window.
 
     Views arrive sorted by (ts, event_id); the latest preceding view is
     then simply view[k-1] where k = #views whose compound key is below
     the purchase's.  k splits into a vectorized searchsorted on ts plus
     an event_id refinement only for exact-ts ties (rare: the loop body
-    runs once per tie, not per row)."""
-    if purchases.empty:
-        return pd.DataFrame(
-            {
-                "user_id": pd.array([], dtype="Int64"),
-                "purchase_id": pd.array([], dtype="Int64"),
-                "purchase_ms": pd.array([], dtype="Int64"),
-                "asof_view_ms": pd.array([], dtype="Int64"),
-                "ms_since_view": pd.array([], dtype="Int64"),
-            }
-        )
-    p = purchases.sort_values(["ts", "event_id"], kind="mergesort")
+    runs once per tie, not per row).  Returns raw int64 arrays with -1
+    as the no-match sentinel — the caller masks to NULL once per bucket,
+    never per row."""
+    p = p.sort_values(["ts", "event_id"], kind="mergesort")
     p_ms = _to_epoch_ms(p["ts"]).to_numpy()
     p_id = p["event_id"].to_numpy()
     asof = np.full(len(p), -1, dtype="int64")  # -1 == no preceding view
-    if not views.empty:
-        v = views.sort_values(["ts", "event_id"], kind="mergesort")
+    if v is not None and len(v):
+        v = v.sort_values(["ts", "event_id"], kind="mergesort")
         v_ms = _to_epoch_ms(v["ts"]).to_numpy()
         v_id = v["event_id"].to_numpy()
         lo = np.searchsorted(v_ms, p_ms, side="left")
@@ -286,16 +278,53 @@ def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
             k[i] += np.searchsorted(v_id[lo[i] : hi[i]], p_id[i], side="left")
         has = k > 0
         asof[has] = v_ms[k[has] - 1]
-    asof_arr = pd.array(
-        [None if a < 0 else int(a) for a in asof], dtype="Int64"
+    return p["user_id"].to_numpy(), p_id, p_ms, asof
+
+
+def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
+    """Bucket-level as-of merge: the cogroup key is a coarse user
+    bucket, so this function receives MANY users per call and iterates
+    them with a pandas groupby (~50 µs/group) instead of paying Spark's
+    per-group Arrow/pandas round-trip (~5-10 ms/group) once per user —
+    the difference between linear and 15x-superlinear scaling when
+    groups are small and numerous.  Output is built ONCE per bucket:
+    numpy concatenation + a single masked IntegerArray conversion, no
+    per-row Python."""
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.array([], dtype="Int64"),
+            "purchase_id": pd.array([], dtype="Int64"),
+            "purchase_ms": pd.array([], dtype="Int64"),
+            "asof_view_ms": pd.array([], dtype="Int64"),
+            "ms_since_view": pd.array([], dtype="Int64"),
+        }
     )
+    if purchases.empty:
+        return empty
+    view_groups = (
+        dict(tuple(views.groupby("user_id", sort=False)))
+        if not views.empty
+        else {}
+    )
+    users, pids, pmss, asofs = [], [], [], []
+    for uid, pg in purchases.groupby("user_id", sort=False):
+        u, pid, pms, asof = _asof_one_user(pg, view_groups.get(uid))
+        users.append(u)
+        pids.append(pid)
+        pmss.append(pms)
+        asofs.append(asof)
+    p_ms = np.concatenate(pmss)
+    asof = np.concatenate(asofs)
+    miss = asof < 0
+    asof_arr = pd.arrays.IntegerArray(asof, mask=miss)
+    since_arr = pd.arrays.IntegerArray(p_ms - asof, mask=miss)
     return pd.DataFrame(
         {
-            "user_id": p["user_id"].astype("int64").to_numpy(),
-            "purchase_id": p_id,
+            "user_id": np.concatenate(users),
+            "purchase_id": np.concatenate(pids),
             "purchase_ms": p_ms,
             "asof_view_ms": asof_arr,
-            "ms_since_view": pd.array(p_ms, dtype="Int64") - asof_arr,
+            "ms_since_view": since_arr,
         }
     )
 
@@ -306,28 +335,47 @@ from go_pulsar_elasticsearch_spark.operators.rangejoin import (  # noqa: E402
 )
 
 
+# Cogroup key granularity: buckets, not users.  One Spark cogroup
+# carries a fixed per-group cost (Arrow slicing + a Python pandas call,
+# ~5-10 ms); with per-user keys and small histories that constant
+# dominates and the op scales with GROUP COUNT, not data (measured
+# 14.9x at the 10x replica).  Hashing users into buckets amortizes it:
+# the Python-side groupby iterates users at ~50 µs each.  At cluster
+# scale, size the bucket count to executors*cores (here: shuffle
+# partitions' worth); per-task memory is bucket-sized — uniform user
+# hashing keeps that corpus/buckets, same bound as any keyed shuffle.
+_COGROUP_BUCKETS = 64
+
+
 @register("udf_cogrouped_asof", _COGROUP_ORACLE)
 def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map UDF (``groupBy().cogroup().applyInPandas``): the
     two-table as-of join expressed as a per-key pandas merge — purchases
-    and views shuffle once each on user_id, land in the same task, and
-    the Python function sees both frames.  Certified against the SAME
-    oracle as events_asof_join (the window form): two plans, one truth.
+    and views shuffle once each on a shared bucket key, land in the same
+    task, and the Python function sees both frames, iterating the users
+    inside the bucket.  Certified against the SAME oracle as
+    events_asof_join (the window form): two plans, one truth.
 
-    Scale posture: identical shuffle shape to the window form (one
-    exchange per side on the key); the per-group memory bound is the
-    user's event history, same as any keyed stateful op.  Prefer the
-    window form on hot paths (JVM-only); cogroup is the escape hatch
-    for merge logic SQL can't express (model-scoring joins, custom
-    tolerance laddering)."""
+    Scale posture: one exchange per side (same shuffle shape as the
+    window form), per-group cost amortized over the bucket (see
+    _COGROUP_BUCKETS note).  Prefer the window form on hot paths
+    (JVM-only); cogroup is the escape hatch for merge logic SQL can't
+    express (model-scoring joins, custom tolerance laddering)."""
     tune(spark)
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts",
                                            "event_type")
-    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
-    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    bucket = F.pmod(F.col("user_id"), F.lit(_COGROUP_BUCKETS)).alias("bucket")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .drop("event_type").withColumn("bucket", bucket)
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .drop("event_type").withColumn("bucket", bucket)
+    )
     out = (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(views.groupBy("bucket"))
         .applyInPandas(_asof_merge, schema=_COGROUP_SCHEMA)
     )
     return out
