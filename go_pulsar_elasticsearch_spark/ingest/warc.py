@@ -28,8 +28,8 @@ from pyspark.sql import functions as F
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 from go_pulsar_elasticsearch_spark.sources.warc_source import (
+    record_bytes,
     register_warc_source,
-    write_warc,
 )
 
 _N_FILES = 8
@@ -65,25 +65,52 @@ def _materialize_warc(sf_dir: str) -> str:
     done = os.path.join(out_dir, "_done")
     if os.path.exists(done):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    rows = duckdb.sql(
+    # Build in a private temp dir and publish with one atomic rename —
+    # a concurrent materializer must never truncate files a finished
+    # sibling is already reading.  Streamed in cursor chunks with all
+    # bucket handles open: the corpus text is never resident in driver
+    # memory all at once.
+    tmp_dir = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    cur = duckdb.connect().execute(
         f"SELECT doc_id, lang, text FROM '{src}' ORDER BY doc_id"
-    ).fetchall()
-    buckets: list[list[dict]] = [[] for _ in range(_N_FILES)]
-    for doc_id, lang, text in rows:
-        buckets[int(doc_id) % _N_FILES].append(
-            {
-                "record_id": f"urn:gpe:doc:{doc_id}",
-                "warc_type": "response",
-                "target_uri": f"https://corpus.local/{lang}/{doc_id}",
-                "warc_date": _warc_date(doc_id),
-                "body": text,
-            }
-        )
-    for i, recs in enumerate(buckets):
-        write_warc(os.path.join(out_dir, f"part-{i:03d}.warc"), recs)
-    with open(done, "w") as f:
+    )
+    handles = [
+        open(os.path.join(tmp_dir, f"part-{i:03d}.warc"), "wb")
+        for i in range(_N_FILES)
+    ]
+    try:
+        while rows := cur.fetchmany(10_000):
+            for doc_id, lang, text in rows:
+                handles[int(doc_id) % _N_FILES].write(
+                    record_bytes(
+                        {
+                            "record_id": f"urn:gpe:doc:{doc_id}",
+                            "warc_type": "response",
+                            "target_uri": (
+                                f"https://corpus.local/{lang}/{doc_id}"
+                            ),
+                            "warc_date": _warc_date(doc_id),
+                            "body": text,
+                        }
+                    )
+                )
+    finally:
+        for h in handles:
+            h.close()
+    with open(os.path.join(tmp_dir, "_done"), "w") as f:
         f.write("ok")
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # a concurrent materializer published first — its content is
+        # byte-identical (same key); use it and drop ours
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
     return out_dir
 
 

@@ -601,3 +601,58 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entropy(chars, "h_char").join(
         _entropy(words, "h_word"), "doc_id"
     )
+
+
+# --------------------------------------------------------------------------
+# tokenizer_fertility  (bytes/chars per token, by language)
+# --------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(strlen(text)) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS bytes_per_token,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / SUM(len(string_split(text, ' '))) AS chars_per_token
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", _FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: bytes-per-token and
+    chars-per-token over the whitespace tokenization — the standard
+    signal for how efficiently a tokenizer (or a candidate vocab size)
+    spends its budget per language, and the per-language multiplier
+    that converts corpus bytes to training tokens when sizing a data
+    mixture.  Integer sums stay exact (< 2^53) so the final double
+    divisions are bit-identical across engines.
+
+    Scale: pure scan + one map-side-combined groupBy on the bounded
+    lang key — zero data-sized state."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.size(F.split("text", " ", -1))
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(tokens.cast("long")).alias("total_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_bytes",
+        "total_chars",
+        "total_tokens",
+        (F.col("total_bytes").cast("double") / F.col("total_tokens")).alias(
+            "bytes_per_token"
+        ),
+        (F.col("total_chars").cast("double") / F.col("total_tokens")).alias(
+            "chars_per_token"
+        ),
+    )

@@ -340,20 +340,38 @@ def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle is the PLAIN join: the prefilter must be
     result-invisible.
 
-    Scale: the collect is ≤ _PREFILTER_MAX_KEYS longs (driver-safe by
-    construction); the fact table never shuffles — filtered scan into a
+    Scale: the collect is LIMITed to _PREFILTER_MAX_KEYS + 1 rows, so
+    it is driver-safe at any dim cardinality — the limit overflowing is
+    itself the signal to take the bounds branch, whose min/max comes
+    from a one-row aggregate, never a full collect.  The filtered dim
+    is slot-cached so the key probe and the broadcast join share one
+    scan.  The fact table never shuffles — filtered scan into a
     broadcast join, partial agg, one exchange on the 50-value group key.
     """
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+
     tune(spark)
-    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
-    keys = [r[0] for r in p.select("p_partkey").distinct().collect()]
+    p = cache_slot(
+        "runtime_prefilter_dim",
+        t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11"),
+    )
+    keys = [
+        r[0]
+        for r in p.select("p_partkey")
+        .distinct()
+        .limit(_PREFILTER_MAX_KEYS + 1)
+        .collect()
+    ]
     li = t(spark, sf_dir, "lineitem")
     if not keys:
         li = li.filter(F.lit(False))
     elif len(keys) <= _PREFILTER_MAX_KEYS:
         li = li.filter(F.col("l_partkey").isin(keys))
     else:
-        li = li.filter(F.col("l_partkey").between(min(keys), max(keys)))
+        lo_hi = p.agg(
+            F.min("p_partkey").alias("lo"), F.max("p_partkey").alias("hi")
+        ).first()
+        li = li.filter(F.col("l_partkey").between(lo_hi[0], lo_hi[1]))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_size")

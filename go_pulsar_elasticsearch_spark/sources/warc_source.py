@@ -51,23 +51,28 @@ _SCHEMA = StructType(
 )
 
 
+def record_bytes(r: dict) -> bytes:
+    """Serialize one record dict (record_id, warc_type, target_uri,
+    warc_date, body) to WARC/1.0 bytes.  Deterministic: byte-identical
+    output for identical input (no wall-clock, no uuid4 — callers
+    supply stable ids/dates so re-runs reuse cached files)."""
+    body = r["body"].encode("utf-8")
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: " + r["warc_type"].encode() + _CRLF
+        + b"WARC-Record-ID: <" + r["record_id"].encode() + b">" + _CRLF
+        + b"WARC-Date: " + r["warc_date"].encode() + _CRLF
+        + b"WARC-Target-URI: " + r["target_uri"].encode() + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF
+    )
+    return headers + _CRLF + body + _CRLF + _CRLF
+
+
 def write_warc(path: str, records: list[dict]) -> None:
-    """Write one WARC/1.0 file.  Each record dict carries record_id,
-    warc_type, target_uri, warc_date, and body (str).  Deterministic:
-    byte-identical output for identical input (no wall-clock, no uuid4
-    — callers supply stable ids/dates so re-runs reuse cached files)."""
+    """Write one WARC/1.0 file (see record_bytes for the layout)."""
     with open(path, "wb") as f:
         for r in records:
-            body = r["body"].encode("utf-8")
-            headers = (
-                b"WARC/1.0" + _CRLF
-                + b"WARC-Type: " + r["warc_type"].encode() + _CRLF
-                + b"WARC-Record-ID: <" + r["record_id"].encode() + b">" + _CRLF
-                + b"WARC-Date: " + r["warc_date"].encode() + _CRLF
-                + b"WARC-Target-URI: " + r["target_uri"].encode() + _CRLF
-                + b"Content-Length: " + str(len(body)).encode() + _CRLF
-            )
-            f.write(headers + _CRLF + body + _CRLF + _CRLF)
+            f.write(record_bytes(r))
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:
@@ -103,13 +108,20 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                 f"(want {clen}, have {len(body)})"
             )
         rid = hdrs.get("warc-record-id", "")
+        if rid.startswith("<") and rid.endswith(">"):
+            rid = rid[1:-1]
         yield {
-            "record_id": rid[1:-1] if rid.startswith("<") else rid,
+            "record_id": rid,
             "warc_type": hdrs.get("warc-type", ""),
             "target_uri": hdrs.get("warc-target-uri", ""),
             "warc_date": hdrs.get("warc-date", ""),
             "content_length": clen,
-            "body": body.decode("utf-8"),
+            # errors="replace": real crawl payloads are raw HTTP bytes
+            # (latin-1 pages, mislabeled charsets) — a foreign byte must
+            # degrade to U+FFFD, not kill the Spark task.  Our own
+            # writer emits valid UTF-8, so the certified round-trip
+            # never takes the replacement path.
+            "body": body.decode("utf-8", errors="replace"),
         }
         pos = body_start + clen
 
@@ -129,7 +141,7 @@ class _WarcReader(DataSourceReader):
         files = sorted(
             os.path.join(self._dir, f)
             for f in os.listdir(self._dir)
-            if f.endswith(".warc")
+            if f.endswith((".warc", ".warc.gz"))
         )
         # empty dir -> one no-op partition (Spark requires >= 1)
         return [_WarcFilePartition(p) for p in files] or [
@@ -141,6 +153,12 @@ class _WarcReader(DataSourceReader):
             return
         with open(partition.path, "rb") as f:
             data = f.read()
+        if partition.path.endswith(".gz"):
+            # crawl dumps ship gzipped; whole-file decompress is the
+            # per-partition unit anyway (one file == one partition)
+            import gzip
+
+            data = gzip.decompress(data)
         for rec in parse_warc(data):
             yield (
                 rec["record_id"],

@@ -90,3 +90,49 @@ def test_warc_ingest_matches_documents(spark, sf_dir):
     got = out.select("doc_id", "url", "content_length", "body")
     assert got.exceptAll(docs).count() == 0
     assert docs.exceptAll(got).count() == 0
+
+
+def test_gzipped_warc_files_read(spark, tmp_path):
+    import gzip
+
+    from go_pulsar_elasticsearch_spark.sources.warc_source import (
+        record_bytes,
+    )
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    raw = b"".join(record_bytes(_rec(i, f"zipped {i}")) for i in range(5))
+    (d / "seg.warc.gz").write_bytes(gzip.compress(raw))
+    write_warc(str(d / "plain.warc"), [_rec(99, "plain")])
+    register_warc_source(spark)
+    df = spark.read.format("warc_sim").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per file, gz included
+    assert df.count() == 6
+
+
+def test_non_utf8_body_degrades_not_crashes():
+    """Foreign crawl payloads (latin-1 etc.) must parse with U+FFFD
+    replacement, never raise."""
+    body = "caf\xe9".encode("latin-1")
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:x:1>\r\nWARC-Date: d\r\n"
+        b"WARC-Target-URI: u\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    out = list(parse_warc(raw))
+    assert len(out) == 1
+    assert out[0]["body"].startswith("caf")
+    assert "�" in out[0]["body"]
+
+
+def test_malformed_record_id_not_mangled():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:unterminated\r\nWARC-Date: d\r\n"
+        b"WARC-Target-URI: u\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    out = list(parse_warc(raw))
+    # no closing '>': value passes through verbatim, nothing stripped
+    assert out[0]["record_id"] == "<urn:unterminated"
