@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 4): 216 registered queries, 207 with oracles.  The nine
+State (round 4): 217 registered queries, 207 with oracles.  The ten
 rows-only entries are approximate/float/iterative by design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``multimodal_features`` (mapInPandas byte-stub decode),
@@ -15,8 +15,9 @@ decimal twin in tests), ``ann_pq`` (product quantization, recall@5
 internals), ``quality_classifier_lr`` (pyspark.ml fitting, AUC
 asserted in tests), ``embedding_pca_project`` (eigendecomposition —
 row-for-row vs numpy in tests), ``bpe_encode`` (iterative greedy merge
-training — token-for-token vs an independent reference in tests), and
-``stream_ingest_e2e`` (streaming drain).  Even
+training — token-for-token vs an independent reference in tests),
+``sketch_union_hll`` (Datasketches HLL estimates, 5%-bound asserted in
+tests), and ``stream_ingest_e2e`` (streaming drain).  Even
 the iterative k-means training and 3-iteration PageRank are oracled
 (unrolled exact-decimal CTE iterations), and the Avro decode is
 certified as a real binary round-trip.

@@ -466,3 +466,47 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").alias("modal_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# sketch_union_hll  (mergeable HLL sketches: partial per group, union up)
+# --------------------------------------------------------------------------
+
+
+@register("sketch_union_hll")  # no oracle: sketch estimates (error-bound
+# asserted vs exact distincts in tests/test_udf_surfaces_r4.py)
+def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketches (Datasketches HLL, Spark 4
+    `hll_sketch_agg`/`hll_union_agg`): distinct users per event type as
+    REUSABLE sketch values, then one union-merge for the corpus-wide
+    distinct — without rescanning the data.  This is the 100 TB
+    incremental-analytics shape: persist per-partition/per-day sketch
+    columns once, answer any cross-slice distinct by merging KB-sized
+    sketches instead of re-shuffling raw ids (approx_count_distinct
+    gives one number; a stored sketch composes).
+
+    Rows-only by design (estimates are sketch-seed-dependent, no DuckDB
+    twin); the error bound vs exact distincts is pytest-asserted."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"),
+        "n_events",
+    )
+    merged = (
+        sk.agg(
+            F.hll_union_agg("sk").alias("u"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select(
+            F.lit("ALL").alias("event_type"),
+            F.hll_sketch_estimate("u").cast("long").alias("est_users"),
+            "n_events",
+        )
+    )
+    return per_type.unionByName(merged)

@@ -208,3 +208,31 @@ def test_group_by_all_matches_explicit(spark, sf_dir):
     )
     assert implicit.exceptAll(explicit).count() == 0
     assert explicit.exceptAll(implicit).count() == 0
+
+
+# --------------------------------------------------------------------------
+# sketch_union_hll
+# --------------------------------------------------------------------------
+
+
+def test_sketch_union_hll_error_bound(spark, sf_dir):
+    """HLL estimates (per-type and union-merged) within 5% of exact
+    distinct counts; the merged row must estimate the distinct of the
+    UNION of users, not the sum of per-type distincts."""
+    rows = {
+        r["event_type"]: r["est_users"]
+        for r in QUERIES["sketch_union_hll"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_all = ev.select("user_id").distinct().count()
+    exact_per = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert abs(rows["ALL"] - exact_all) <= max(2, 0.05 * exact_all)
+    for etype, exact in exact_per.items():
+        assert abs(rows[etype] - exact) <= max(2, 0.05 * exact), etype
+    # users overlap across types: union-distinct must be far below the sum
+    assert rows["ALL"] < sum(v for k, v in rows.items() if k != "ALL")
