@@ -362,17 +362,27 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (JVM-only); cogroup is the escape hatch for merge logic SQL can't
     express (model-scoring joins, custom tolerance laddering)."""
     tune(spark)
-    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts",
-                                           "event_type")
-    bucket = F.pmod(F.col("user_id"), F.lit(_COGROUP_BUCKETS)).alias("bucket")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .drop("event_type").withColumn("bucket", bucket)
-    )
-    views = (
-        ev.filter(F.col("event_type") == "view")
-        .drop("event_type").withColumn("bucket", bucket)
-    )
+
+    # Two INDEPENDENT scans, not two filters of one frame: when both
+    # cogroup children share a lineage, Spark's self-join attribute
+    # dedup + column pruning can strip the right child down to the
+    # grouping key (observed at sf0.001: views arrived with only
+    # ['bucket']).  Separate reads give each side its own attribute
+    # ids, so pruning sees two real consumers.
+    def _side(event_type: str):
+        bucket = F.pmod(F.col("user_id"), F.lit(_COGROUP_BUCKETS)).alias(
+            "bucket"
+        )
+        return (
+            t(spark, sf_dir, "events")
+            .select("user_id", "event_id", "ts", "event_type")
+            .filter(F.col("event_type") == event_type)
+            .drop("event_type")
+            .withColumn("bucket", bucket)
+        )
+
+    purchases = _side("purchase")
+    views = _side("view")
     out = (
         purchases.groupBy("bucket")
         .cogroup(views.groupBy("bucket"))

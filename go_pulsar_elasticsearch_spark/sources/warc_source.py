@@ -171,7 +171,10 @@ class _WarcReader(DataSourceReader):
 
 
 class WarcDataSource(DataSource):
-    """`spark.read.format("warc_sim").option("path", dir)`."""
+    """`spark.read.format("warc_sim").option("path", dir)` for batch;
+    `spark.readStream.format("warc_sim")` tails the same directory as a
+    crawl spool (new files per micro-batch, maxFilesPerBatch-limited).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -183,6 +186,85 @@ class WarcDataSource(DataSource):
     def reader(self, schema):
         return _WarcReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _WarcStreamReader(self.options)
+
 
 def register_warc_source(spark) -> None:
     spark.dataSource.register(WarcDataSource)
+
+
+# --------------------------------------------------------------------------
+# streaming: crawl-spool intake (new .warc files -> micro-batches)
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    SimpleDataSourceStreamReader,
+)
+
+
+def _list_warcs(d: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(d) if f.endswith((".warc", ".warc.gz"))
+    )
+
+
+class _WarcStreamReader(SimpleDataSourceStreamReader):
+    """Offset = the sorted list of consumed file names.  Crawl-spool
+    contract: segment files are WRITE-ONCE (a name never changes
+    content), so offsets fully determine the data and replay
+    (readBetweenOffsets) is exact — the same self-describing-offset
+    idempotence pulsar_sim's stream reader uses.  maxFilesPerBatch
+    bounds each micro-batch (≡ maxOffsetsPerTrigger-style rate
+    limiting); the offset list is spool-sized, which retention keeps
+    bounded in a real deployment."""
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("warc_sim: 'path' option is required")
+        self._max_files = int(options.get("maxfilesperbatch", 10))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _emit(self, names):
+        # list, not generator: the harness pickles the returned iterator
+        # for prefetch caching, and micro-batches are maxFilesPerBatch-
+        # bounded anyway
+        out = []
+        for name in names:
+            with open(os.path.join(self._dir, name), "rb") as f:
+                data = f.read()
+            if name.endswith(".gz"):
+                import gzip
+
+                data = gzip.decompress(data)
+            for rec in parse_warc(data):
+                out.append(
+                    (
+                        rec["record_id"],
+                        rec["warc_type"],
+                        rec["target_uri"],
+                        rec["warc_date"],
+                        rec["content_length"],
+                        rec["body"],
+                    )
+                )
+        return iter(out)
+
+    def read(self, start: dict):
+        seen = set(start["files"])
+        new = [f for f in _list_warcs(self._dir) if f not in seen]
+        batch = new[: self._max_files]
+        end = {"files": sorted(start["files"] + batch)}
+        return (self._emit(batch), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # recovery replay: files are write-once, so the name delta IS
+        # the data delta
+        delta = sorted(set(end["files"]) - set(start["files"]))
+        return self._emit(delta)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; nothing to clean up

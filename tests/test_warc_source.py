@@ -136,3 +136,37 @@ def test_malformed_record_id_not_mangled():
     out = list(parse_warc(raw))
     # no closing '>': value passes through verbatim, nothing stripped
     assert out[0]["record_id"] == "<urn:unterminated"
+
+
+def test_stream_tails_spool_and_rate_limits(spark, tmp_path):
+    """readStream over the spool: existing files drain in
+    maxFilesPerBatch-bounded micro-batches; files arriving later are
+    picked up on the next trigger; every record exactly once."""
+    d = tmp_path / "spool"
+    d.mkdir()
+    for i in range(3):
+        write_warc(str(d / f"seg-{i:03d}.warc"),
+                   [_rec(100 * i + j, f"s{i}/{j}") for j in range(4)])
+    register_warc_source(spark)
+    stream = (
+        spark.readStream.format("warc_sim")
+        .option("path", str(d))
+        .option("maxFilesPerBatch", 1)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_spool_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    out = spark.table("warc_spool_out")
+    assert out.count() == 12
+    # a new segment lands in the spool -> next trigger ingests it
+    write_warc(str(d / "seg-900.warc"), [_rec(900, "late segment")])
+    q.processAllAvailable()
+    q.stop()
+    assert out.count() == 13
+    assert out.select("record_id").distinct().count() == 13
