@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     LongType,
@@ -69,10 +70,17 @@ def record_bytes(r: dict) -> bytes:
 
 
 def write_warc(path: str, records: list[dict]) -> None:
-    """Write one WARC/1.0 file (see record_bytes for the layout)."""
-    with open(path, "wb") as f:
+    """Write one WARC/1.0 file (see record_bytes for the layout).
+
+    ATOMIC: bytes go to a temp file renamed into place, so the name
+    never exists half-written — the visibility contract the stream
+    reader depends on (a listed name must already be complete; the
+    offset marks it consumed forever)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         for r in records:
             f.write(record_bytes(r))
+    os.rename(tmp, path)
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:
@@ -126,6 +134,34 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         pos = body_start + clen
 
 
+def _read_warc_file(path: str) -> Iterator[tuple]:
+    """Open/gunzip/parse one WARC file into output tuples — the single
+    decode path both the batch reader and the stream reader use."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if path.endswith(".gz"):
+        # crawl dumps ship gzipped; whole-file decompress is the
+        # per-partition unit anyway (one file == one partition)
+        import gzip
+
+        data = gzip.decompress(data)
+    for rec in parse_warc(data):
+        yield (
+            rec["record_id"],
+            rec["warc_type"],
+            rec["target_uri"],
+            rec["warc_date"],
+            rec["content_length"],
+            rec["body"],
+        )
+
+
+def _list_warcs(d: str) -> list[str]:
+    return sorted(
+        f for f in os.listdir(d) if f.endswith((".warc", ".warc.gz"))
+    )
+
+
 class _WarcFilePartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
@@ -138,11 +174,9 @@ class _WarcReader(DataSourceReader):
             raise ValueError("warc_sim: 'path' option is required")
 
     def partitions(self):
-        files = sorted(
-            os.path.join(self._dir, f)
-            for f in os.listdir(self._dir)
-            if f.endswith((".warc", ".warc.gz"))
-        )
+        files = [
+            os.path.join(self._dir, f) for f in _list_warcs(self._dir)
+        ]
         # empty dir -> one no-op partition (Spark requires >= 1)
         return [_WarcFilePartition(p) for p in files] or [
             _WarcFilePartition("")
@@ -151,23 +185,7 @@ class _WarcReader(DataSourceReader):
     def read(self, partition: _WarcFilePartition):
         if not partition.path:
             return
-        with open(partition.path, "rb") as f:
-            data = f.read()
-        if partition.path.endswith(".gz"):
-            # crawl dumps ship gzipped; whole-file decompress is the
-            # per-partition unit anyway (one file == one partition)
-            import gzip
-
-            data = gzip.decompress(data)
-        for rec in parse_warc(data):
-            yield (
-                rec["record_id"],
-                rec["warc_type"],
-                rec["target_uri"],
-                rec["warc_date"],
-                rec["content_length"],
-                rec["body"],
-            )
+        yield from _read_warc_file(partition.path)
 
 
 class WarcDataSource(DataSource):
@@ -198,11 +216,6 @@ def register_warc_source(spark) -> None:
 # streaming: crawl-spool intake (new .warc files -> micro-batches)
 # --------------------------------------------------------------------------
 
-from pyspark.sql.datasource import (  # noqa: E402
-    SimpleDataSourceStreamReader,
-)
-
-
 def _list_warcs(d: str) -> list[str]:
     return sorted(
         f for f in os.listdir(d) if f.endswith((".warc", ".warc.gz"))
@@ -210,20 +223,29 @@ def _list_warcs(d: str) -> list[str]:
 
 
 class _WarcStreamReader(SimpleDataSourceStreamReader):
-    """Offset = the sorted list of consumed file names.  Crawl-spool
-    contract: segment files are WRITE-ONCE (a name never changes
-    content), so offsets fully determine the data and replay
-    (readBetweenOffsets) is exact — the same self-describing-offset
-    idempotence pulsar_sim's stream reader uses.  maxFilesPerBatch
+    """Offset = the sorted list of consumed-and-still-present file
+    names.  Crawl-spool contract: a segment name APPEARS ATOMICALLY
+    with its final content (rename into place — write_warc does this)
+    and never changes after; a listed name is therefore complete, the
+    offset marks it consumed forever, and replay (readBetweenOffsets)
+    is exact — the same self-describing-offset idempotence pulsar_sim's
+    stream reader uses.  Names retention has deleted from the spool are
+    PRUNED from the offset on the next advance (write-once means a
+    deleted name can never return with new data), so checkpoint size
+    tracks the live spool, not the stream's lifetime.  maxFilesPerBatch
     bounds each micro-batch (≡ maxOffsetsPerTrigger-style rate
-    limiting); the offset list is spool-sized, which retention keeps
-    bounded in a real deployment."""
+    limiting)."""
 
     def __init__(self, options):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("warc_sim: 'path' option is required")
         self._max_files = int(options.get("maxfilesperbatch", 10))
+        if self._max_files < 1:
+            raise ValueError(
+                "warc_sim: maxFilesPerBatch must be >= 1 — 0 would "
+                "stall the stream forever without error"
+            )
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -234,30 +256,18 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
         # bounded anyway
         out = []
         for name in names:
-            with open(os.path.join(self._dir, name), "rb") as f:
-                data = f.read()
-            if name.endswith(".gz"):
-                import gzip
-
-                data = gzip.decompress(data)
-            for rec in parse_warc(data):
-                out.append(
-                    (
-                        rec["record_id"],
-                        rec["warc_type"],
-                        rec["target_uri"],
-                        rec["warc_date"],
-                        rec["content_length"],
-                        rec["body"],
-                    )
-                )
+            out.extend(_read_warc_file(os.path.join(self._dir, name)))
         return iter(out)
 
     def read(self, start: dict):
+        current = _list_warcs(self._dir)
         seen = set(start["files"])
-        new = [f for f in _list_warcs(self._dir) if f not in seen]
-        batch = new[: self._max_files]
-        end = {"files": sorted(start["files"] + batch)}
+        batch = [f for f in current if f not in seen][: self._max_files]
+        # carry forward only names still on disk (+ this batch): offsets
+        # stay spool-sized under retention, and a pruned name can never
+        # re-qualify because write-once forbids its return
+        kept = [f for f in start["files"] if f in set(current)]
+        end = {"files": sorted(kept + batch)}
         return (self._emit(batch), end)
 
     def readBetweenOffsets(self, start: dict, end: dict):

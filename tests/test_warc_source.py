@@ -161,12 +161,46 @@ def test_stream_tails_spool_and_rate_limits(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.processAllAvailable()
-    out = spark.table("warc_spool_out")
-    assert out.count() == 12
-    # a new segment lands in the spool -> next trigger ingests it
-    write_warc(str(d / "seg-900.warc"), [_rec(900, "late segment")])
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+        out = spark.table("warc_spool_out")
+        assert out.count() == 12
+        # a new segment lands in the spool -> next trigger ingests it
+        write_warc(str(d / "seg-900.warc"), [_rec(900, "late segment")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
     assert out.count() == 13
     assert out.select("record_id").distinct().count() == 13
+
+
+def test_stream_rejects_stalling_rate_limit(tmp_path):
+    """maxFilesPerBatch=0 would make the stream poll forever without
+    progress — the reader must refuse it at construction."""
+    from go_pulsar_elasticsearch_spark.sources.warc_source import (
+        _WarcStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="maxFilesPerBatch"):
+        _WarcStreamReader({"path": str(tmp_path), "maxfilesperbatch": "0"})
+
+
+def test_stream_offset_prunes_retired_segments(tmp_path):
+    """Retention deletes a consumed segment -> the next offset drops
+    its name; replay of the new batch is unaffected."""
+    from go_pulsar_elasticsearch_spark.sources.warc_source import (
+        _WarcStreamReader,
+    )
+
+    d = tmp_path / "spool2"
+    d.mkdir()
+    write_warc(str(d / "a.warc"), [_rec(1, "one")])
+    r = _WarcStreamReader({"path": str(d)})
+    it1, off1 = r.read(r.initialOffset())
+    assert len(list(it1)) == 1 and off1["files"] == ["a.warc"]
+    # retention retires a.warc; a new segment arrives
+    (d / "a.warc").unlink()
+    write_warc(str(d / "b.warc"), [_rec(2, "two")])
+    it2, off2 = r.read(off1)
+    assert [row[0] for row in it2] == ["urn:gpe:doc:2"]
+    assert off2["files"] == ["b.warc"]  # a.warc pruned, not reconsumed
