@@ -77,18 +77,17 @@ FROM m
 """
 
 
-@register("gopher_quality_filter", _GOPHER_ORACLE)
-def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule battery, one narrow zero-shuffle projection:
-    every rule is an array/regex expression over the text column; the
-    keep verdict is the conjunction.  Division by n_words is the same
-    int/int -> double in both engines (exact for these magnitudes)."""
-    tune(spark)
-    docs = t(spark, sf_dir, "documents")
+def gopher_gate(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """The Gopher rule battery as a reusable frame -> frame transform:
+    stateless narrow expressions only, so the SAME gate runs on a batch
+    table and on an unbounded stream (tests/test_warc_source.py drives
+    it over the WARC spool stream) — batch certification carries over
+    because the logic is literally shared, not re-implemented."""
     base = docs.select(
-        "doc_id",
-        "text",
-        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.expr(f"filter(split({text_col}, ' '), x -> x != '')").alias("w"),
     ).filter(F.expr("size(w) > 0"))
     n_words = F.expr("size(w)").cast("long")
     mean_wl = (
@@ -123,6 +122,18 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_word_len & ok_symbols & ok_stop).alias("keep"),
     )
+
+
+@register("gopher_quality_filter", _GOPHER_ORACLE)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery, one narrow zero-shuffle projection:
+    every rule is an array/regex expression over the text column; the
+    keep verdict is the conjunction.  Division by n_words is the same
+    int/int -> double in both engines (exact for these magnitudes).
+    Logic lives in gopher_gate (a frame transform) so the identical
+    gate also runs on streams."""
+    tune(spark)
+    return gopher_gate(t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

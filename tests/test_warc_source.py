@@ -204,3 +204,46 @@ def test_stream_offset_prunes_retired_segments(tmp_path):
     it2, off2 = r.read(off1)
     assert [row[0] for row in it2] == ["urn:gpe:doc:2"]
     assert off2["files"] == ["b.warc"]  # a.warc pruned, not reconsumed
+
+
+def test_stream_crawl_intake_through_quality_gate(spark, sf_dir, tmp_path):
+    """End-to-end crawl intake: the documents corpus lands as WARC
+    segments in a spool, streams through the SAME gopher_gate transform
+    the batch operator certifies, and the streamed verdicts equal the
+    batch run over the original parquet row-for-row."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.ingest.warc import _materialize_warc
+    from go_pulsar_elasticsearch_spark.llm.quality import gopher_gate
+
+    spool = _materialize_warc(sf_dir)
+    register_warc_source(spark)
+    stream = (
+        spark.readStream.format("warc_sim")
+        .option("path", spool)
+        .option("maxFilesPerBatch", 3)
+        .load()
+        .select(
+            F.regexp_extract("record_id", r"urn:gpe:doc:(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("body").alias("text"),
+        )
+    )
+    q = (
+        gopher_gate(stream)
+        .writeStream.format("memory")
+        .queryName("warc_gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("warc_gate_out")
+    batch = gopher_gate(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
