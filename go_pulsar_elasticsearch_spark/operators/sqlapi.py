@@ -438,3 +438,58 @@ def sql_surface_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir)
     return spark.sql(_GBALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# xml_funcs  (Spark 4 from_xml: XML ingestion without a jar)
+# --------------------------------------------------------------------------
+
+_XML_ORACLE = """
+SELECT o_orderkey AS order_id,
+       o_orderstatus AS status,
+       o_totalprice AS price,
+       'q1&q2' AS note,
+       o_totalprice * 1.1 AS price_with_fee
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("xml_funcs", _XML_ORACLE)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface (`from_xml`, new in Spark 4): each order is rendered
+    as an XML document — attribute + nested elements + an entity-encoded
+    text node — then parsed back with a typed schema and computed on.
+    The oracle recomputes every output from the ORIGINAL columns, so the
+    hash certifies the build→parse round-trip end to end: attribute
+    extraction (`_id`), Java double→string→double exactness
+    (Double.toString is shortest-round-trip), and entity decoding
+    (&amp; → &).
+
+    Scale: narrow per-row expressions fused into the scan — the XML
+    never shuffles; this is the shape for ingesting XML feeds (sitemap,
+    RSS, legacy exports) without a spark-xml jar."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    xml = F.concat(
+        F.lit('<order id="'), F.col("o_orderkey"), F.lit('">'),
+        F.lit("<status>"), F.col("o_orderstatus"), F.lit("</status>"),
+        F.lit("<price>"), F.col("o_totalprice").cast("string"),
+        F.lit("</price>"),
+        F.lit("<note>q1&amp;q2</note>"),
+        F.lit("</order>"),
+    )
+    parsed = o.select(
+        F.from_xml(
+            xml, "_id BIGINT, status STRING, price DOUBLE, note STRING"
+        ).alias("p")
+    )
+    return parsed.select(
+        F.col("p._id").alias("order_id"),
+        F.col("p.status").alias("status"),
+        F.col("p.price").alias("price"),
+        F.col("p.note").alias("note"),
+        (F.col("p.price") * 1.1).alias("price_with_fee"),
+    )
