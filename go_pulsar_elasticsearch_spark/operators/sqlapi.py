@@ -457,14 +457,14 @@ WHERE o_orderpriority = '1-URGENT'
 
 @register("xml_funcs", _XML_ORACLE)
 def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XML surface (`from_xml`, new in Spark 4): each order is rendered
-    as an XML document — attribute + nested elements + an entity-encoded
-    text node — then parsed back with a typed schema and computed on.
-    The oracle recomputes every output from the ORIGINAL columns, so the
-    hash certifies the build→parse round-trip end to end: attribute
-    extraction (`_id`), Java double→string→double exactness
-    (Double.toString is shortest-round-trip), and entity decoding
-    (&amp; → &).
+    """XML surface (Spark 4 `to_xml` + `from_xml`): each order struct is
+    SERIALIZED to an XML document by the engine's own writer, parsed
+    back with a typed schema, and computed on.  The oracle recomputes
+    every output from the ORIGINAL columns, so the hash certifies the
+    full writer→parser round-trip: entity escaping both ways (the note
+    carries a literal '&'), and Java double→string→double exactness
+    (Double.toString is shortest-round-trip, parseDouble its exact
+    inverse).
 
     Scale: narrow per-row expressions fused into the scan — the XML
     never shuffles; this is the shape for ingesting XML feeds (sitemap,
@@ -473,21 +473,20 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    xml = F.concat(
-        F.lit('<order id="'), F.col("o_orderkey"), F.lit('">'),
-        F.lit("<status>"), F.col("o_orderstatus"), F.lit("</status>"),
-        F.lit("<price>"), F.col("o_totalprice").cast("string"),
-        F.lit("</price>"),
-        F.lit("<note>q1&amp;q2</note>"),
-        F.lit("</order>"),
+    doc = F.struct(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("q1&q2").alias("note"),
     )
+    xml = F.to_xml(doc)
     parsed = o.select(
         F.from_xml(
-            xml, "_id BIGINT, status STRING, price DOUBLE, note STRING"
+            xml, "order_id BIGINT, status STRING, price DOUBLE, note STRING"
         ).alias("p")
     )
     return parsed.select(
-        F.col("p._id").alias("order_id"),
+        F.col("p.order_id").alias("order_id"),
         F.col("p.status").alias("status"),
         F.col("p.price").alias("price"),
         F.col("p.note").alias("note"),
