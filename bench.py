@@ -82,6 +82,10 @@ HEADLINE = [
     # perceptual near-dup through real codec bytes
     "image_ahash_neardup",
     "audio_fingerprint_neardup",
+    # round 4 additions (third half): crawl intake + new UDF/join surfaces
+    "warc_ingest",
+    "udf_cogrouped_asof",
+    "join_runtime_prefilter",
 ]
 
 
@@ -176,7 +180,7 @@ def main() -> None:
     # Full registered set, one run each (cold, includes codegen): the
     # regression tripwire the headline set can't be — a per-query diff
     # of BENCH_r{N} catches a slowdown in ANY registered operator, not
-    # just the 43 headliners.  Headline stays best-of-3 (steady-state
+    # just the headline subset.  Headline stays best-of-3 (steady-state
     # comparability across rounds); full-set numbers are single-run and
     # therefore noisier — compare trends, not ±30% wiggles.
     full: dict[str, float] = {}

