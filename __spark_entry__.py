@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 4): 218 registered queries, 208 with oracles.  The ten
+State (round 4): 219 registered queries, 209 with oracles.  The ten
 rows-only entries are approximate/float/iterative by design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``multimodal_features`` (mapInPandas byte-stub decode),

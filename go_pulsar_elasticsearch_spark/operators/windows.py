@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.catalog import register_views, t
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -155,3 +155,42 @@ def win_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(price_dec).over(w_3).cast("double").alias("spend_3"),
         F.count("*").over(w_3).alias("n_3"),
     )
+
+
+# --------------------------------------------------------------------------
+# win_range_interval  (time-RANGE frame: INTERVAL n DAY PRECEDING)
+# --------------------------------------------------------------------------
+
+# The identical statement runs on both engines (standard WINDOW clause +
+# RANGE INTERVAL frame).  Exact-decimal sum inside the frame, double out
+# — RANGE peers (equal ts) are included by both engines per the SQL
+# standard, and the decimal accumulation makes the sum order-free.
+_RANGE_INTERVAL_SQL = """
+SELECT user_id,
+       event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS value_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts
+  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("win_range_interval", _RANGE_INTERVAL_SQL)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-user rolling 7-DAY event count and
+    value sum, `RANGE BETWEEN INTERVAL 7 DAY PRECEDING` — the frame is
+    bounded by the ORDER key's VALUE (event time), not a row count, so
+    irregular event spacing is handled exactly (a burst contributes
+    many rows, a quiet week contributes none).  ROWS frames
+    (win_frame_agg) cannot express this; it is the window-function
+    analog of the streaming sliding window.
+
+    Scale: one shuffle on user_id + per-partition sort, identical cost
+    shape to every other user-keyed window; the frame bound adds no
+    extra exchange."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_RANGE_INTERVAL_SQL)
