@@ -103,8 +103,17 @@ def _repair_scan_parallelism(
     return df
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(
+    spark: SparkSession, sf_dir: str, name: str, repair: bool = True
+) -> DataFrame:
     """Load one fixture table.
+
+    ``repair=False`` skips the scan-parallelism repair for operators
+    whose FIRST step is a row-shrinking projection followed by their own
+    shuffle (e.g. exact_dedup: sha2(text) then groupBy) — there the
+    repair's full-width repartition moves the text column for nothing,
+    because the operator's own shuffle redistributes the (already
+    narrow) rows one step later anyway.
 
     events.parquet has shipped `ts` as TIMESTAMP(NANOS) (rejected by the
     parquet reader — read nanos as long and truncate) and as plain
@@ -130,13 +139,15 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if not repair:
+            return df
         return _repair_scan_parallelism(
             spark, df, os.path.join(sf_dir, "events.parquet"),
             _FACT_KEYS["events"],
         )
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name in _FACT_TABLES:
+    if repair and name in _FACT_TABLES:
         df = _repair_scan_parallelism(spark, df, path, _FACT_KEYS[name])
     return df
 

@@ -56,9 +56,12 @@ GROUP BY sha256(text)
 @register("exact_dedup", _EXACT_ORACLE)
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by sha256(content), keep lowest doc_id.
-    The shuffle carries (hash, doc_id) only — content never moves."""
+    The shuffle carries (hash, doc_id) only — content never moves.
+    repair=False: the sha2 projection shrinks rows before this op's own
+    groupBy shuffle, so the scan repair's full-text repartition would
+    move the text column for nothing (catalog.t docstring)."""
     tune(spark)
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents", repair=False)
     return (
         docs.select(F.sha2("text", 256).alias("content_sha"), "doc_id")
         .groupBy("content_sha")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.catalog import register_views, t
 from go_pulsar_elasticsearch_spark.functions.exact import AVGD, SUMD, davg, dsum
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -510,3 +510,255 @@ def sketch_union_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# agg_bitmap_distinct  (bitmap aggregates: EXACT mergeable distinct)
+# --------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+_BITMAP_SPARK_SQL = """
+SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_users
+FROM (
+  SELECT event_type,
+         bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))
+           AS cnt
+  FROM events
+  GROUP BY event_type, bitmap_bucket_number(user_id)
+)
+GROUP BY event_type
+"""
+
+
+@register("agg_bitmap_distinct", _BITMAP_ORACLE)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5
+    bitmap_construct_agg / bitmap_count): ids map to a (bucket, bit)
+    position, each (group, bucket) builds a fixed-width bitmap, and the
+    per-bucket popcounts sum to the exact distinct — certified against
+    the plain COUNT(DISTINCT).
+
+    This is the exact complement to sketch_union_hll: bitmaps are
+    MERGEABLE like sketches (bitmap_or_agg composes stored partials
+    across slices/days with zero rescan) but lossless, at the cost of
+    memory proportional to the id range per bucket rather than a fixed
+    sketch size.  At 100 TB: the classic two-level distinct — the
+    (group, bucket) pre-aggregation shards the heavy groups across the
+    cluster, so no single task materializes a whole group's id set,
+    and the final shuffle carries one long per (group, bucket)."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_BITMAP_SPARK_SQL)
+
+
+# --------------------------------------------------------------------------
+# incremental_agg_merge  (stored daily partials merged without rescan)
+# --------------------------------------------------------------------------
+
+_INC_MERGE_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+GROUP BY event_type
+"""
+
+
+@register("incremental_agg_merge", _INC_MERGE_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (TimescaleDB hypertable rollups /
+    Druid segments / ES rollup jobs): the raw stream is folded once into
+    per-(day, type) PARTIAL states — count, exact scaled-long sum, min,
+    max — and every later query MERGES stored partials instead of
+    rescanning raw events.  Here the two-week answer is assembled purely
+    from the daily partials (the window filter prunes on the partial's
+    day column) and is hash-certified against the direct scan of the raw
+    table, proving partial-fold + merge computes the identical answer.
+
+    Exactness across the two-level fold: the per-row double is cast to
+    DECIMAL(18,2) (the shared rounding rule, functions/exact.py) and
+    carried as its unscaled LONG, so partial sums and their merge are
+    associative integer adds — any day/partition split yields the same
+    bits.  avg is one IEEE division of two exact values, identical in
+    both engines.
+
+    At 100 TB: partials are |days x types| rows — the merge query's cost
+    is independent of raw volume, the map-side fold is the only pass
+    over the data, and day-pruned merges answer any calendar window with
+    zero rescan.  New days append new partials; `bitmap_or_agg` /
+    `hll_union_agg` extend the same shape to distinct counts (see
+    agg_bitmap_distinct / sketch_union_hll)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    scaled = F.round(
+        F.col("value").cast("decimal(18,2)").cast("double") * F.lit(100.0)
+    ).cast("long")
+    # stage 1: the stored rollup — one fold over raw, day granularity
+    partials = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("p_cnt"),
+            F.sum(scaled).alias("p_sum_scaled"),
+            F.min("value").alias("p_min"),
+            F.max("value").alias("p_max"),
+        )
+    )
+    # stage 2: merge ONLY the pruned partials — never touches raw again
+    merged = (
+        partials.filter(
+            (F.col("day") >= F.lit("2024-01-08").cast("date"))
+            & (F.col("day") < F.lit("2024-01-22").cast("date"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("p_cnt").alias("n_events"),
+            F.sum("p_sum_scaled").alias("m_sum_scaled"),
+            F.min("p_min").alias("min_value"),
+            F.max("p_max").alias("max_value"),
+        )
+    )
+    total = F.col("m_sum_scaled").cast("double") / F.lit(100.0)
+    return merged.select(
+        "event_type",
+        "n_events",
+        total.alias("total_value"),
+        "min_value",
+        "max_value",
+        (total / F.col("n_events")).alias("avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# histogram_quantile_merge  (mergeable approximate quantiles, certified)
+# --------------------------------------------------------------------------
+
+_HQM_BINS = 256
+
+_HQM_ORACLE = f"""
+WITH mm AS (
+  SELECT MIN(value) AS vmin, MAX(value) AS vmax,
+         (MAX(value) - MIN(value)) / {_HQM_BINS}.0 AS bw
+  FROM events
+), binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR((value - vmin) / bw) AS BIGINT),
+               {_HQM_BINS - 1}) AS bin
+  FROM events, mm
+), counts AS (
+  SELECT event_type, bin, COUNT(*) AS cnt
+  FROM binned GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum_cnt,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM counts
+), picked AS (
+  SELECT event_type,
+         CAST(MAX(total) AS BIGINT) AS n_events,
+         MIN(CASE WHEN cum_cnt >= 0.5 * total THEN bin END) AS bin50,
+         MIN(CASE WHEN cum_cnt >= 0.9 * total THEN bin END) AS bin90
+  FROM cum GROUP BY event_type
+)
+SELECT event_type, n_events,
+       vmin + (bin50 + 0.5) * bw AS p50_est,
+       vmin + (bin90 + 0.5) * bw AS p90_est
+FROM picked, mm
+"""
+
+
+@register("histogram_quantile_merge", _HQM_ORACLE)
+def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles: per-(day, type) fixed-width
+    256-bin histograms are the stored partial state; merging partials
+    (integer adds per bin) and walking the cumulative distribution
+    yields p50/p90 estimates with error <= one bin width — the
+    deterministic, certifiable stand-in for percentile_approx, whose
+    internal GK sketch is engine-private and cannot hash-match an
+    oracle.  Completes the mergeable-state trio with
+    agg_bitmap_distinct (exact distinct) and sketch_union_hll
+    (approximate distinct).
+
+    Cross-engine exactness: bin edges derive from the global min/max in
+    ONE IEEE expression ((v - vmin) / bw, floor'd) both engines share;
+    bin counts are integers; the estimate is one multiply-add on
+    identical doubles — so even the *approximate* answer is bit-stable
+    and hash-certified (the oracle merges day-less counts; integer adds
+    are associative, so the day split cannot change any bin).
+
+    At 100 TB: partial state is |days x types x 256| longs; the raw
+    scan folds map-side into that state, min/max is a prior all-reduce
+    over the same scan (or maintained partial), and quantile extraction
+    runs over the bounded merged histogram — never a global sort, never
+    percentile state proportional to data."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min("value").alias("vmin"),
+        ((F.max("value") - F.min("value")) / F.lit(float(_HQM_BINS))).alias(
+            "bw"
+        ),
+    )
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / F.col("bw")),
+            F.lit(_HQM_BINS - 1),
+        ).alias("bin"),
+    )
+    # stage 1: the stored partial — per-(day, type) histogram
+    partials = binned.groupBy("day", "event_type", "bin").agg(
+        F.count("*").alias("p_cnt")
+    )
+    # stage 2: merge partials across days (integer adds per bin)
+    counts = partials.groupBy("event_type", "bin").agg(
+        F.sum("p_cnt").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    picked = cum.groupBy("event_type").agg(
+        F.max("total").alias("n_events"),
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.lit(0.5) * F.col("total"), F.col("bin")
+            )
+        ).alias("bin50"),
+        F.min(
+            F.when(
+                F.col("cum_cnt") >= F.lit(0.9) * F.col("total"), F.col("bin")
+            )
+        ).alias("bin90"),
+    )
+    return picked.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        "n_events",
+        (F.col("vmin") + (F.col("bin50") + F.lit(0.5)) * F.col("bw")).alias(
+            "p50_est"
+        ),
+        (F.col("vmin") + (F.col("bin90") + F.lit(0.5)) * F.col("bw")).alias(
+            "p90_est"
+        ),
+    )
