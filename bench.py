@@ -86,6 +86,10 @@ HEADLINE = [
     "warc_ingest",
     "udf_cogrouped_asof",
     "join_runtime_prefilter",
+    # round 4 additions (fourth half): mergeable-state aggregates
+    "agg_bitmap_distinct",
+    "incremental_agg_merge",
+    "histogram_quantile_merge",
 ]
 
 

@@ -119,13 +119,17 @@ def main() -> None:
     mutate = "--mutate" in args
     if mutate:
         args.remove("--mutate")
+    reuse = "--reuse" in args
+    if reuse:
+        args.remove("--reuse")
     src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     replicas = int(args[1]) if len(args) > 1 else 10
     names = args[2:] or DEFAULT_QUERIES
     dst = f"/tmp/gpe_scale_x{replicas}" + ("_mut" if mutate else "")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    build(spark, src, dst, replicas, mutate)
+    if not (reuse and os.path.isdir(dst)):
+        build(spark, src, dst, replicas, mutate)
     for name in names:
         base = steady(spark, name, src)
         big = steady(spark, name, dst)
