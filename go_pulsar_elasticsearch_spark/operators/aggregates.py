@@ -762,3 +762,73 @@ def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_est"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# agg_count_min  (mergeable frequency sketch: JVM partials, Python merge)
+# --------------------------------------------------------------------------
+
+_CMS_EPS = 0.005
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_PROBE_IDS = (1, 7, 42)
+
+
+@register("agg_count_min")  # rows-only: sketch estimates (merged-partials
+# == single-pass sketch and eps bound asserted in tests/test_cms.py)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequency sketch — the point-lookup complement to the
+    distinct trio: "how often does item X occur per group" without a
+    per-item group-by.  Per-(day, type) partial sketches are built by
+    the JVM aggregate ``count_min_sketch`` (whole-stage, map-side
+    combined); the per-type merge then happens in executor-side Python
+    (functions/cms.py — the serialized form carries its own hash
+    coefficients, so merging is element-wise table addition), and the
+    merged sketch is probed for fixed ids.  Deterministic end to end:
+    same (eps, confidence, seed) literals at every site -> identical
+    hashA -> the merged estimate equals the single-pass JVM sketch
+    bit-for-bit (asserted in tests/test_cms.py, alongside the classic
+    ``exact <= est <= exact + eps*total`` CMS guarantee).
+
+    At 100 TB: the raw scan folds once into |days x types| sketches of
+    fixed size (depth 7 x width 400 longs at these literals — ~22 KB
+    each, independent of data volume); the merge stage moves and adds
+    only that state, and any later day-windowed frequency question is
+    answered from stored partials with zero rescan — exactly the
+    incremental_agg_merge shape with a sketch as the partial."""
+    import pandas as pd
+
+    from go_pulsar_elasticsearch_spark.functions import cms
+
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count_min_sketch(
+            "user_id",
+            F.lit(_CMS_EPS),
+            F.lit(_CMS_CONF),
+            F.lit(_CMS_SEED),
+        ).alias("sk")
+    )
+    probe_ids = list(_CMS_PROBE_IDS)
+
+    def merge_probe(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        merged = cms.merge([cms.parse(bytes(x)) for x in pdf["sk"]])
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "user_id": probe_ids,
+                "est_count": [
+                    cms.estimate_long(merged, pid) for pid in probe_ids
+                ],
+                "n_events": merged.total,
+            }
+        )
+
+    return partials.groupBy("event_type").applyInPandas(
+        merge_probe,
+        "event_type string, user_id bigint, est_count bigint, "
+        "n_events bigint",
+    )

@@ -28,7 +28,7 @@ def test_oracle_keys_subset_of_queries():
         "agg_approx", "multimodal_features", "stream_ingest_e2e",
         "similarity_topk_fast", "near_dedup_minhash_ml", "ann_pq",
         "quality_classifier_lr", "embedding_pca_project", "bpe_encode",
-        "sketch_union_hll",
+        "sketch_union_hll", "agg_count_min",
     }
 
 
