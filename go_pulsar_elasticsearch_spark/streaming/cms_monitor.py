@@ -1,0 +1,142 @@
+"""Streaming frequency monitor: the batch ``agg_count_min`` sketch
+maintained incrementally under foreachBatch — a live "how often has key
+X occurred per group so far" service (rate limiting, trending probes,
+abuse counters) with fixed-size state.
+
+Per micro-batch:
+  1. one JVM ``count_min_sketch`` aggregate per event_type over the
+     batch's rows (whole-stage, map-side combined — the identical
+     literals as the certified batch operator, so every partial shares
+     the same hashA coefficients);
+  2. the per-type batch sketches land under ``epoch=<batch_id>``
+     directories written with overwrite.
+
+Reads merge the stored epoch sketches per type in executor-side Python
+(functions/cms.py): element-wise table adds, so ANY epoch split of the
+stream yields byte-identical merged state.  Convergence is pytest-pinned
+in tests/test_streaming_cms.py: after the drain, the merged store equals
+the single-pass whole-corpus sketch BIT-FOR-BIT (serialized bytes), not
+just estimate-for-estimate.
+
+Replay safety: the epoch write is an overwrite keyed by batch id, and
+the merged read is pure (no read-modify-write on shared state), so a
+checkpoint replay of a half-committed batch rewrites the same bytes —
+the same contract as streaming/near_dedup.py and lm_monitor.py.
+
+Scale posture: state is |types x epochs| fixed ~22 KB sketches —
+independent of stream length; old epochs can be compacted into one
+merged sketch per type at any time (merge associativity is the whole
+point) to keep the store bounded by |types|.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from go_pulsar_elasticsearch_spark.functions import cms
+
+# the certified batch operator's literals, imported so the monitor's
+# partials can never drift from it (different eps/conf/seed would make
+# the sketches unmergeable — cms.merge raises)
+from go_pulsar_elasticsearch_spark.operators.aggregates import (
+    _CMS_CONF,
+    _CMS_EPS,
+    _CMS_SEED,
+)
+
+_STORE_SCHEMA = "event_type string, sk binary, epoch long"
+
+
+def batch_sketches(batch_df: DataFrame) -> DataFrame:
+    """(event_type, sk): one CMS per type over this batch's rows."""
+    return batch_df.groupBy("event_type").agg(
+        F.count_min_sketch(
+            "user_id", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk")
+    )
+
+
+def write_epoch(batch_df: DataFrame, store_path: str, epoch_id: int) -> None:
+    """foreachBatch body: fold the batch into per-type sketches and
+    land them under this epoch (idempotent overwrite)."""
+    batch_sketches(batch_df).write.mode("overwrite").parquet(
+        f"{store_path}/epoch={epoch_id}"
+    )
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException:
+        return spark.createDataFrame([], _STORE_SCHEMA)
+
+
+def merged_sketches(
+    spark: SparkSession, store_path: str, below_epoch: int | None = None
+) -> DataFrame:
+    """(event_type, sk, n_events): epoch sketches merged per type —
+    optionally only epochs strictly below ``below_epoch`` (the
+    replay-safe mid-stream read)."""
+    st = read_store(spark, store_path)
+    if below_epoch is not None:
+        st = st.filter(F.col("epoch") < F.lit(below_epoch))
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = cms.merge([cms.parse(bytes(x)) for x in pdf["sk"]])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "sk": [cms.serialize(merged)],
+                "n_events": [merged.total],
+            }
+        )
+
+    return st.groupBy("event_type").applyInPandas(
+        _merge, "event_type string, sk binary, n_events long"
+    )
+
+
+def probe_estimates(merged: DataFrame, ids: list[int]) -> DataFrame:
+    """(event_type, user_id, est_count, n_events) for fixed probe ids
+    against a merged-sketch frame — the live lookup surface."""
+    def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = cms.parse(bytes(pdf["sk"].iloc[0]))
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "user_id": ids,
+                "est_count": [cms.estimate_long(s, i) for i in ids],
+                "n_events": int(pdf["n_events"].iloc[0]),
+            }
+        )
+
+    return merged.groupBy("event_type").applyInPandas(
+        _probe,
+        "event_type string, user_id bigint, est_count bigint, n_events bigint",
+    )
+
+
+def run_cms_monitor(
+    spark: SparkSession, src_path: str, store_path: str, checkpoint: str
+) -> None:
+    """Drive the monitor over a parquet-file stream of (event_type,
+    user_id) rows, one micro-batch per file, draining everything."""
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: write_epoch(df, store_path, epoch_id=eid)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("cms monitor drain did not finish within 180s")

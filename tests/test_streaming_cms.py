@@ -1,0 +1,100 @@
+"""Streaming CMS frequency monitor: bit-exact convergence to the batch
+sketch, replay idempotence, and prior-epoch-only reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import go_pulsar_elasticsearch_spark as gpe
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions import cms
+from go_pulsar_elasticsearch_spark.operators.aggregates import _CMS_PROBE_IDS
+from go_pulsar_elasticsearch_spark.streaming.cms_monitor import (
+    batch_sketches,
+    merged_sketches,
+    probe_estimates,
+    run_cms_monitor,
+    write_epoch,
+)
+
+gpe.load_all()
+
+
+def _events(spark, sf_dir):
+    return t(spark, sf_dir, "events").select("event_type", "user_id")
+
+
+def test_merged_store_equals_single_pass_bytes(spark, sf_dir, tmp_path):
+    """After the drain, merging the epoch sketches must reproduce the
+    single-pass whole-corpus sketch BYTE-FOR-BYTE per type."""
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "events")
+    for m in range(3):  # three files -> three micro-batches
+        ev.filter(F.col("user_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = str(tmp_path / "store")
+    run_cms_monitor(spark, src, store, str(tmp_path / "ckpt"))
+
+    got = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    want = {
+        r["event_type"]: bytes(r["sk"])
+        for r in batch_sketches(ev).collect()
+    }
+    assert got == want
+
+    # and the probe surface agrees with the certified batch operator
+    from go_pulsar_elasticsearch_spark.registry import QUERIES
+
+    live = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["n_events"])
+        for r in probe_estimates(
+            merged_sketches(spark, store), list(_CMS_PROBE_IDS)
+        ).collect()
+    }
+    batch = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["n_events"])
+        for r in QUERIES["agg_count_min"](spark, sf_dir).collect()
+    }
+    assert live == batch
+
+
+def test_replay_same_epoch_is_idempotent(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    b0 = ev.filter(F.col("user_id") % 3 == 0)
+    store = str(tmp_path / "store")
+    write_epoch(b0, store, epoch_id=0)
+    first = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    write_epoch(b0, store, epoch_id=0)  # simulated checkpoint replay
+    second = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    assert first == second
+    # totals reflect ONE delivery of the batch, not two
+    n = sum(
+        r["n_events"] for r in merged_sketches(spark, store).collect()
+    )
+    assert n == b0.count()
+
+
+def test_mid_stream_read_sees_prior_epochs_only(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    store = str(tmp_path / "store")
+    write_epoch(ev.filter(F.col("user_id") % 3 == 0), store, 0)
+    write_epoch(ev.filter(F.col("user_id") % 3 == 1), store, 1)
+    below = merged_sketches(spark, store, below_epoch=1)
+    want = {
+        r["event_type"]: bytes(r["sk"])
+        for r in batch_sketches(
+            ev.filter(F.col("user_id") % 3 == 0)
+        ).collect()
+    }
+    got = {r["event_type"]: bytes(r["sk"]) for r in below.collect()}
+    assert got == want
