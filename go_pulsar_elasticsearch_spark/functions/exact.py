@@ -80,8 +80,7 @@ def dsum(
         if out_scale < scale:
             s = F.round(s, out_scale)
         return s.cast("double")
-    scaled = F.round(dec.cast("double") * F.lit(float(10**scale))).cast("long")
-    s = F.sum(scaled)
+    s = F.sum(scaled_long(c, scale, precision))
     if out_scale < scale:
         d = 10 ** (scale - out_scale)
         h = d // 2
@@ -89,6 +88,19 @@ def dsum(
             s >= 0, F.call_function("div", s + F.lit(h), F.lit(d))
         ).otherwise(-F.call_function("div", -s + F.lit(h), F.lit(d)))
     return s.cast("double") / F.lit(float(10**out_scale))
+
+
+def scaled_long(
+    col: Column | str, scale: int = 2, precision: int = 18
+) -> Column:
+    """Per-row double -> its exact unscaled LONG under the shared
+    double->DECIMAL(p,s) rounding rule.  This is the single source of
+    the scaled-integer carrier: dsum's fast path sums it directly, and
+    two-stage folds (incremental_agg_merge) store it as partial state so
+    any later merge is an associative integer add."""
+    c = F.col(col) if isinstance(col, str) else col
+    dec = c.cast(f"decimal({precision},{scale})")
+    return F.round(dec.cast("double") * F.lit(float(10**scale))).cast("long")
 
 
 def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:

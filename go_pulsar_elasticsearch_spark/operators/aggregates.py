@@ -600,10 +600,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     `hll_union_agg` extend the same shape to distinct counts (see
     agg_bitmap_distinct / sketch_union_hll)."""
     tune(spark)
+    from go_pulsar_elasticsearch_spark.functions.exact import scaled_long
+
     ev = t(spark, sf_dir, "events")
-    scaled = F.round(
-        F.col("value").cast("decimal(18,2)").cast("double") * F.lit(100.0)
-    ).cast("long")
+    scaled = scaled_long("value", scale=2)
     # stage 1: the stored rollup — one fold over raw, day granularity
     partials = (
         ev.groupBy(
@@ -654,7 +654,9 @@ WITH mm AS (
   FROM events
 ), binned AS (
   SELECT event_type,
-         LEAST(CAST(FLOOR((value - vmin) / bw) AS BIGINT),
+         LEAST(CAST(FLOOR((value - vmin) /
+                          (CASE WHEN bw = 0 THEN 1.0 ELSE bw END))
+                    AS BIGINT),
                {_HQM_BINS - 1}) AS bin
   FROM events, mm
 ), counts AS (
@@ -711,11 +713,16 @@ def histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bw"
         ),
     )
+    # bw == 0 (all values equal) would make the shared bin expression
+    # divide 0.0/0.0: NULL in DuckDB, NaN->number through Spark's
+    # floor/least — divide by 1 instead so BOTH engines bin to 0 and the
+    # estimate degrades to exactly vmin
+    bw_safe = F.when(F.col("bw") == 0, F.lit(1.0)).otherwise(F.col("bw"))
     binned = ev.crossJoin(F.broadcast(mm)).select(
         "event_type",
         F.to_date("ts").alias("day"),
         F.least(
-            F.floor((F.col("value") - F.col("vmin")) / F.col("bw")),
+            F.floor((F.col("value") - F.col("vmin")) / bw_safe),
             F.lit(_HQM_BINS - 1),
         ).alias("bin"),
     )

@@ -34,9 +34,9 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from go_pulsar_elasticsearch_spark.functions import cms
+from go_pulsar_elasticsearch_spark.streaming.store import read_store_or_empty
 
 # the certified batch operator's literals, imported so the monitor's
 # partials can never drift from it (different eps/conf/seed would make
@@ -68,10 +68,7 @@ def write_epoch(batch_df: DataFrame, store_path: str, epoch_id: int) -> None:
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame:
-    try:
-        return spark.read.parquet(store_path)
-    except AnalysisException:
-        return spark.createDataFrame([], _STORE_SCHEMA)
+    return read_store_or_empty(spark, store_path, _STORE_SCHEMA)
 
 
 def merged_sketches(

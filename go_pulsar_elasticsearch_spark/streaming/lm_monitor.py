@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+from go_pulsar_elasticsearch_spark.streaming.store import read_store_or_empty
 
 # the batch op's exact tokenization + scoring arithmetic, imported (not
 # copied) so the monitor can never drift from the certified operator;
@@ -49,10 +49,7 @@ from go_pulsar_elasticsearch_spark.llm.lm_score import (  # noqa: F401
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame([], "word string, c long, epoch long")
+    return read_store_or_empty(spark, path, "word string, c long, epoch long")
 
 
 def accumulated_counts(spark: SparkSession, store_path: str,

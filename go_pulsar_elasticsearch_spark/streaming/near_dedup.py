@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+from go_pulsar_elasticsearch_spark.streaming.store import read_store_or_empty
 
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 
@@ -43,12 +43,9 @@ _MIN_BANDS = 4  # of 8: ~Jaccard >= 0.5 expected agreement
 
 
 def _store(spark: SparkSession, path: str) -> DataFrame:
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return spark.createDataFrame(
-            [], "doc_id long, band int, sig string, epoch long"
-        )
+    return read_store_or_empty(
+        spark, path, "doc_id long, band int, sig string, epoch long"
+    )
 
 
 def dedup_batch(

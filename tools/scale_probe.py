@@ -7,7 +7,12 @@ scales ~linearly from sf0.1 to sf1-equivalent on the same 32 cores, its
 shuffle/join structure has no quadratic or driver-bound term hiding in
 it (a plan with one would blow past linear immediately at 10x).
 
-Usage: python tools/scale_probe.py [src_sf_dir] [replicas] [--mutate] [query ...]
+Usage: python tools/scale_probe.py [src_sf_dir] [replicas] [--mutate]
+       [--reuse] [query ...]
+
+--reuse: skip the replica rebuild when the destination already holds a
+COMPLETE build from the same source (tracked by a .source marker
+written last; a marker from a different source refuses the run).
 Writes /tmp/gpe_scale_x{N} (or ..._mut); prints one JSON line per query
 with base and scaled steady-state latencies and the ratio.
 
@@ -87,6 +92,11 @@ def build(spark, src: str, dst: str, replicas: int, mutate: bool = False) -> Non
             for p in parts[1:]:
                 out = out.unionByName(p)
         out.write.mode("overwrite").parquet(os.path.join(dst, f"{name}.parquet"))
+    # marker written LAST: its presence certifies a complete build from
+    # this source (an interrupted build has no marker and is rebuilt;
+    # a --reuse against a different src is rejected in main)
+    with open(os.path.join(dst, ".source"), "w") as fh:
+        fh.write(os.path.abspath(src))
 
 
 def steady(spark, name: str, sf_dir: str, reps: int = 3) -> float:
@@ -128,7 +138,19 @@ def main() -> None:
     dst = f"/tmp/gpe_scale_x{replicas}" + ("_mut" if mutate else "")
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    if not (reuse and os.path.isdir(dst)):
+    marker = os.path.join(dst, ".source")
+    built_from = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            built_from = fh.read().strip()
+    if reuse and built_from is not None and built_from != os.path.abspath(src):
+        sys.exit(
+            f"--reuse refused: {dst} was built from {built_from}, "
+            f"not {src}; drop --reuse to rebuild"
+        )
+    # reuse only a COMPLETE build from the same source (marker is the
+    # last file build() writes)
+    if not (reuse and built_from == os.path.abspath(src)):
         build(spark, src, dst, replicas, mutate)
     for name in names:
         base = steady(spark, name, src)
