@@ -1,0 +1,125 @@
+"""Table maintenance: small-file compaction with optional clustered
+rewrite.
+
+Streaming sinks (the engine's dated_partition_sink, the reference's
+daily ES indices) produce one-file-per-micro-batch layouts; at 100 TB
+that is millions of KB-sized files — scan planning cost, open-cost
+floors, and dead scan parallelism (see catalog._repair_scan_parallelism
+for the read-side symptom this write-side job cures at the source).
+
+``compact_dataset`` rewrites a parquet directory into ~target-sized
+files.  With ``cluster_by`` it range-partitions + sorts on the given
+keys first — the OPTIMIZE ... ZORDER/CLUSTER BY shape — so each output
+file covers a narrow key range and min/max row-group stats actually
+prune (verified against parquet footer stats in
+tests/test_maintenance.py, not just asserted in prose; the Morton-key
+variant for multi-column skipping is the certified `zorder_layout`
+operator, whose clustering key plugs straight into ``cluster_by``).
+
+Safety: output lands in a fresh directory + atomic publish-by-rename —
+the compaction never mutates the source in place, so a crash mid-write
+leaves the live dataset untouched (write-then-delete, never
+delete-then-write).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DEFAULT_TARGET_MB = 128
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
+def plan_file_count(src_dir: str, target_file_mb: int) -> int:
+    """Output file count from the source's on-disk parquet bytes.
+    Parquet-to-parquet compaction roughly preserves encoded size, so
+    bytes/target is the right estimate without sampling rows."""
+    return max(1, -(-_dir_bytes(src_dir) // (target_file_mb * 1024 * 1024)))
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = _DEFAULT_TARGET_MB,
+    cluster_by: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Rewrite ``src_dir`` into ``dst_dir`` as ~``target_file_mb`` files
+    (or exactly ``n_files`` when given — e.g. to keep a minimum
+    parallelism on small partitions); returns the output file count.
+
+    cluster_by=None: pure compaction — repartition(n) moves each row
+    once and writes n uniform files.  cluster_by=[cols]: range
+    repartition + in-partition sort, so output file k holds the k-th
+    key range and every file's min/max footer stats are tight (data
+    skipping).  Both are one shuffle — at 100 TB this is the nightly
+    maintenance job, parallel across the cluster, never through the
+    driver."""
+    n = n_files if n_files is not None else plan_file_count(
+        src_dir, target_file_mb
+    )
+    df = spark.read.parquet(src_dir)
+    if cluster_by:
+        out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n)
+    tmp = dst_dir.rstrip("/") + "._compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    # Spark's default timestamp encoding is legacy INT96, which carries
+    # NO min/max footer stats — a clustered rewrite would then cluster
+    # for nothing on time columns.  Write stats-bearing TIMESTAMP_MICROS
+    # for the compacted layout (save/restore: this helper must not
+    # change the session's behavior elsewhere).
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        out.write.mode("overwrite").parquet(tmp)
+    finally:
+        if prev is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev)
+    # publish: rename is atomic on a POSIX dir; on object stores this
+    # step becomes a manifest/metadata swap (Iceberg/Delta commit)
+    if os.path.exists(dst_dir):
+        shutil.rmtree(dst_dir)
+    os.rename(tmp, dst_dir)
+    return n
+
+
+def replace_dataset_in_place(
+    spark: SparkSession,
+    data_dir: str,
+    target_file_mb: int = _DEFAULT_TARGET_MB,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """In-place flavor: compact to a sibling dir, then swap — the old
+    layout survives (as ``<dir>.pre_compact``) until the swap completes,
+    write-then-delete ordering throughout."""
+    compacted = data_dir.rstrip("/") + "._compacted"
+    n = compact_dataset(spark, data_dir, compacted, target_file_mb, cluster_by)
+    backup = data_dir.rstrip("/") + ".pre_compact"
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(data_dir, backup)
+    os.rename(compacted, data_dir)
+    shutil.rmtree(backup)
+    return n
