@@ -28,6 +28,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _DEFAULT_TARGET_MB = 128
 
@@ -103,6 +104,66 @@ def compact_dataset(
         shutil.rmtree(dst_dir)
     os.rename(tmp, dst_dir)
     return n
+
+
+def delete_keys(
+    spark: SparkSession,
+    data_dir: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Targeted delete (right-to-be-forgotten): remove all rows whose
+    ``key_col`` is in ``keys``, rewriting ONLY the files that contain a
+    match — the other files are left byte-identical, so a petabyte
+    dataset pays for the handful of files the key lives in (clustered
+    layouts — see compact_dataset(cluster_by=[key]) — localize a key to
+    ~one file; the affected-file probe is a pushed-predicate scan that
+    prunes on exactly those footer stats).
+
+    Per-file swap protocol: the filtered replacement is written to a
+    scratch dir, then ``os.replace``d over the original path — atomic
+    per file, and a crash at ANY point leaves the dataset readable:
+    before the replace the original (pre-delete) file is intact and the
+    job is retry-safe; there is never a moment with the file missing or
+    half-written.  On an object store this becomes a manifest swap
+    (Iceberg/Delta delete), same shape.
+
+    Returns {"files_rewritten": n, "rows_deleted": n}.  The collect()
+    is the affected-FILE list — bounded by the number of files the key
+    touches, not by data size."""
+    df = spark.read.parquet(data_dir)
+    hit = F.col(key_col).isin(keys)
+    affected = [
+        r["_f"]
+        for r in df.filter(hit)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    ]
+    rewritten, deleted = 0, 0
+    scratch = data_dir.rstrip("/") + "._deleting"
+    for uri in affected:
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        if os.path.exists(scratch):
+            shutil.rmtree(scratch)
+        part = spark.read.parquet(path)
+        deleted += part.filter(hit).count()
+        part.filter(~hit).coalesce(1).write.mode("overwrite").parquet(scratch)
+        new_part = [
+            f for f in os.listdir(scratch) if f.endswith(".parquet")
+        ][0]
+        os.replace(os.path.join(scratch, new_part), path)
+        # Hadoop's LocalFileSystem keeps a `.{name}.crc` sidecar; after
+        # the byte swap the stale checksum would fail every later read
+        crc = os.path.join(
+            os.path.dirname(path), "." + os.path.basename(path) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        rewritten += 1
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+    return {"files_rewritten": rewritten, "rows_deleted": deleted}
 
 
 def replace_dataset_in_place(

@@ -106,6 +106,54 @@ def test_in_place_swap_preserves_content(spark, sf_dir, tmp_path):
     assert not os.path.exists(d + "._compacted")
 
 
+def test_delete_keys_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    import hashlib
+
+    from go_pulsar_elasticsearch_spark.maintenance import delete_keys
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "byuser")
+    _write_fragmented(spark, sf_dir, src)
+    # cluster by the delete key so it localizes to ~one file
+    compact_dataset(spark, src, dst, cluster_by=["user_id"], n_files=8)
+
+    def digests():
+        return {
+            f: hashlib.sha256(open(f, "rb").read()).hexdigest()
+            for f in _files(dst)
+        }
+
+    before_rows = _rows(spark, dst)
+    before_digests = digests()
+    target = 7  # present at every sf tier (user ids start at 0)
+    expect_gone = {r for r in before_rows if r[2] == target}
+    assert expect_gone
+
+    stats = delete_keys(spark, dst, "user_id", [target])
+    assert stats["rows_deleted"] == len(expect_gone)
+    assert 1 <= stats["files_rewritten"] <= 2  # clustered: ~one file
+
+    after_digests = digests()
+    changed = {
+        f for f in before_digests if after_digests.get(f) != before_digests[f]
+    }
+    assert len(changed) == stats["files_rewritten"]
+    assert _rows(spark, dst) == before_rows - expect_gone
+    # untouched files byte-identical, same file set (per-file os.replace)
+    assert set(after_digests) == set(before_digests)
+
+
+def test_delete_keys_missing_key_touches_nothing(spark, sf_dir, tmp_path):
+    from go_pulsar_elasticsearch_spark.maintenance import delete_keys
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "byuser")
+    _write_fragmented(spark, sf_dir, src)
+    compact_dataset(spark, src, dst, cluster_by=["user_id"], n_files=4)
+    before = _rows(spark, dst)
+    stats = delete_keys(spark, dst, "user_id", [10**9])
+    assert stats == {"files_rewritten": 0, "rows_deleted": 0}
+    assert _rows(spark, dst) == before
+
+
 def test_plan_file_count_scales_with_bytes(tmp_path):
     d = tmp_path / "sized"
     d.mkdir()
