@@ -492,3 +492,56 @@ def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.note").alias("note"),
         (F.col("p.price") * 1.1).alias("price_with_fee"),
     )
+
+
+# --------------------------------------------------------------------------
+# sql_surface_not_in_nulls  (three-valued logic: NOT IN vs NOT EXISTS)
+# --------------------------------------------------------------------------
+
+_NOT_IN_NULLS_SQL = """
+WITH probe AS (
+  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe)) AS BIGINT)
+    AS not_in_cnt,
+  CAST((SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p
+                          WHERE p.k = c.c_custkey)) AS BIGINT)
+    AS not_exists_cnt,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey IN (SELECT k FROM probe)) AS BIGINT)
+    AS in_cnt,
+  CAST((SELECT COUNT(*) FROM customer c
+        WHERE EXISTS (SELECT 1 FROM probe p
+                      WHERE p.k = c.c_custkey)) AS BIGINT)
+    AS exists_cnt
+"""
+
+
+@register("sql_surface_not_in_nulls", _NOT_IN_NULLS_SQL)
+def sql_surface_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL three-valued logic where engines classically diverge: a NULL
+    inside a NOT IN list makes every comparison UNKNOWN, so `NOT IN`
+    must return ZERO rows while the intent-equivalent `NOT EXISTS`
+    anti-joins correctly (nonzero here: the probe is urgent orders
+    only, and plenty of customers never place one); `IN`/`EXISTS`
+    agree because one TRUE match short-circuits the UNKNOWNs.  The
+    probe list deliberately injects NULLs (every 97th order) and the
+    IDENTICAL statement runs on both engines — certifying that the engine implements the ANSI trap, not
+    a plausible-but-wrong anti join (Catalyst spells it null-aware:
+    the plan gets a NullAwareAntiJoin / isnull-or disjunct, which is
+    exactly the semantics users silently lose when hand-porting NOT IN
+    to a plain anti join).
+
+    At 100 TB this is also a PLAN statement: NOT EXISTS compiles to a
+    shuffled left-anti hash join (scales), while NOT IN's null-aware
+    form must broadcast the whole subquery side to every task — the
+    certified divergence is the reason curated pipelines should write
+    NOT EXISTS; this query documents both behaviors under one hash."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_NULLS_SQL)
