@@ -110,3 +110,73 @@ def test_md5_u32_fold_matches_int_conversion(doc_id):
         (hexd.index(h[i])) * 16 ** (7 - i) for i in range(8)
     )
     assert folded == int(h[:8], 16)
+
+
+# ---------------------------------------------------------------- CMS codec
+
+from go_pulsar_elasticsearch_spark.functions import cms as _cms
+
+
+def _mk_sketch(depth, width, hash_a, items):
+    """Pure-Python CMS add (the test's independent model of the JVM
+    aggregate): one counter bump per row at the shared index rule."""
+    table = [[0] * width for _ in range(depth)]
+    for it in items:
+        for i in range(depth):
+            table[i][_cms._row_index(hash_a[i], it, width)] += 1
+    return _cms.Cms(len(items), depth, width, list(hash_a), table)
+
+
+cms_shapes = st.tuples(
+    st.integers(1, 5),                      # depth
+    st.integers(1, 64),                     # width
+    st.lists(st.integers(1, 2**31 - 1), min_size=5, max_size=5),
+)
+cms_items = st.lists(
+    st.integers(-(2**62), 2**62), min_size=0, max_size=60
+)
+
+
+@_SETTINGS
+@given(cms_shapes, cms_items)
+def test_cms_serialize_parse_round_trip(shape, items):
+    depth, width, hash_a = shape
+    s = _mk_sketch(depth, width, hash_a[:depth], items)
+    assert _cms.serialize(_cms.parse(_cms.serialize(s))) == _cms.serialize(s)
+
+
+@_SETTINGS
+@given(cms_shapes, cms_items, cms_items, cms_items)
+def test_cms_merge_is_associative_and_commutative(shape, xs, ys, zs):
+    depth, width, hash_a = shape
+    a, b, c = (
+        _mk_sketch(depth, width, hash_a[:depth], it) for it in (xs, ys, zs)
+    )
+    ab_c = _cms.merge([_cms.merge([a, b]), c])
+    abc = _cms.merge([a, b, c])
+    ba = _cms.merge([b, a])
+    assert _cms.serialize(ab_c) == _cms.serialize(abc)
+    assert _cms.serialize(ba) == _cms.serialize(_cms.merge([a, b]))
+
+
+@_SETTINGS
+@given(cms_shapes, cms_items)
+def test_cms_estimate_never_undercounts(shape, items):
+    depth, width, hash_a = shape
+    s = _mk_sketch(depth, width, hash_a[:depth], items)
+    for it in set(items):
+        true = sum(1 for x in items if x == it)
+        est = _cms.estimate_long(s, it)
+        assert true <= est <= len(items)
+
+
+@_SETTINGS
+@given(cms_shapes, cms_items, cms_items)
+def test_cms_merged_equals_single_build(shape, xs, ys):
+    """Split-then-merge == one build over the concatenation — the
+    mergeability contract agg_count_min's day split relies on."""
+    depth, width, hash_a = shape
+    a = _mk_sketch(depth, width, hash_a[:depth], xs)
+    b = _mk_sketch(depth, width, hash_a[:depth], ys)
+    whole = _mk_sketch(depth, width, hash_a[:depth], xs + ys)
+    assert _cms.serialize(_cms.merge([a, b])) == _cms.serialize(whole)
