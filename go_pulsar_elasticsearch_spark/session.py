@@ -29,6 +29,10 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource predicate pushdown (Spark 4.1, off by default):
+    # lets es_reader_sim compile Spark filters to ES term/terms/range
+    # clauses instead of scanning the whole index
+    "spark.sql.python.filterPushdown.enabled": "true",
     # 10 MB default is fine locally; keep explicit so plans are stable.
     "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
 }

@@ -1,0 +1,179 @@
+"""Elasticsearch as a Spark SOURCE: a Spark 4 Python DataSource reading
+an index back via the `_search` wire protocol — the other half of the
+reference's loop (es.go writes; its users query the index afterwards).
+
+Topology (the same one elasticsearch-hadoop uses against a real
+cluster):
+
+- one InputPartition per SLICE (`slice: {id, max}` — ES sliced scroll):
+  the cluster partitions the doc set server-side, so N executors read N
+  disjoint shards-of-the-index concurrently, no coordinator fan-in;
+- within a slice, keyset pagination via `sort: [_id asc]` +
+  `search_after` (the scroll-less cursor ES recommends) — constant
+  memory per page on both sides;
+- predicate pushdown (Spark 4.1 DataSourceReader.pushFilters):
+  EqualTo/In/GreaterThan(OrEqual)/LessThan(OrEqual) on top-level
+  columns compile to ES `term`/`terms`/`range` clauses under
+  `bool.filter`, so the cluster — not Spark — drops non-matching docs;
+  anything else (null checks, LIKE, non-JSON literals) is returned to
+  Spark and re-evaluated on the scanned rows.
+
+Certified in tests/test_es_reader_sim.py against the in-process mock
+cluster (tests/es_mock.py): round-trip equality with the es_bulk_sim
+WRITER (write -> read back), slice disjointness/coverage, pagination
+request accounting, and pushdown observed in the recorded search
+bodies.
+
+Usage:
+    spark.dataSource.register(EsSearchDataSource)
+    (spark.read.format("es_search_sim")
+        .schema("uuid string, temperature double, ingest_date string")
+        .option("endpoint", url).option("index", "index_data")
+        .option("slices", "4").option("page_size", "500").load())
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+_JSON_LITERALS = (str, int, float, bool)
+
+
+class _Slice(InputPartition):
+    def __init__(self, slice_id: int, n_slices: int):
+        self.slice_id = slice_id
+        self.n_slices = n_slices
+
+
+def _clause(f: Filter) -> dict | None:
+    """One pushable filter -> one ES bool.filter clause (None = keep in
+    Spark).  Only single-segment column paths and JSON-safe literals."""
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None
+    field = attr[0]
+    if isinstance(f, EqualTo) and isinstance(f.value, _JSON_LITERALS):
+        return {"term": {field: {"value": f.value}}}
+    if isinstance(f, In) and all(
+        isinstance(v, _JSON_LITERALS) for v in f.value
+    ):
+        return {"terms": {field: list(f.value)}}
+    bounds = {
+        GreaterThan: "gt",
+        GreaterThanOrEqual: "gte",
+        LessThan: "lt",
+        LessThanOrEqual: "lte",
+    }
+    for cls, op in bounds.items():
+        if isinstance(f, cls) and isinstance(f.value, _JSON_LITERALS):
+            return {"range": {field: {op: f.value}}}
+    return None
+
+
+class _SearchReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self._endpoint = options["endpoint"].rstrip("/")
+        self._index = options.get("index", "index_data")
+        self._slices = int(options.get("slices", "4"))
+        self._page_size = int(options.get("page_size", "500"))
+        self._id_column = options.get("id_column")
+        self._fields = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
+        self._clauses: list[dict] = []
+
+    def pushFilters(self, filters) -> Iterator[Filter]:
+        names = {n for n, _ in self._fields}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            c = (
+                _clause(f)
+                if attr and len(attr) == 1 and attr[0] in names
+                and attr[0] != self._id_column
+                else None
+            )
+            if c is None:
+                yield f  # Spark re-evaluates what the store can't
+            else:
+                self._clauses.append(c)
+
+    def partitions(self):
+        # ES requires slice.max >= 2; a single-slice read just omits it
+        return [_Slice(i, self._slices) for i in range(self._slices)]
+
+    def _query(self) -> dict:
+        if not self._clauses:
+            return {"match_all": {}}
+        return {"bool": {"filter": self._clauses}}
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        after = None
+        while True:
+            body: dict = {
+                "size": self._page_size,
+                "sort": [{"_id": "asc"}],
+                "query": self._query(),
+            }
+            if self._slices > 1:
+                body["slice"] = {
+                    "id": partition.slice_id,
+                    "max": partition.n_slices,
+                }
+            if after is not None:
+                body["search_after"] = [after]
+            req = urllib.request.Request(
+                f"{self._endpoint}/{self._index}/_search",
+                data=json.dumps(body).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                hits = json.loads(resp.read())["hits"]["hits"]
+            for h in hits:
+                src = h["_source"]
+                yield tuple(
+                    h["_id"] if name == self._id_column else src.get(name)
+                    for name, _ in self._fields
+                )
+            if len(hits) < self._page_size:
+                return
+            after = hits[-1]["_id"]
+
+
+class EsSearchDataSource(DataSource):
+    """``spark.dataSource.register(EsSearchDataSource)`` then
+    ``spark.read.format("es_search_sim").schema(ddl).options(...)``
+    with options endpoint, index, slices, page_size, id_column."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "es_search_sim"
+
+    def schema(self) -> StructType:
+        ddl = self.options.get("schema")
+        if not ddl:
+            raise ValueError(
+                "es_search_sim needs a schema: pass .schema('col type, "
+                "...') on the reader (or a 'schema' option in DDL form) "
+                "— ES mappings are not fetched"
+            )
+        return StructType.fromDDL(ddl)
+
+    def reader(self, schema: StructType) -> _SearchReader:
+        return _SearchReader(self.options, schema)

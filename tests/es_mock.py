@@ -14,6 +14,11 @@ cluster:
   `resource_already_exists_exception` (the branch es.go:92-99 tolerates).
 - `POST /_aliases`: records alias -> index.
 - `GET /`: info ping (health probe, es.go:215-218).
+- `POST /<index>/_search`: the READ side — sliced scroll
+  (`slice: {id, max}` partitions docs by md5(_id) % max), `search_after`
+  keyset pagination over `sort: [_id asc]`, and `match_all` / `term` /
+  `terms` / `range` under `bool.filter` (the subset es_reader_sim
+  pushes down); every request body is recorded for pushdown assertions.
 
 Successful `index` actions store the doc under its `_id`
 (last-write-wins), mirroring how ES doc-id indexing collapses
@@ -35,11 +40,13 @@ class MockEsState:
     def __init__(self):
         self.lock = threading.Lock()
         self.docs: dict[str, dict] = {}          # _id -> source (last write wins)
+        self.doc_index: dict[str, str] = {}      # _id -> index name
         self.indices: dict[str, dict] = {}       # index name -> creation body
         self.aliases: dict[str, str] = {}        # alias -> index
         self.fail_ids: set[str] = set()          # per-item 400s
         self.reject_queue: list[int] = []        # whole-request statuses
         self.bulk_requests: list[dict] = []      # recorded request metadata
+        self.search_requests: list[dict] = []    # recorded _search bodies
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -76,6 +83,81 @@ class _Handler(BaseHTTPRequestHandler):
             st.indices[index] = json.loads(body or b"{}")
         self._reply(200, {"acknowledged": True, "index": index})
 
+    @staticmethod
+    def _matches(src: dict, query: dict) -> bool:
+        """match_all / term / terms / range, AND-composed under
+        bool.filter — the subset the engine's reader pushes down."""
+        if not query or "match_all" in query:
+            return True
+        if "bool" in query:
+            return all(
+                _Handler._matches(src, q)
+                for q in query["bool"].get("filter", [])
+            )
+        if "term" in query:
+            ((field, spec),) = query["term"].items()
+            want = spec["value"] if isinstance(spec, dict) else spec
+            return src.get(field) == want
+        if "terms" in query:
+            ((field, vals),) = query["terms"].items()
+            return src.get(field) in vals
+        if "range" in query:
+            ((field, spec),) = query["range"].items()
+            v = src.get(field)
+            if v is None:
+                return False
+            return (
+                ("gte" not in spec or v >= spec["gte"])
+                and ("gt" not in spec or v > spec["gt"])
+                and ("lte" not in spec or v <= spec["lte"])
+                and ("lt" not in spec or v < spec["lt"])
+            )
+        raise ValueError(f"unsupported query {query}")
+
+    def _search(self, body: dict) -> None:
+        """Sliced + search_after keyset pagination over one index (or
+        alias): the ES read topology a partitioned reader needs —
+        slice k of n sees docs with md5(_id) % n == k, pages are
+        _id-ordered after the cursor."""
+        import hashlib
+
+        st = self.state
+        index = self.path.strip("/").split("/")[0]
+        with st.lock:
+            index = st.aliases.get(index, index)
+            st.search_requests.append({"index": index, "body": body})
+            ids = sorted(
+                i for i, idx in st.doc_index.items() if idx == index
+            )
+            sl = body.get("slice")
+            if sl:
+                ids = [
+                    i
+                    for i in ids
+                    if int(hashlib.md5(i.encode()).hexdigest(), 16)
+                    % sl["max"]
+                    == sl["id"]
+                ]
+            after = body.get("search_after")
+            if after:
+                ids = [i for i in ids if i > after[0]]
+            query = body.get("query", {})
+            hits = []
+            for i in ids:
+                if self._matches(st.docs[i], query):
+                    hits.append({"_id": i, "_source": st.docs[i]})
+                    if len(hits) >= body.get("size", 10):
+                        break
+        self._reply(
+            200,
+            {
+                "hits": {
+                    "total": {"value": len(hits), "relation": "gte"},
+                    "hits": hits,
+                }
+            },
+        )
+
     def do_POST(self):
         body = self._read_body()
         st = self.state
@@ -87,6 +169,9 @@ class _Handler(BaseHTTPRequestHandler):
                     if add:
                         st.aliases[add["alias"]] = add["index"]
             self._reply(200, {"acknowledged": True})
+            return
+        if self.path.rstrip("/").endswith("/_search"):
+            self._search(json.loads(body or b"{}"))
             return
         if not self.path.rstrip("/").endswith("/_bulk"):
             self._reply(404, {"error": "unknown path " + self.path})
@@ -118,6 +203,9 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     created = doc_id not in st.docs
                     st.docs[doc_id] = src
+                    st.doc_index[doc_id] = st.aliases.get(
+                        meta.get("_index"), meta.get("_index")
+                    )
                     items.append({op: {
                         "_index": meta.get("_index"), "_id": doc_id,
                         "status": 201 if created else 200,

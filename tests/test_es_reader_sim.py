@@ -1,0 +1,164 @@
+"""Elasticsearch as a Spark SOURCE (es_search_sim): round-trip with the
+bulk writer, sliced-partition coverage, search_after pagination, and
+predicate pushdown observed on the wire."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.sources.es_reader_sim import (
+    EsSearchDataSource,
+)
+from tests.es_mock import make_server
+
+_SCHEMA = "uuid string, lang string, score long"
+
+
+@pytest.fixture()
+def mock_es():
+    srv, state, url = make_server()
+    yield state, url
+    srv.shutdown()
+
+
+def _seed(state, n=60, index="index_data"):
+    rows = {}
+    for i in range(n):
+        doc_id = f"d{i:04d}"
+        rows[doc_id] = {
+            "uuid": doc_id,
+            "lang": ["en", "de", "fr"][i % 3],
+            "score": i,
+        }
+        state.docs[doc_id] = rows[doc_id]
+        state.doc_index[doc_id] = index
+    return rows
+
+
+def _reader(spark, url, **opts):
+    spark.dataSource.register(EsSearchDataSource)
+    r = spark.read.format("es_search_sim").schema(_SCHEMA).option(
+        "endpoint", url
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_sliced_read_covers_everything_exactly_once(spark, mock_es):
+    state, url = mock_es
+    rows = _seed(state)
+    got = _reader(spark, url, slices=4).collect()
+    assert len(got) == len(rows)  # disjoint slices, full coverage
+    assert {r["uuid"] for r in got} == set(rows)
+    assert {(r["uuid"], r["lang"], r["score"]) for r in got} == {
+        (v["uuid"], v["lang"], v["score"]) for v in rows.values()
+    }
+    # every slice id 0..3 actually hit the wire
+    assert {
+        q["body"]["slice"]["id"] for q in state.search_requests
+    } == {0, 1, 2, 3}
+
+
+def test_search_after_pagination_pages_through(spark, mock_es):
+    state, url = mock_es
+    _seed(state, n=50)
+    got = _reader(spark, url, slices=1, page_size=7).collect()
+    assert len(got) == 50
+    # one slice, 7/page: ceil(50/7)=8 pages, 7 of them cursored
+    bodies = [q["body"] for q in state.search_requests]
+    assert len(bodies) == 8
+    assert sum("search_after" in b for b in bodies) == 7
+    assert all(b["sort"] == [{"_id": "asc"}] for b in bodies)
+
+
+def test_equal_and_range_filters_push_to_the_wire(spark, mock_es):
+    state, url = mock_es
+    rows = _seed(state)
+    df = _reader(spark, url, slices=2).filter(
+        (F.col("lang") == "en") & (F.col("score") >= 30)
+    )
+    got = {r["uuid"] for r in df.collect()}
+    want = {
+        k
+        for k, v in rows.items()
+        if v["lang"] == "en" and v["score"] >= 30
+    }
+    assert got == want and got
+    # the cluster, not Spark, applied the predicate
+    clauses = state.search_requests[0]["body"]["query"]["bool"]["filter"]
+    assert {"term": {"lang": {"value": "en"}}} in clauses
+    assert {"range": {"score": {"gte": 30}}} in clauses
+
+
+def test_in_filter_pushes_as_terms(spark, mock_es):
+    state, url = mock_es
+    rows = _seed(state)
+    got = {
+        r["uuid"]
+        for r in _reader(spark, url, slices=2)
+        .filter(F.col("lang").isin("de", "fr"))
+        .collect()
+    }
+    assert got == {k for k, v in rows.items() if v["lang"] in ("de", "fr")}
+    clauses = state.search_requests[0]["body"]["query"]["bool"]["filter"]
+    assert any("terms" in c for c in clauses)
+
+
+def test_unsupported_filter_stays_in_spark(spark, mock_es):
+    state, url = mock_es
+    rows = _seed(state)
+    got = {
+        r["uuid"]
+        for r in _reader(spark, url, slices=1)
+        .filter(F.col("uuid").contains("d000"))
+        .collect()
+    }
+    assert got == {k for k in rows if "d000" in k} and got
+    # nothing pushed: the store saw match_all and Spark post-filtered
+    assert all(
+        q["body"]["query"] == {"match_all": {}}
+        for q in state.search_requests
+    )
+
+
+def test_round_trip_with_the_bulk_writer(spark, tmp_path, mock_es):
+    """The reference's full loop, locally: bulk-write an index through
+    the wire protocol, read it back as a partitioned scan."""
+    state, url = mock_es
+    from go_pulsar_elasticsearch_spark.sources.es_writer_sim import (
+        EsBulkDataSource,
+    )
+
+    spark.dataSource.register(EsBulkDataSource)
+    rows = [(f"u{i:03d}", ["en", "de"][i % 2], i) for i in range(40)]
+    (
+        spark.createDataFrame(rows, _SCHEMA)
+        .write.format("es_bulk_sim")
+        .option("endpoint", url)
+        .option("index", "index_data")
+        .option("id_field", "uuid")
+        .option("state_dir", str(tmp_path / "state"))
+        .option("dlq_dir", str(tmp_path / "dlq"))
+        .mode("append")
+        .save()
+    )
+    back = _reader(spark, url, slices=3).collect()
+    assert {(r["uuid"], r["lang"], r["score"]) for r in back} == set(rows)
+
+
+def test_id_column_surfaces_es_id(spark, mock_es):
+    state, url = mock_es
+    _seed(state, n=10)
+    spark.dataSource.register(EsSearchDataSource)
+    got = (
+        spark.read.format("es_search_sim")
+        .schema("es_id string, lang string")
+        .option("endpoint", url)
+        .option("slices", "1")
+        .option("id_column", "es_id")
+        .load()
+        .collect()
+    )
+    assert {r["es_id"] for r in got} == {f"d{i:04d}" for i in range(10)}
