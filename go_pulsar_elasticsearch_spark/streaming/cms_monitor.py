@@ -24,9 +24,11 @@ checkpoint replay of a half-committed batch rewrites the same bytes —
 the same contract as streaming/near_dedup.py and lm_monitor.py.
 
 Scale posture: state is |types x epochs| fixed ~22 KB sketches —
-independent of stream length; old epochs can be compacted into one
-merged sketch per type at any time (merge associativity is the whole
-point) to keep the store bounded by |types|.
+independent of stream length; ``compact_store`` folds old epochs into
+one baseline sketch per type under a two-phase crash-safe protocol
+(scratch + marker + resume), keeping the store bounded by |types| no
+matter how long the stream runs — byte-identical merged state before
+and after, pytest-pinned including the mid-crash resume.
 """
 
 from __future__ import annotations
@@ -114,6 +116,74 @@ def probe_estimates(merged: DataFrame, ids: list[int]) -> DataFrame:
         _probe,
         "event_type string, user_id bigint, est_count bigint, n_events bigint",
     )
+
+
+def compact_store(
+    spark: SparkSession, store_path: str, below_epoch: int
+) -> int:
+    """Fold epochs strictly below ``below_epoch`` into ONE baseline
+    sketch per type (merge associativity is the whole point of the
+    state), so the store stays bounded by |types| + recent epochs no
+    matter how long the stream runs.  The baseline lands under the
+    NEWEST folded epoch id, so every read contract — including the
+    strictly-prior replay read of epoch ``below_epoch`` — sees
+    byte-identical merged state before and after.
+
+    Two-phase protocol (a parquet dir can't atomically replace the
+    epochs it is derived FROM):
+      1. write the merged baseline into ``_compact_tmp`` — the
+         underscore prefix keeps it invisible to every store read;
+      2. drop a ``meta.json`` marker (folded epochs + target id): the
+         scratch is now COMPLETE;
+      3. delete the folded epoch dirs;
+      4. remove the marker, rename scratch -> ``epoch=<target>``.
+    A crash before (2) is undone by re-running (stale scratch is
+    discarded; sources untouched); a crash after (2) is FINISHED by
+    re-running (the resume path deletes whatever folded epochs remain
+    and renames) — so call compact_store again after any crash before
+    trusting reads; it converges to the identical bytes either way.
+    Returns the net number of epoch directories removed."""
+    import json
+    import os
+    import shutil
+
+    tmp = os.path.join(store_path, "_compact_tmp")
+    meta_path = os.path.join(tmp, "meta.json")
+
+    def _finish(meta: dict) -> int:
+        for e in meta["folded"][:-1]:
+            shutil.rmtree(f"{store_path}/epoch={e}", ignore_errors=True)
+        target = f"{store_path}/epoch={meta['folded'][-1]}"
+        shutil.rmtree(target, ignore_errors=True)
+        os.remove(meta_path)
+        os.rename(tmp, target)
+        return len(meta["folded"]) - 1
+
+    if os.path.exists(meta_path):  # resume a crashed run
+        with open(meta_path) as fh:
+            return _finish(json.load(fh))
+    if os.path.exists(tmp):  # crashed before the marker: scratch is junk
+        shutil.rmtree(tmp)
+
+    st = read_store(spark, store_path).filter(
+        F.col("epoch") < F.lit(below_epoch)
+    )
+    epochs = sorted(
+        r["epoch"] for r in st.select("epoch").distinct().collect()
+    )
+    if len(epochs) <= 1:
+        return 0
+    (
+        merged_sketches(spark, store_path, below_epoch=below_epoch)
+        .select("event_type", "sk")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    with open(meta_path, "w") as fh:
+        json.dump({"folded": epochs}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return _finish({"folded": epochs})
 
 
 def run_cms_monitor(

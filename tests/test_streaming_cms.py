@@ -98,3 +98,82 @@ def test_mid_stream_read_sees_prior_epochs_only(spark, sf_dir, tmp_path):
     }
     got = {r["event_type"]: bytes(r["sk"]) for r in below.collect()}
     assert got == want
+
+
+def test_compaction_preserves_merged_bytes_and_bounds_store(
+    spark, sf_dir, tmp_path
+):
+    from go_pulsar_elasticsearch_spark.streaming.cms_monitor import (
+        compact_store,
+    )
+    import glob
+
+    ev = _events(spark, sf_dir)
+    store = str(tmp_path / "store")
+    for e in range(4):
+        write_epoch(ev.filter(F.col("user_id") % 4 == e), store, e)
+    before = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    before_replay = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store, below_epoch=3).collect()
+    }
+    removed = compact_store(spark, store, below_epoch=3)
+    assert removed == 2  # epochs 0,1 folded into 2; epoch 3 untouched
+    dirs = sorted(glob.glob(store + "/epoch=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["2", "3"]
+    after = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    after_replay = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store, below_epoch=3).collect()
+    }
+    assert after == before
+    assert after_replay == before_replay
+    # idempotent: nothing left to fold below 3
+    assert compact_store(spark, store, below_epoch=3) == 0
+
+
+def test_compaction_resumes_after_crash(spark, sf_dir, tmp_path, monkeypatch):
+    """Kill the protocol right after the completion marker (phase 2->3
+    boundary): a re-run must finish and converge to identical bytes."""
+    import shutil as _shutil
+
+    from go_pulsar_elasticsearch_spark.streaming import cms_monitor
+
+    ev = _events(spark, sf_dir)
+    store = str(tmp_path / "store")
+    for e in range(3):
+        write_epoch(ev.filter(F.col("user_id") % 3 == e), store, e)
+    want = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def dying_rmtree(path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash mid-delete")
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr("shutil.rmtree", dying_rmtree)
+    try:
+        cms_monitor.compact_store(spark, store, below_epoch=3)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr("shutil.rmtree", real_rmtree)
+
+    # resume: marker present -> finish deletes + rename
+    cms_monitor.compact_store(spark, store, below_epoch=3)
+    got = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    assert got == want
