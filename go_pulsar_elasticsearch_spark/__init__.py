@@ -34,6 +34,7 @@ def load_all() -> None:
         events_analytics,
         joins,
         nested,
+        pandas_api,
         rangejoin,
         relational,
         reshape,
