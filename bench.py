@@ -225,6 +225,18 @@ def main() -> None:
         # code change (README "Current bench" note).
         "canaries": {k: timings[k] for k in ("tpch_q5", "tpch_q6", "tpch_q18") if k in timings},
     }
+    # The driver's BENCH_r{N}.json artifact keeps only a 2000-char tail
+    # of stdout, which truncates the headline dict — persist the full
+    # output as a committed repo artifact so tools/bench_diff.py can
+    # compare rounds against complete data (round-4 VERDICT #8).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"BENCH WARN could not write bench_out.json: {exc}",
+              file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -133,6 +133,10 @@ def delete_keys(
     touches, not by data size."""
     df = spark.read.parquet(data_dir)
     hit = F.col(key_col).isin(keys)
+    # keep-predicate must be null-SAFE: ~isin(keys) is NULL (not true)
+    # for a NULL key under three-valued logic, so filter(~hit) would
+    # silently drop null-keyed rows from every rewritten file
+    keep = F.col(key_col).isNull() | ~hit
     affected = [
         r["_f"]
         for r in df.filter(hit)
@@ -147,8 +151,12 @@ def delete_keys(
         if os.path.exists(scratch):
             shutil.rmtree(scratch)
         part = spark.read.parquet(path)
-        deleted += part.filter(hit).count()
-        part.filter(~hit).coalesce(1).write.mode("overwrite").parquet(scratch)
+        file_rows = part.count()
+        kept = part.filter(keep)
+        kept.coalesce(1).write.mode("overwrite").parquet(scratch)
+        # count deletions as rows lost, not rows matched — proves the
+        # null-keyed rows survived the rewrite
+        deleted += file_rows - spark.read.parquet(scratch).count()
         new_part = [
             f for f in os.listdir(scratch) if f.endswith(".parquet")
         ][0]

@@ -216,12 +216,6 @@ def register_warc_source(spark) -> None:
 # streaming: crawl-spool intake (new .warc files -> micro-batches)
 # --------------------------------------------------------------------------
 
-def _list_warcs(d: str) -> list[str]:
-    return sorted(
-        f for f in os.listdir(d) if f.endswith((".warc", ".warc.gz"))
-    )
-
-
 class _WarcStreamReader(SimpleDataSourceStreamReader):
     """Offset = the sorted list of consumed-and-still-present file
     names.  Crawl-spool contract: a segment name APPEARS ATOMICALLY

@@ -133,14 +133,17 @@ def compact_store(
     epochs it is derived FROM):
       1. write the merged baseline into ``_compact_tmp`` — the
          underscore prefix keeps it invisible to every store read;
-      2. drop a ``meta.json`` marker (folded epochs + target id): the
-         scratch is now COMPLETE;
+      2. atomically publish a ``_compact_meta.json`` marker NEXT TO
+         (not inside) the scratch: the scratch is now COMPLETE;
       3. delete the folded epoch dirs;
-      4. remove the marker, rename scratch -> ``epoch=<target>``.
-    A crash before (2) is undone by re-running (stale scratch is
-    discarded; sources untouched); a crash after (2) is FINISHED by
-    re-running (the resume path deletes whatever folded epochs remain
-    and renames) — so call compact_store again after any crash before
+      4. rename scratch -> ``epoch=<target>`` (the publish);
+      5. remove the marker.
+    The marker lives outside the scratch so it survives the rename:
+    a crash before (2) is undone by re-running (unmarked scratch is
+    junk; sources untouched); a crash anywhere after (2) is FINISHED
+    by re-running — deletes are idempotent, and a marker with no
+    scratch left means (4) already published, so resume just clears
+    the marker.  Call compact_store again after any crash before
     trusting reads; it converges to the identical bytes either way.
     Returns the net number of epoch directories removed."""
     import json
@@ -148,15 +151,18 @@ def compact_store(
     import shutil
 
     tmp = os.path.join(store_path, "_compact_tmp")
-    meta_path = os.path.join(tmp, "meta.json")
+    meta_path = os.path.join(store_path, "_compact_meta.json")
 
     def _finish(meta: dict) -> int:
         for e in meta["folded"][:-1]:
             shutil.rmtree(f"{store_path}/epoch={e}", ignore_errors=True)
         target = f"{store_path}/epoch={meta['folded'][-1]}"
-        shutil.rmtree(target, ignore_errors=True)
+        if os.path.exists(tmp):
+            shutil.rmtree(target, ignore_errors=True)
+            os.rename(tmp, target)
+        # else: a prior run already published the scratch as the
+        # target (rename precedes marker removal), nothing to rename.
         os.remove(meta_path)
-        os.rename(tmp, target)
         return len(meta["folded"]) - 1
 
     if os.path.exists(meta_path):  # resume a crashed run
@@ -179,10 +185,13 @@ def compact_store(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    with open(meta_path, "w") as fh:
+    # marker published via fsync + atomic rename so a torn write can
+    # never be mistaken for a complete one on resume
+    with open(meta_path + ".tmp", "w") as fh:
         json.dump({"folded": epochs}, fh)
         fh.flush()
         os.fsync(fh.fileno())
+    os.rename(meta_path + ".tmp", meta_path)
     return _finish({"folded": epochs})
 
 

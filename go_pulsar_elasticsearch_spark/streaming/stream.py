@@ -180,6 +180,7 @@ def run_ingest_pipeline(
             n_main = derived.count()  # pre-collapse, matching the
             # reference's Indexed counter — ES collapses doc-ids
             n_item_dlq = 0
+            n_indexed = n_main  # parquet branch: every derived row lands
             if n_main:
                 deduped = upsert_last_write_wins(
                     derived, key_cols, "ingestion_time", tiebreak
@@ -199,16 +200,20 @@ def run_ingest_pipeline(
                         opts=bulk_opts,
                     )
                     n_item_dlq = res["dlq"]
+                    # bulk branch: successes among the DEDUPED sends —
+                    # same base as n_item_dlq, so indexed + dlq can
+                    # never overcount under in-batch duplicates
+                    n_indexed = res["indexed"]
                 else:
                     # R11: dated partitions behind the stable sink path.
                     (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
                      .write.mode("append").partitionBy("ingest_date")
                      .format("parquet").save(sink_dir))
             m.received += n_main + n_dlq
-            m.indexed += n_main - n_item_dlq
+            m.indexed += n_indexed
             m.index_errors += n_item_dlq
             m.dlq += n_dlq + n_item_dlq
-            m.batches.append({"epoch": epoch_id, "main": n_main - n_item_dlq,
+            m.batches.append({"epoch": epoch_id, "main": n_indexed,
                               "dlq": n_dlq + n_item_dlq})
         finally:
             batch_df.unpersist()

@@ -276,7 +276,13 @@ def test_run_ingest_pipeline_with_bulk_sink(spark, mock_es, tmp_path):
     assert state.docs["uuid-0"]["name"] == "n-5"  # last write won pre-wire
     item_rows = spark.read.parquet(str(tmp_path / "dlq" / "items")).collect()
     assert [r.uuid for r in item_rows] == ["uuid-3"]
-    assert metrics.indexed == 6 - 1 and metrics.index_errors == 1
+    # 6 received -> 5 deduped sends (uuid-0 collapsed in-batch) -> 1
+    # per-item failure: indexed counts SUCCESSFUL DEDUPED deliveries, the
+    # same base as index_errors, so indexed + index_errors == sends and
+    # in-batch duplicates can never overcount (round-4 ADVICE).
+    assert metrics.received == 6
+    assert metrics.indexed == 4 and metrics.index_errors == 1
+    assert metrics.indexed == len(state.docs)
 
 
 def test_reference_mapping_transcription(mock_es):

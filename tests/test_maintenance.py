@@ -142,6 +142,48 @@ def test_delete_keys_rewrites_only_affected_files(spark, sf_dir, tmp_path):
     assert set(after_digests) == set(before_digests)
 
 
+def test_delete_keys_preserves_null_keyed_rows(spark, sf_dir, tmp_path):
+    """Round-4 ADVICE: ~isin(keys) is NULL for NULL keys under
+    three-valued logic, so a naive filter(~hit) silently deletes every
+    null-keyed row in a rewritten file."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.maintenance import delete_keys
+
+    d = str(tmp_path / "withnulls")
+    base = (
+        spark.read.parquet(sf_dir + "/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .limit(500)
+    )
+    # null the key on a deterministic slice, co-resident with target rows
+    nulled = base.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    nulled.coalesce(1).write.parquet(d)
+    null_rows = spark.read.parquet(d).filter(F.col("user_id").isNull()).count()
+    assert null_rows > 0
+    target = [
+        r["user_id"]
+        for r in spark.read.parquet(d)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .limit(1)
+        .collect()
+    ]
+    expect_deleted = (
+        spark.read.parquet(d).filter(F.col("user_id").isin(target)).count()
+    )
+    stats = delete_keys(spark, d, "user_id", target)
+    assert stats["rows_deleted"] == expect_deleted
+    after = spark.read.parquet(d)
+    assert after.filter(F.col("user_id").isNull()).count() == null_rows
+    assert after.filter(F.col("user_id").isin(target)).count() == 0
+
+
 def test_delete_keys_missing_key_touches_nothing(spark, sf_dir, tmp_path):
     from go_pulsar_elasticsearch_spark.maintenance import delete_keys
 

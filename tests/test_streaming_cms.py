@@ -177,3 +177,70 @@ def test_compaction_resumes_after_crash(spark, sf_dir, tmp_path, monkeypatch):
         for r in merged_sketches(spark, store).collect()
     }
     assert got == want
+
+
+def _crash_compact_at(spark, sf_dir, tmp_path, monkeypatch, attr, when):
+    """Run compact_store with an injected crash in os.<attr> (the
+    `when`-th call), then resume and return (want, got) merged bytes."""
+    import os as _os
+
+    from go_pulsar_elasticsearch_spark.streaming import cms_monitor
+
+    ev = _events(spark, sf_dir)
+    store = str(tmp_path / "store")
+    for e in range(3):
+        write_epoch(ev.filter(F.col("user_id") % 3 == e), store, e)
+    want = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+
+    real = getattr(_os, attr)
+    calls = {"n": 0}
+
+    def dying(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == when:
+            raise RuntimeError("injected crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr("os." + attr, dying)
+    try:
+        cms_monitor.compact_store(spark, store, below_epoch=3)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr("os." + attr, real)
+
+    cms_monitor.compact_store(spark, store, below_epoch=3)
+    got = {
+        r["event_type"]: bytes(r["sk"])
+        for r in merged_sketches(spark, store).collect()
+    }
+    return want, got
+
+
+def test_compaction_crash_after_publish_before_marker_removal(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The round-4 ADVICE window: scratch already renamed to the
+    target epoch, marker still present.  Resume must NOT treat the
+    published target as junk — it clears the marker and converges."""
+    # os.remove call #1 inside compact_store is the marker removal
+    # (the marker itself is published via os.rename, not remove).
+    want, got = _crash_compact_at(
+        spark, sf_dir, tmp_path, monkeypatch, "remove", when=1
+    )
+    assert got == want
+
+
+def test_compaction_crash_before_publish_rename(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash after the folded-epoch deletes but before the scratch is
+    renamed: marker + complete scratch survive; resume publishes."""
+    # os.rename call #1 publishes the marker; call #2 is the scratch
+    # -> epoch=<target> publish.  Kill the second.
+    want, got = _crash_compact_at(
+        spark, sf_dir, tmp_path, monkeypatch, "rename", when=2
+    )
+    assert got == want
