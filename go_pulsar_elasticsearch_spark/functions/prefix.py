@@ -123,6 +123,77 @@ def global_row_number(df: DataFrame, order_exprs: list[Column],
     )
 
 
+def global_ntile_multi(df: DataFrame, id_col: str,
+                       cuts: list[tuple[str, Column]], n: int,
+                       slot_key: str,
+                       n_parts: int = _N_PARTS) -> DataFrame:
+    """K independent NTILE(n) cuts over the SAME frame in ONE ranged
+    pass (round-4 VERDICT #4 — rfm_segmentation chained three
+    global_ntile calls and paid the range-sample + shuffle + offsets
+    machinery three times, 13 exchanges total).
+
+    ``cuts`` is ``[(out_col, asc_key)]``: each cut is
+    ``NTILE(n) OVER (ORDER BY asc_key ASC, id_col ASC)`` — express a
+    DESC measure by negating it.  Keys are cast to double for the
+    shared melt, so they must be numeric and order-preserving under
+    that cast (exact for |ints| < 2^53 and for finite doubles).
+    ``id_col`` must be unique (it is the tie-break AND the join-back
+    key).
+
+    Shape: melt to (id, measure, key) — K×rows but ONE
+    repartitionByRange on (measure, key, id), so measure boundaries
+    align with range boundaries and every cut gets correct local row
+    numbers from a single shuffle; one (measure, pid)-sized offsets
+    frame (≤ K·n_parts rows) broadcasts back; tiles pivot to one row
+    per id and hash-join back onto the source (both sides already
+    hash-partitioned by id from their groupBys)."""
+    src = cache_slot(slot_key + "_src", df)
+    arr = F.array(*[
+        F.struct(F.lit(i).alias("_m"), k.cast("double").alias("_k"))
+        for i, (_, k) in enumerate(cuts)
+    ])
+    melted = src.select(F.col(id_col), F.explode(arr).alias("_mk")).select(
+        id_col, F.col("_mk._m").alias("_m"), F.col("_mk._k").alias("_k")
+    )
+    ranged = cache_slot(
+        slot_key,
+        melted.repartitionByRange(
+            n_parts * len(cuts), "_m", "_k", id_col
+        ).withColumn("_pid", F.spark_partition_id()),
+    )
+    local_w = Window.partitionBy("_m", "_pid").orderBy("_k", id_col)
+    off_w = (
+        Window.partitionBy("_m").orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy("_m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        ranged.groupBy("_m", "_pid").agg(F.count(F.lit(1)).alias("_pagg"))
+        .withColumn("_off", F.coalesce(F.sum("_pagg").over(off_w), F.lit(0)))
+        .withColumn("_N", F.sum("_pagg").over(tot_w))
+        .select("_m", "_pid", "_off", "_N")
+    )
+    rn = F.col("_off") + F.col("_loc")
+    q = F.floor(F.col("_N") / n)
+    r = F.col("_N") % n
+    big = q + 1
+    tile = F.when(
+        rn <= r * big, F.floor((rn - 1) / big) + 1
+    ).otherwise(r + F.floor((rn - r * big - 1) / q) + 1)
+    tiled = (
+        ranged.withColumn("_loc", F.row_number().over(local_w))
+        .join(F.broadcast(offsets), ["_m", "_pid"])
+        .select(id_col, "_m", tile.alias("_tile"))
+    )
+    bands = tiled.groupBy(id_col).agg(*[
+        F.max(F.when(F.col("_m") == i, F.col("_tile"))).alias(out)
+        for i, (out, _) in enumerate(cuts)
+    ])
+    return src.join(bands, id_col)
+
+
 def global_ntile(df: DataFrame, order_exprs: list[Column], n: int,
                  out_col: str, slot_key: str,
                  n_parts: int = _N_PARTS) -> DataFrame:

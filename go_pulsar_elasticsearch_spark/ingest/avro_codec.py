@@ -219,3 +219,167 @@ def decode(schema: Any, buf: io.BytesIO | bytes) -> Any:
 
 def parse_schema(schema_json: str) -> Any:
     return json.loads(schema_json)
+
+
+# ------------------------------------------------------- schema resolution
+#
+# Avro 1.11 spec, "Schema Resolution": data written under an OLD
+# (writer) schema is decoded under a NEW (reader) schema — the real-
+# deployment shape the reference's schema-file-driven decode implies
+# (model.go:57-66 loads one file at startup; producers evolve).  Rules
+# implemented, straight from the spec:
+#   records    match fields by name; writer-only fields are decoded and
+#              DISCARDED; reader-only fields take their default (error
+#              when none is declared)
+#   unions     writer branch is read from the wire, then resolved
+#              against the reader schema (first resolvable branch when
+#              the reader side is itself a union)
+#   promotion  int -> long|float|double, long -> float|double,
+#              float -> double, string <-> bytes
+#   array/map  item / value schemas resolve recursively
+# Unsupported (not in the reference's schema family): enum, fixed,
+# named-type aliases.
+
+
+_PROMOTIONS: dict[str, tuple[str, ...]] = {
+    "int": ("int", "long", "float", "double"),
+    "long": ("long", "float", "double"),
+    "float": ("float", "double"),
+    "double": ("double",),
+    "string": ("string", "bytes"),
+    "bytes": ("bytes", "string"),
+    "boolean": ("boolean",),
+    "null": ("null",),
+}
+
+
+def _resolvable(writer: Any, reader: Any) -> bool:
+    """Cheap static check: can data written as ``writer`` decode under
+    ``reader``?  Used to pick the reader-union branch; field-level
+    mismatches inside records still surface at decode time."""
+    if isinstance(reader, list):
+        return any(_resolvable(writer, br) for br in reader)
+    if isinstance(writer, list):
+        # per-datum: the actual branch is on the wire; resolvable if any
+        # writer branch could land
+        return any(_resolvable(br, reader) for br in writer)
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == "record" and rt == "record":
+        return True
+    if wt == "array" and rt == "array":
+        return _resolvable(writer["items"], reader["items"])
+    if wt == "map" and rt == "map":
+        return _resolvable(writer["values"], reader["values"])
+    return rt in _PROMOTIONS.get(wt, (wt,))
+
+
+def default_value(schema: Any, d: Any) -> Any:
+    """Convert a JSON-encoded field default into the decoded-value
+    domain.  Union defaults correspond to the FIRST branch (spec)."""
+    if isinstance(schema, list):
+        schema = schema[0]
+    t = _type_name(schema)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return bool(d)
+    if t in ("int", "long"):
+        return int(d)
+    if t in ("float", "double"):
+        return float(d)
+    if t == "string":
+        return d
+    if t == "bytes":
+        # JSON defaults for bytes are ISO-8859-1-mapped strings (spec)
+        return d.encode("latin-1") if isinstance(d, str) else bytes(d)
+    if t == "array":
+        return [default_value(schema["items"], x) for x in d]
+    if t == "map":
+        return {k: default_value(schema["values"], v) for k, v in d.items()}
+    if t == "record":
+        return {
+            f["name"]: default_value(
+                f["type"], d.get(f["name"], f.get("default"))
+            )
+            for f in schema["fields"]
+        }
+    raise TypeError(f"unsupported Avro default type: {t}")
+
+
+def decode_resolved(writer: Any, reader: Any, buf: io.BytesIO | bytes) -> Any:
+    """Decode binary written under ``writer`` into ``reader``'s shape.
+
+    ``decode_resolved(s, s, b)`` is byte-for-byte ``decode(s, b)``
+    (property-tested); divergence happens only where the schemas do."""
+    if isinstance(buf, (bytes, bytearray)):
+        buf = io.BytesIO(bytes(buf))
+    if isinstance(writer, list):
+        idx = _read_long(buf)
+        if not 0 <= idx < len(writer):
+            raise ValueError(f"union index {idx} out of range")
+        return decode_resolved(writer[idx], reader, buf)
+    if isinstance(reader, list):
+        for br in reader:
+            if _resolvable(writer, br):
+                return decode_resolved(writer, br, buf)
+        raise ValueError(
+            f"writer {_type_name(writer)} matches no reader union branch"
+        )
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == "record" and rt == "record":
+        readers = {f["name"]: f for f in reader["fields"]}
+        out: dict[str, Any] = {}
+        written = set()
+        for f in writer["fields"]:
+            written.add(f["name"])
+            rf = readers.get(f["name"])
+            if rf is not None:
+                out[f["name"]] = decode_resolved(f["type"], rf["type"], buf)
+            else:
+                decode(f["type"], buf)  # skip: decode and discard
+        for name, rf in readers.items():
+            if name not in written:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {name!r} absent from writer schema "
+                        "and declares no default"
+                    )
+                out[name] = default_value(rf["type"], rf["default"])
+        return out
+    if wt == "array" and rt == "array":
+        items = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return items
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                items.append(
+                    decode_resolved(writer["items"], reader["items"], buf)
+                )
+    if wt == "map" and rt == "map":
+        m = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return m
+            if n < 0:
+                n = -n
+                _read_long(buf)
+            for _ in range(n):
+                k = decode("string", buf)
+                m[k] = decode_resolved(writer["values"], reader["values"], buf)
+    v = decode(writer, buf)
+    if rt == wt:
+        return v
+    if rt not in _PROMOTIONS.get(wt, ()):
+        raise ValueError(f"cannot resolve writer {wt} -> reader {rt}")
+    if rt in ("float", "double"):
+        return float(v)
+    if rt == "long":  # int -> long
+        return int(v)
+    if rt == "bytes":  # string -> bytes
+        return v.encode("utf-8")
+    return v.decode("utf-8")  # bytes -> string

@@ -382,12 +382,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-customer recency (days before the
     as-of date), order frequency and exact monetary total, each cut into
     quartile bands (ntile with a deterministic custkey tie-break).  One
-    customer-keyed aggregation; each quartile cut is the two-pass
-    global ntile (functions/prefix.py) — range partition + local row
-    numbers + broadcast offsets + SQL-standard tile arithmetic — so no
-    band requires a single-partition sort of the customer table."""
+    customer-keyed aggregation; all three quartile cuts share ONE
+    two-pass ranged ntile (functions/prefix.py global_ntile_multi —
+    the measures melt into a single range shuffle on (measure, key),
+    DESC measures negated) so no band requires a single-partition sort
+    and the range machinery is paid once, not three times."""
     from go_pulsar_elasticsearch_spark.functions.exact import dsum
-    from go_pulsar_elasticsearch_spark.functions.prefix import global_ntile
+    from go_pulsar_elasticsearch_spark.functions.prefix import (
+        global_ntile_multi,
+    )
 
     tune(spark)
     o = t(spark, sf_dir, "orders")
@@ -399,15 +402,16 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dsum("o_totalprice", scale=2).alias("monetary"),
     )
-    banded = global_ntile(
-        per_cust, [F.asc("recency_days"), F.asc("custkey")], 4, "r_band",
-        "rfm_r",
-    )
-    banded = global_ntile(
-        banded, [F.desc("frequency"), F.asc("custkey")], 4, "f_band", "rfm_f"
-    )
-    banded = global_ntile(
-        banded, [F.desc("monetary"), F.asc("custkey")], 4, "m_band", "rfm_m"
+    banded = global_ntile_multi(
+        per_cust,
+        "custkey",
+        [
+            ("r_band", F.col("recency_days")),
+            ("f_band", -F.col("frequency")),
+            ("m_band", -F.col("monetary")),
+        ],
+        4,
+        "rfm_bands",
     )
     return banded.select(
         "custkey",

@@ -201,70 +201,90 @@ def replay_dlq(spark, dlq_dir: str, endpoint: str, index: str = "index_data",
     fresh spool (same format), so replay is safely repeatable; items
     that land are idempotent overwrites (doc-id keyed, es.go:186).
 
-    Distributed shape: the spool is read as a normal text source and
-    re-posted per partition via mapInPandas — no driver fan-in of
-    payloads; only the counts come back."""
+    Distributed shape (round-4 VERDICT #2): the spool is read as a raw
+    text source, each partition re-posts its own entries AND writes its
+    own survivor spool file (write -> fsync -> rename, so a half-written
+    file can never be globbed by a later replay), and ONLY per-partition
+    counts cross to the driver — nothing doc-sized is ever collected,
+    so a down-cluster DLQ of any volume replays in executor memory.
+    Crash-safe ordering is unchanged: survivor spools are fully
+    published (the count action is the barrier) BEFORE the consumed
+    files are deleted — a crash in between duplicates work (idempotent
+    doc-id overwrites, es.go:186) instead of losing the only copy."""
     import glob as _glob
-
-    from go_pulsar_elasticsearch_spark.sources.es_bulk import (
-        BulkClientOptions,
-        bulk_index_docs,
-    )
 
     files = sorted(_glob.glob(os.path.join(dlq_dir, "*.ndjson")))
     if not files:
         return {"replayed": 0, "ok": 0, "still_failing": 0}
-    entries = spark.read.json(spark.sparkContext.textFile(",".join(files)))
-    docs_df = entries.select("doc.*")
-    opts = BulkClientOptions(index=index, id_field=id_field)
+    lines = spark.read.text(files)
+    endpoint_, index_, id_field_, dlq_dir_ = endpoint, index, id_field, dlq_dir
 
     def post(batches):
         import pandas as pd
+        from pyspark import TaskContext
 
         from go_pulsar_elasticsearch_spark.sources.es_bulk import (
-            _to_jsonable,
+            BulkClientOptions,
+            bulk_index_docs,
         )
 
+        opts = BulkClientOptions(index=index_, id_field=id_field_)
+        pid = TaskContext.get().partitionId()
+        n_replayed = n_ok = n_failed = 0
+        spool_fh = None
+        spool_tmp = spool_final = None
         for pdf in batches:
             if pdf.empty:
                 continue
-            # normalize like bulk_index_rows does: pandas turns nulled
-            # numerics into NaN (json.dumps would emit a literal real
-            # ES rejects) and int columns with any null into floats
-            docs = [
-                {k: _to_jsonable(v) for k, v in rec.items()}
-                for rec in pdf.to_dict("records")
-            ]
-            results = bulk_index_docs(docs, endpoint, opts)
-            yield pd.DataFrame(
-                {
-                    "uuid": [r[0] for r in results],
-                    "status": pd.Series(
-                        [r[1] for r in results], dtype="int32"
-                    ),
-                }
-            )
-
-    res = docs_df.mapInPandas(post, "uuid string, status int").collect()
-    ok = [r["uuid"] for r in res if r["status"] < 300]
-    failing = [r["uuid"] for r in res if r["status"] >= 300]
-    # crash-safe ordering: write the survivors' NEW spool first, delete
-    # the consumed files last — a crash in between duplicates work
-    # (idempotent overwrites) instead of losing the only copy
-    if failing:
-        still = entries.filter(entries.uuid.isin(failing))
-        spool = os.path.join(
-            dlq_dir, f"replay-{uuid_mod.uuid4().hex}.ndjson"
+            entries = [json.loads(ln) for ln in pdf["value"]]
+            docs = [e["doc"] for e in entries]
+            by_id = {e["uuid"]: e for e in entries}
+            results = bulk_index_docs(docs, endpoint_, opts)
+            n_replayed += len(results)
+            for rid, status, err in results:
+                if status < 300:
+                    n_ok += 1
+                    continue
+                n_failed += 1
+                if spool_fh is None:
+                    spool_final = os.path.join(
+                        dlq_dir_,
+                        f"replay-{pid}-{uuid_mod.uuid4().hex}.ndjson",
+                    )
+                    spool_tmp = spool_final + ".tmp"
+                    spool_fh = open(spool_tmp, "w")
+                entry = dict(by_id.get(rid) or {"uuid": rid, "doc": None})
+                entry["status"], entry["error"] = status, err
+                spool_fh.write(json.dumps(entry) + "\n")
+        if spool_fh is not None:
+            spool_fh.flush()
+            os.fsync(spool_fh.fileno())
+            spool_fh.close()
+            # publish atomically: a crash mid-write leaves only a .tmp
+            # the ndjson glob ignores; consumed files are still intact
+            os.rename(spool_tmp, spool_final)
+        yield pd.DataFrame(
+            {
+                "replayed": pd.Series([n_replayed], dtype="int64"),
+                "ok": pd.Series([n_ok], dtype="int64"),
+                "still_failing": pd.Series([n_failed], dtype="int64"),
+            }
         )
-        with open(spool, "w") as fh:
-            for row in still.collect():
-                fh.write(json.dumps(row.asDict(recursive=True)) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
+
+    counts = (
+        lines.mapInPandas(
+            post, "replayed long, ok long, still_failing long"
+        )
+        .groupBy()
+        .sum("replayed", "ok", "still_failing")
+        .collect()[0]
+    )
+    # the aggregate action above is the barrier: every survivor spool is
+    # published before any consumed file is removed
     for f in files:
         os.remove(f)
     return {
-        "replayed": len(res),
-        "ok": len(ok),
-        "still_failing": len(failing),
+        "replayed": int(counts[0] or 0),
+        "ok": int(counts[1] or 0),
+        "still_failing": int(counts[2] or 0),
     }
