@@ -27,29 +27,56 @@ from go_pulsar_elasticsearch_spark.session import tune
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 20) -> DataFrame:
-    """Min-label propagation: every node ends labeled with the smallest
-    node id in its component.  Returns (node, component).  Each iteration
-    is one grouped aggregation over the (bidirectional) edge list; stops
-    when an iteration changes nothing.
+    """Min-label propagation with a star-contraction pre-step: every
+    node ends labeled with the smallest node id in its component.
+    Returns (node, component).
 
-    Iteration hygiene: the bidirectional edge list is slot-cached ONCE —
-    without it every iteration re-executes the whole upstream candidate
-    generation (the LSH band join) — and the convergence signal is a
-    `_ch` flag computed in the SAME pass as the new labels, so the
-    change check is a filter over the just-checkpointed frame instead
-    of a per-iteration labels⋈labels join."""
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    labels = nodes.select("node", F.col("node").alias("component"))
-    bi = cache_slot(
-        "cc_edges",
+    Star contraction (the large-star/small-star family, Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): every node maps to
+    ``rep(u) = min(N(u) ∪ {u})`` and the edge list is rewritten onto
+    representatives.  A k-clique — the duplicate-cluster worst case,
+    where every propagation iteration used to drag k² edges through the
+    join — collapses to a SINGLE node in this one round (all members
+    share the clique minimum), so the propagation loop runs on the
+    contracted graph, which is clique-free and usually tiny.
+    Correctness: rep(u) is u's neighbor (or u), so contraction preserves
+    connectivity; the global minimum g of a component satisfies
+    rep(g) = g, so the contracted component keeps the same minimum and
+    the pulled-back labels are IDENTICAL to plain propagation (same
+    oracle hash).
+
+    Iteration hygiene: the contracted bidirectional edge list is
+    slot-cached ONCE — without it every iteration re-executes the whole
+    upstream candidate generation (the LSH band join) — and the
+    convergence signal is a `_ch` flag computed in the SAME pass as the
+    new labels, so the change check is a filter over the
+    just-checkpointed frame instead of a per-iteration labels⋈labels
+    join."""
+    bi_raw = cache_slot(
+        "cc_edges_raw",
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         ),
     )
+    # rep(u) = min over N(u) ∪ {u}; every node of `edges` appears as an
+    # `a` because bi_raw carries both directions
+    reps = cache_slot(
+        "cc_reps",
+        bi_raw.groupBy("a").agg(F.min("b").alias("_mn")).select(
+            F.col("a").alias("node"), F.least("a", "_mn").alias("rep")
+        ),
+    )
+    ra = reps.select(F.col("node").alias("a"), F.col("rep").alias("_ra"))
+    rb = reps.select(F.col("node").alias("b"), F.col("rep").alias("_rb"))
+    bi = cache_slot(
+        "cc_edges",
+        bi_raw.join(ra, "a").join(rb, "b")
+        .filter(F.col("_ra") != F.col("_rb"))
+        .select(F.col("_ra").alias("a"), F.col("_rb").alias("b"))
+        .distinct(),
+    )
+    nodes = reps.select(F.col("rep").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("component"))
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -84,7 +111,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             "iterations (graph diameter exceeds max_iter) — labels would "
             "be wrong; raise max_iter"
         )
-    return labels
+    # pull the contracted labels back to the original nodes: comp(u) =
+    # comp(rep(u)); a rep with no contracted edge (its whole component
+    # collapsed in the contraction round) labels itself
+    lab = labels.select(F.col("node").alias("rep"), "component")
+    return reps.join(lab, "rep", "left").select(
+        "node", F.coalesce("component", "rep").alias("component")
+    )
 
 
 _COMPONENTS_ORACLE = """

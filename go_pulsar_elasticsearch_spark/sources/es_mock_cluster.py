@@ -17,11 +17,18 @@ cluster:
   `resource_already_exists_exception` (the branch es.go:92-99 tolerates).
 - `POST /_aliases`: records alias -> index.
 - `GET /`: info ping (health probe, es.go:215-218).
-- `POST /<index>/_search`: the READ side — sliced scroll
-  (`slice: {id, max}` partitions docs by md5(_id) % max), `search_after`
-  keyset pagination over `sort: [_id asc]`, and `match_all` / `term` /
-  `terms` / `range` under `bool.filter` (the subset es_reader_sim
-  pushes down); every request body is recorded for pushdown assertions.
+- `POST /<index>/_pit?keep_alive=..` -> `{"id": ...}` and
+  `DELETE /_pit`: point-in-time handles.  Real ES only accepts `slice`
+  on scroll or PIT searches, and the mock ENFORCES that (400 on a
+  sliced plain search) so the reader's request shape is proven
+  real-ES-valid, not mock-only (round-4 ADVICE).
+- `POST /<index>/_search` and `POST /_search` (PIT form): the READ
+  side — slices (`slice: {id, max}` partitions docs by md5(_id) % max),
+  `search_after` keyset pagination over `sort: [_id asc]`,
+  `_source: [fields]` projection filtering (hits carry ONLY the
+  requested fields), and `match_all` / `term` / `terms` / `range` under
+  `bool.filter` (the subset es_reader_sim pushes down); every request
+  body is recorded for pushdown assertions.
 
 Successful `index` actions store the doc under its `_id`
 (last-write-wins), mirroring how ES doc-id indexing collapses
@@ -50,6 +57,8 @@ class MockEsState:
         self.reject_queue: list[int] = []        # whole-request statuses
         self.bulk_requests: list[dict] = []      # recorded request metadata
         self.search_requests: list[dict] = []    # recorded _search bodies
+        self.pits: dict[str, str] = {}           # pit id -> index name
+        self.pit_counter = 0
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -121,13 +130,31 @@ class _Handler(BaseHTTPRequestHandler):
         """Sliced + search_after keyset pagination over one index (or
         alias): the ES read topology a partitioned reader needs —
         slice k of n sees docs with md5(_id) % n == k, pages are
-        _id-ordered after the cursor."""
+        _id-ordered after the cursor.  PIT form: ``POST /_search`` with
+        ``pit: {id}`` in the body (index resolved from the pit).  Like
+        real ES, ``slice`` is only legal with a PIT (or scroll)."""
         import hashlib
 
         st = self.state
-        index = self.path.strip("/").split("/")[0]
+        pit = body.get("pit")
         with st.lock:
-            index = st.aliases.get(index, index)
+            if pit:
+                index = st.pits.get(pit.get("id"))
+                if index is None:
+                    self._reply(404, {"error": {
+                        "type": "search_context_missing_exception",
+                        "reason": "no such point in time"}})
+                    return
+            else:
+                index = self.path.strip("/").split("/")[0]
+                index = st.aliases.get(index, index)
+                if body.get("slice"):
+                    # real-ES rule: slicing needs a scroll or PIT context
+                    self._reply(400, {"error": {
+                        "type": "illegal_argument_exception",
+                        "reason": "[slice] can only be used with [scroll]"
+                                  " or [point-in-time] requests"}})
+                    return
             st.search_requests.append({"index": index, "body": body})
             ids = sorted(
                 i for i, idx in st.doc_index.items() if idx == index
@@ -145,10 +172,14 @@ class _Handler(BaseHTTPRequestHandler):
             if after:
                 ids = [i for i in ids if i > after[0]]
             query = body.get("query", {})
+            wanted = body.get("_source")  # list -> source filtering
             hits = []
             for i in ids:
                 if self._matches(st.docs[i], query):
-                    hits.append({"_id": i, "_source": st.docs[i]})
+                    src = st.docs[i]
+                    if isinstance(wanted, list):
+                        src = {k: v for k, v in src.items() if k in wanted}
+                    hits.append({"_id": i, "_source": src})
                     if len(hits) >= body.get("size", 10):
                         break
         self._reply(
@@ -173,8 +204,19 @@ class _Handler(BaseHTTPRequestHandler):
                         st.aliases[add["alias"]] = add["index"]
             self._reply(200, {"acknowledged": True})
             return
-        if self.path.rstrip("/").endswith("/_search"):
+        if self.path.rstrip("/").endswith("/_search") or (
+            self.path.rstrip("/") == "/_search"
+        ):
             self._search(json.loads(body or b"{}"))
+            return
+        if self.path.split("?")[0].rstrip("/").endswith("/_pit"):
+            index = self.path.strip("/").split("/")[0]
+            with st.lock:
+                index = st.aliases.get(index, index)
+                st.pit_counter += 1
+                pit_id = f"pit-{st.pit_counter:06d}"
+                st.pits[pit_id] = index
+            self._reply(200, {"id": pit_id})
             return
         if not self.path.rstrip("/").endswith("/_bulk"):
             self._reply(404, {"error": "unknown path " + self.path})

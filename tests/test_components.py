@@ -1,0 +1,47 @@
+"""connected_components unit semantics: the star-contraction pre-step
+must label every node with its component MINIMUM on shapes where
+contraction behaves differently — cliques (collapse in one round),
+long chains (survive contraction, exercise the propagation loop), and
+mixed graphs."""
+
+from __future__ import annotations
+
+from go_pulsar_elasticsearch_spark.llm.components import (
+    connected_components,
+)
+
+
+def _labels(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_clique_chain_and_singleton_edge(spark):
+    # clique {1,2,3,4}, chain 10-11-12-13-14, pair {20,21}
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13), (13, 14)]
+    got = _labels(spark, clique + chain + [(21, 20)])
+    want = {n: 1 for n in (1, 2, 3, 4)}
+    want.update({n: 10 for n in (10, 11, 12, 13, 14)})
+    want.update({20: 20, 21: 20})
+    assert got == want
+
+
+def test_two_cliques_bridged(spark):
+    # bridge connects two cliques: contraction maps each clique to its
+    # min, then the bridge edge keeps them in one component
+    c1 = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    c2 = [(a, b) for a in (7, 8, 9) for b in (7, 8, 9) if a < b]
+    got = _labels(spark, c1 + c2 + [(3, 7)])
+    assert got == {n: 1 for n in (1, 2, 3, 7, 8, 9)}
+
+
+def test_long_path_needs_propagation(spark):
+    # a 12-node path: contraction halves it at best; the loop must
+    # still converge to the global minimum at the far end
+    path = [(i, i + 1) for i in range(100, 111)]
+    got = _labels(spark, path)
+    assert got == {n: 100 for n in range(100, 112)}

@@ -162,3 +162,56 @@ def test_id_column_surfaces_es_id(spark, mock_es):
         .collect()
     )
     assert {r["es_id"] for r in got} == {f"d{i:04d}" for i in range(10)}
+
+
+def test_source_projection_ships_on_the_wire(spark, mock_es):
+    """Round-4 VERDICT #6: the declared column list goes to the cluster
+    as `_source` filtering, and the hits come back pruned — wide
+    documents never cross the wire for narrow reads."""
+    state, url = mock_es
+    _seed(state)
+    # widen every stored doc with a fat field the schema doesn't declare
+    for d in state.docs.values():
+        d["giant_blob"] = "x" * 1000
+    got = _reader(spark, url, slices=2).collect()
+    assert len(got) == 60
+    for q in state.search_requests:
+        assert q["body"]["_source"] == ["uuid", "lang", "score"]
+
+
+def test_sliced_reads_use_a_shared_pit(spark, mock_es):
+    """Real ES accepts `slice` only with scroll/PIT; the reader opens
+    ONE point-in-time at planning and every slice shares it."""
+    state, url = mock_es
+    _seed(state)
+    got = _reader(spark, url, slices=4).collect()
+    assert len(got) == 60
+    pits = {q["body"]["pit"]["id"] for q in state.search_requests}
+    assert len(pits) == 1 and pits <= set(state.pits)
+    assert all("slice" in q["body"] for q in state.search_requests)
+
+
+def test_mock_rejects_sliced_search_without_pit(mock_es):
+    """The mock enforces the real-ES rule, so the reader's shape is
+    proven valid against more than its own test double."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    state, url = mock_es
+    _seed(state, n=5)
+    body = json.dumps(
+        {"size": 10, "sort": [{"_id": "asc"}], "query": {"match_all": {}},
+         "slice": {"id": 0, "max": 2}}
+    ).encode()
+    req = urllib.request.Request(
+        f"{url}/index_data/_search", data=body,
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req, timeout=10)
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 400
+        assert "point-in-time" in exc.read().decode()
+    else:
+        raise AssertionError("sliced plain search must 400")
