@@ -35,6 +35,7 @@ def load_all() -> None:
         joins,
         nested,
         pandas_api,
+        pulsar_loop,
         rangejoin,
         relational,
         reshape,

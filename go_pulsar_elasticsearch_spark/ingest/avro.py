@@ -94,7 +94,8 @@ _DECODED_SCHEMA = (
 
 
 def decode_avro_payload(raw: DataFrame, value_col: str = "value",
-                        schema_json: str = INGESTION_AVRO_SCHEMA) -> DataFrame:
+                        schema_json: str = INGESTION_AVRO_SCHEMA,
+                        passthrough: tuple[str, ...] = ()) -> DataFrame:
     """R3: binary Avro -> typed columns, PERMISSIVE (undecodable rows get
     a null struct and flow to the DLQ split, matching main.go:131-143).
 
@@ -106,7 +107,10 @@ def decode_avro_payload(raw: DataFrame, value_col: str = "value",
     decodes the datum and ignores trailing bytes — a payload with
     trailing garbage DLQs on the fallback path but indexes on the JVM
     path.  Strictness is deliberate: trailing bytes mean a framing bug
-    upstream, and surfacing it in the DLQ beats silently truncating."""
+    upstream, and surfacing it in the DLQ beats silently truncating.
+
+    ``passthrough`` columns ride through the decode untouched (e.g. a
+    broker message id the delivery loop acks/nacks by)."""
     if avro_available(raw.sparkSession if hasattr(raw, "sparkSession") else None):
         from pyspark.sql.avro.functions import from_avro
 
@@ -118,26 +122,34 @@ def decode_avro_payload(raw: DataFrame, value_col: str = "value",
             F.when(F.col("parsed.uuid").isNotNull(), F.col("parsed")),
         )
         return parsed.select(
-            F.col(value_col).alias("raw_value"), "parsed", "parsed.*"
+            *passthrough,
+            F.col(value_col).alias("raw_value"), "parsed", "parsed.*",
         )
-    return _decode_avro_pandas(raw, value_col, schema_json)
+    return _decode_avro_pandas(raw, value_col, schema_json, passthrough)
 
 
 def _decode_avro_pandas(raw: DataFrame, value_col: str,
-                        schema_json: str) -> DataFrame:
+                        schema_json: str,
+                        passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Arrow-batched decode of real Avro binary via the pure-spec codec.
     STRICT per datum: trailing bytes after a decoded record, truncated
     varints, or bad union indices null the row (-> DLQ)."""
     import io
 
     schema = avro_codec.parse_schema(schema_json)
+    by_name = {f.name: f for f in raw.schema.fields}
+    pt_ddl = "".join(
+        f", {name} {by_name[name].dataType.simpleString()}"
+        for name in passthrough
+    )
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
             rows = []
-            for val in pdf[value_col]:
+            extras_cols = [pdf[c] for c in passthrough]
+            for val, *extras in zip(pdf[value_col], *extras_cols):
                 rec = None
                 if val is not None:
                     try:
@@ -149,7 +161,8 @@ def _decode_avro_pandas(raw: DataFrame, value_col: str,
                         rec = None
                 if rec is None:
                     rows.append((bytes(val) if val is not None else None,
-                                 None, None, None, None, None, None))
+                                 None, None, None, None, None, None,
+                                 *extras))
                 else:
                     rows.append((
                         bytes(val),
@@ -158,17 +171,22 @@ def _decode_avro_pandas(raw: DataFrame, value_col: str,
                         [{"type": t["type"], "value": t["value"]}
                          for t in rec["tags"]]
                         if rec["tags"] is not None else None,
+                        *extras,
                     ))
             yield pd.DataFrame(
                 rows,
-                columns=["raw_value", *_PARSED_FIELDS],
+                columns=["raw_value", *_PARSED_FIELDS, *passthrough],
             )
 
-    decoded = raw.select(F.col(value_col)).mapInPandas(batches, _DECODED_SCHEMA)
+    decoded = raw.select(value_col, *passthrough).mapInPandas(
+        batches, _DECODED_SCHEMA + pt_ddl
+    )
     parsed = F.when(
         F.col("uuid").isNotNull(), F.struct(*_PARSED_FIELDS)
     ).alias("parsed")
-    return decoded.select("raw_value", parsed, *_PARSED_FIELDS)
+    return decoded.select(
+        *passthrough, "raw_value", parsed, *_PARSED_FIELDS
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,187 @@
+"""In-process mock Pulsar broker implementing the DELIVERY-LOOP
+semantics the reference's consumer relies on (pulsar.go:91-105) — the
+consume-side twin of sources/es_mock_cluster.py:
+
+- shared-subscription receive with per-message delivery counts;
+- ``nack``: the message becomes redeliverable after
+  ``NackRedeliveryDelay`` (pulsar.go:96, .env INSERT_RETRY_DELAY) —
+  unless it has already been delivered ``MaxDeliveries`` times
+  (pulsar.go:98, .env RETRIES), in which case the broker publishes it
+  to the DLQ topic (pulsar.go:99, .env DATA_DLQ_TOPIC) EXACTLY ONCE
+  and retires it from the subscription;
+- ``ack``: retires the message;
+- ``redeliver_unacked``: the ack-timeout / consumer-crash path — every
+  in-flight message becomes immediately available again (delivery
+  counts intact), which is why the downstream sink must be idempotent
+  (doc-id keyed, es.go:186).
+
+Time is VIRTUAL (``advance()``): tests drive redelivery delays
+deterministically instead of sleeping.  All bookkeeping is
+metadata-sized (message ids + counters); payloads live once per topic.
+
+This is a test double for semantics certification: the production path
+swaps in the real pulsar-spark connector, whose broker enforces the
+same contract server-side.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Message:
+    msg_id: int
+    payload: bytes
+    publish_time: float
+    properties: dict = field(default_factory=dict)
+
+
+@dataclass
+class _DeliveryState:
+    delivery_count: int = 0
+    available_at: float = 0.0   # virtual time when receivable again
+    in_flight: bool = False
+    done: bool = False          # acked or routed to DLQ
+
+
+class MockPulsarBroker:
+    def __init__(
+        self,
+        nack_redelivery_delay_s: float = 10.0,
+        max_deliveries: int = 3,
+        dlq_topic: str = "public/default/data.dlq",
+    ):
+        self.nack_redelivery_delay_s = nack_redelivery_delay_s
+        self.max_deliveries = max_deliveries
+        self.dlq_topic = dlq_topic
+        self.now = 0.0
+        self._lock = threading.Lock()
+        self._topics: dict[str, list[Message]] = {}
+        self._by_id: dict[str, dict[int, Message]] = {}
+        # (topic, subscription) -> msg_id -> per-message delivery state
+        self._subs: dict[tuple[str, str], dict[int, _DeliveryState]] = {}
+        # how many of the topic's messages each subscription has state
+        # for — keeps _states() incremental, so ack/nack stay O(1)
+        self._sub_seen: dict[tuple[str, str], int] = {}
+        self._next_id = 0
+
+    # ------------------------------------------------------------ produce
+
+    def publish(self, topic: str, payload: bytes,
+                properties: dict | None = None) -> int:
+        with self._lock:
+            self._next_id += 1
+            mid = self._next_id
+            msg = Message(mid, payload, self.now, dict(properties or {}))
+            self._topics.setdefault(topic, []).append(msg)
+            self._by_id.setdefault(topic, {})[mid] = msg
+            return mid
+
+    # ------------------------------------------------------------ consume
+
+    def _states(self, topic: str, subscription: str) -> dict:
+        key = (topic, subscription)
+        states = self._subs.setdefault(key, {})
+        msgs = self._topics.get(topic, ())
+        seen = self._sub_seen.get(key, 0)
+        for m in msgs[seen:]:  # incremental: new messages only
+            states[m.msg_id] = _DeliveryState()
+        self._sub_seen[key] = len(msgs)
+        return states
+
+    def receive(self, topic: str, subscription: str,
+                max_messages: int = 100) -> list[Message]:
+        """Deliver up to ``max_messages`` receivable messages (not done,
+        not in flight, redelivery delay elapsed), bumping each one's
+        delivery count — the broker-side half of a Shared-subscription
+        consumer's receive channel (pulsar.go:102 MessageChannel)."""
+        with self._lock:
+            states = self._states(topic, subscription)
+            out: list[Message] = []
+            for m in self._topics.get(topic, ()):
+                if len(out) >= max_messages:
+                    break
+                st = states[m.msg_id]
+                if st.done or st.in_flight or st.available_at > self.now:
+                    continue
+                st.in_flight = True
+                st.delivery_count += 1
+                out.append(m)
+            return out
+
+    def ack(self, topic: str, subscription: str, msg_id: int) -> None:
+        with self._lock:
+            st = self._states(topic, subscription)[msg_id]
+            st.in_flight = False
+            st.done = True
+
+    def nack(self, topic: str, subscription: str, msg_id: int) -> None:
+        """Negative ack: schedule redelivery after the delay — or, when
+        the message has exhausted MaxDeliveries, publish it to the DLQ
+        topic exactly once and retire it (pulsar.go:97-100)."""
+        with self._lock:
+            states = self._states(topic, subscription)
+            st = states[msg_id]
+            st.in_flight = False
+            if st.done:
+                return
+            if st.delivery_count >= self.max_deliveries:
+                msg = self._by_id[topic][msg_id]
+                st.done = True
+                self._next_id += 1
+                dlq_msg = Message(
+                    self._next_id,
+                    msg.payload,
+                    self.now,
+                    {
+                        **msg.properties,
+                        "REAL_TOPIC": topic,
+                        "ORIGIN_MESSAGE_ID": str(msg_id),
+                        "DELIVERY_COUNT": str(st.delivery_count),
+                    },
+                )
+                self._topics.setdefault(self.dlq_topic, []).append(dlq_msg)
+                self._by_id.setdefault(self.dlq_topic, {})[
+                    dlq_msg.msg_id
+                ] = dlq_msg
+            else:
+                st.available_at = self.now + self.nack_redelivery_delay_s
+
+    def redeliver_unacked(self, topic: str, subscription: str) -> int:
+        """Consumer crash / ack-timeout: every in-flight message becomes
+        immediately receivable again.  Returns how many."""
+        with self._lock:
+            n = 0
+            for st in self._states(topic, subscription).values():
+                if st.in_flight and not st.done:
+                    st.in_flight = False
+                    st.available_at = self.now
+                    n += 1
+            return n
+
+    # ------------------------------------------------------------- clock
+
+    def advance(self, seconds: float) -> None:
+        with self._lock:
+            self.now += seconds
+
+    # ---------------------------------------------------------- inspect
+
+    def pending(self, topic: str, subscription: str) -> int:
+        """Messages not yet acked/DLQ-routed (in flight or waiting)."""
+        with self._lock:
+            return sum(
+                0 if st.done else 1
+                for st in self._states(topic, subscription).values()
+            )
+
+    def delivery_count(self, topic: str, subscription: str,
+                       msg_id: int) -> int:
+        with self._lock:
+            return self._states(topic, subscription)[msg_id].delivery_count
+
+    def topic_messages(self, topic: str) -> list[Message]:
+        with self._lock:
+            return list(self._topics.get(topic, ()))
