@@ -90,6 +90,11 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "incremental_agg_merge",
     "histogram_quantile_merge",
+    # round 5 additions: schema evolution, single-pass RFM quartiles,
+    # star-contracted components
+    "avro_schema_evolution",
+    "rfm_segmentation",
+    "dedup_components",
 ]
 
 

@@ -332,3 +332,91 @@ def pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# split_leakage_safe  (contamination-safe train/test split: a whole
+# near-duplicate CLUSTER goes to one side, never straddles the split —
+# the leak every naive random split introduces, since near-copies of a
+# test doc in train inflate eval.  Composes dedup_components with a
+# deterministic per-CLUSTER hash split.)
+# --------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 80  # md5-u32(component) % 100 < 80 -> train
+
+_SPLIT_ORACLE_TEMPLATE = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words)
+), sigs AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM shingles)
+  GROUP BY doc_id, band
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                          AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 4
+), bi AS (
+  SELECT src AS a, dst AS b FROM pairs
+  UNION ALL SELECT dst, src FROM pairs
+), reach AS (
+  SELECT a AS node, a AS reached FROM (SELECT DISTINCT a FROM bi)
+  UNION
+  SELECT r.node, bi.b FROM reach r JOIN bi ON bi.a = r.reached
+), comp AS (
+  SELECT node AS doc_id, MIN(reached) AS component
+  FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+       CASE WHEN ({H}) % 100 < {PCT} THEN 'train' ELSE 'test'
+            END AS split
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+def _split_oracle() -> str:
+    from go_pulsar_elasticsearch_spark.llm.lm_score import _md5_u32_sql
+
+    return _SPLIT_ORACLE_TEMPLATE.format(
+        H=_md5_u32_sql("COALESCE(c.component, d.doc_id)"),
+        PCT=_SPLIT_TRAIN_PCT,
+    )
+
+
+@register("split_leakage_safe", _split_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component, split): every doc carries its near-dup
+    cluster id (its own id when unclustered) and a train/test
+    assignment hashed from the CLUSTER id, so near-duplicates can never
+    land on opposite sides of the split.  The assignment is the
+    engine-portable md5-u32 fold (conv(substring(md5,1,8))), bit-
+    identical in DuckDB — the whole composition hash-certifies.
+
+    100 TB: dedup_components' star-contracted propagation plus one
+    broadcast-free left join on doc_id and a stateless hash — the split
+    itself adds no shuffle beyond the join."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    comps = dedup_components(spark, sf_dir).withColumnRenamed(
+        "component", "_comp"
+    )
+    comp = F.coalesce(F.col("_comp"), F.col("doc_id"))
+    h = F.conv(
+        F.substring(F.md5(comp.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            F.when((h % 100) < _SPLIT_TRAIN_PCT, F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )

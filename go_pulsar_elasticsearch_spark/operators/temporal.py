@@ -287,3 +287,80 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return survivors.unionByName(inserts)
+
+
+# --------------------------------------------------------------------------
+# interval_merge_overlaps  (gaps-and-islands: merge overlapping activity
+# intervals per user — the classic sessionize-by-overlap shape, distinct
+# from events_sessionize's fixed-gap rule: intervals here have explicit
+# extents and merge whenever they OVERLAP, the form downtime windows,
+# meeting scheduling, and span-coalescing jobs take)
+# --------------------------------------------------------------------------
+
+_IVM_EXTENT_S = 300  # each event opens a 5-minute activity interval
+
+_IVM_ORACLE = f"""
+WITH iv AS (
+  SELECT user_id, event_id, ts AS s,
+         ts + INTERVAL {_IVM_EXTENT_S} SECOND AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+    CASE WHEN s <= MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+         THEN 0 ELSE 1 END AS new_island,
+    event_id
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+    SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT user_id,
+       CAST(island AS BIGINT) AS island,
+       MIN(s) AS start_ts,
+       MAX(e) AS end_ts,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, island
+"""
+
+
+@register("interval_merge_overlaps", _IVM_ORACLE)
+def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping per-user intervals via the cumulative-max
+    island rule: an interval starts a new island iff its start exceeds
+    the running max end of everything before it (ties broken by
+    event_id so both engines see the same order).  Two per-user window
+    passes share one hash exchange on user_id (same partitionBy), then
+    a grouped aggregate emits one row per merged island.
+
+    100 TB: the only shuffle is user_id (reused by both windows + the
+    final groupBy under Catalyst's exchange reuse); per-user sort is
+    partition-local.  No global order anywhere."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_IVM_EXTENT_S} SECOND")).alias("e"),
+    )
+    order_w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        order_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(F.col("s") <= prev_max_e, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_ts"),
+        F.max("e").alias("end_ts"),
+        F.count("*").alias("n_events"),
+    )

@@ -45,3 +45,28 @@ def test_long_path_needs_propagation(spark):
     path = [(i, i + 1) for i in range(100, 111)]
     got = _labels(spark, path)
     assert got == {n: 100 for n in range(100, 112)}
+
+
+def test_split_leakage_safe_never_straddles_clusters(spark, sf_dir):
+    """The whole point of the op: every near-dup component lands on ONE
+    side of the split, and every doc is assigned exactly once."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.llm.components import (
+        split_leakage_safe,
+    )
+
+    out = split_leakage_safe(spark, sf_dir).cache()
+    total = out.count()
+    docs = spark.read.parquet(sf_dir + "/documents.parquet").count()
+    assert total == docs  # one assignment per doc
+    straddlers = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides <= {"train", "test"} and "train" in sides
+    out.unpersist()
