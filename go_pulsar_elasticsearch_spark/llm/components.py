@@ -420,3 +420,89 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# graph_triangle_count  (near-dup graph density: triangles measure how
+# clique-like the duplicate neighborhoods are — high triangle density
+# around a doc means a copy FAMILY, not chance collisions, the signal
+# dedup QA uses to pick verify thresholds)
+# --------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words)
+), sigs AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM shingles)
+  GROUP BY doc_id, band
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                          AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 4
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.src = e1.dst
+  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), per_node AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM per_node
+"""
+
+
+@register("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the MinHash candidate graph.
+
+    The classic distributed shape: orient every edge low-id -> high-id
+    (so each triangle {a<b<c} is found exactly once as the wedge
+    a->b->c closed by a->c), self-join edges on the wedge midpoint,
+    then semi-verify the closing edge with a second join — two shuffle
+    joins total, never an all-pairs pass.  At 100 TB the standard
+    refinement is degree-ordering instead of id-ordering (point the
+    wedge at the lower-degree endpoint to bound wedge fan-out on skewed
+    graphs); id-ordering keeps the oracle exact here and the LSH
+    candidate graph is degree-bounded by band-bucket design anyway."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_band_sigs(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    edges = cache_slot(
+        "tri_edges",
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= 4)
+        .select("src", "dst"),
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count("*").alias("n_triangles")
+    )

@@ -266,3 +266,46 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("content_sha", F.col("doc_id").alias("keep_doc_id"), "n_copies")
     )
+
+
+# --------------------------------------------------------------------------
+# k_anonymity_audit  (privacy QA for curated releases: a quasi-identifier
+# combination shared by fewer than k documents can re-identify its
+# authors — the audit every dataset release runs next to pii_scrub.
+# One grouped aggregate; the flag is a pure projection of the count.)
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+SELECT lang,
+       source,
+       CAST(n_chars // 200 AS BIGINT) AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       COUNT(*) >= {_KANON_K} AS k_anonymous
+FROM documents
+GROUP BY lang, source, n_chars // 200
+"""
+
+
+@register("k_anonymity_audit", _KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group the corpus by its quasi-identifier tuple (lang, source,
+    coarse length bucket) and flag every group smaller than k=5.  At
+    100 TB this is one hash aggregate with map-side partials — the
+    quasi-identifier cardinality, not the corpus, bounds the result;
+    releases act on the flagged rows (suppress or generalize)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            (F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
+        )
+        .agg(F.count("*").alias("group_n"))
+        .select(
+            "lang", "source", "len_bucket", "group_n",
+            (F.col("group_n") >= _KANON_K).alias("k_anonymous"),
+        )
+    )

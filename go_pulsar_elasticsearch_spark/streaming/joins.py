@@ -164,6 +164,55 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INTERVAL_FULL_ORACLE = f"""
+SELECT
+  COALESCE(v.user_id, c.user_id) AS user_id,
+  v.event_id AS view_id,
+  c.event_id AS click_id,
+  v.ts AS view_ts,
+  c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = v.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL {_RANGE_MIN} MINUTE
+"""
+
+
+@register("stream_interval_join_full", _INTERVAL_FULL_ORACLE)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER batch analog, completing the interval-join family:
+    unmatched views AND orphan clicks both surface with nulls — the
+    reconciliation shape ("every impression and every conversion,
+    matched where possible").  Structured Streaming supports full outer
+    stream-stream joins under the same watermark/time-bound contract as
+    the left form (both sides' state evicted once the watermark clears
+    the interval); the null rows emit only at watermark passage.  Same
+    single user_id exchange pair as the inner/left forms."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = _join_cond(
+        F.col("v_user"), F.col("c_user"), F.col("view_ts"), F.col("click_ts")
+    )
+    return v.join(c, cond, "full").select(
+        F.coalesce("v_user", "c_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )
+
+
 # --------------------------------------------------------------------------
 # stream-static enrichment (dimension lookup on a live stream)
 # --------------------------------------------------------------------------

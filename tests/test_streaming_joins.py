@@ -177,6 +177,73 @@ def test_streaming_left_outer_emits_null_for_unmatched_view(spark, tmp_path):
     assert (2, 20, None) in rows          # unmatched view -> null click
 
 
+def test_streaming_full_outer_emits_both_unmatched_sides(spark, tmp_path):
+    """FULL OUTER stream-stream: an unmatched view emits a null-click
+    row AND an orphan click (no preceding in-window view) emits a
+    null-view row, each once its side's state expires under the
+    watermark.  Same advance-both-sides-then-drain dance as the left
+    form."""
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    _views(spark, [(1, 10, BASE_MS), (2, 20, BASE_MS + 1000)]).coalesce(
+        1
+    ).write.mode("append").parquet(vsrc)
+    # click 100 matches view 10; click 300 has NO view (user 3)
+    _clicks(
+        spark, [(1, 100, BASE_MS + 60_000), (3, 300, BASE_MS + 2000)]
+    ).coalesce(1).write.mode("append").parquet(csrc)
+
+    def drain():
+        v = (
+            spark.readStream.schema(
+                "user_id long, view_id long, view_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vsrc)
+        )
+        c = (
+            spark.readStream.schema(
+                "user_id long, click_id long, click_ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(csrc)
+            .withColumnRenamed("user_id", "c_user")
+        )
+        joined = interval_join(
+            v, c, "view_ts", "click_ts", "user_id", "c_user",
+            join_type="full",
+        ).select(
+            F.coalesce("user_id", "c_user").alias("uid"),
+            "view_id",
+            "click_id",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    for i in (0, 1):  # advance both watermarks, then drain the emits
+        _views(
+            spark, [(8, 80 + i, BASE_MS + 7_260_000 + i * 60_000)]
+        ).coalesce(1).write.mode("append").parquet(vsrc)
+        _clicks(
+            spark, [(9, 900 + i, BASE_MS + 7_260_000 + i * 60_000)]
+        ).coalesce(1).write.mode("append").parquet(csrc)
+        drain()
+    rows = {
+        (r["uid"], r["view_id"], r["click_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert (1, 10, 100) in rows           # matched pair
+    assert (2, 20, None) in rows          # unmatched view -> null click
+    assert (3, None, 300) in rows         # orphan click -> null view
+
+
 def test_stream_static_enrich_matches_batch_analog(spark, sf_dir, tmp_path):
     """The true streaming path (readStream over event files joined to
     the static dims) must emit exactly the batch analog's rows, across
