@@ -5,10 +5,14 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 4): 219 registered queries, 209 with oracles.  The ten
+State (round 5): 233 registered queries, 222 with oracles (new this
+round: the wire-certified Pulsar delivery loop, Avro schema-resolution
+decode, leakage-safe splits, interval merge, triangle counts,
+k-anonymity audit, full-outer interval join).  The eleven
 rows-only entries are approximate/float/iterative by design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
-tests), ``multimodal_features`` (mapInPandas byte-stub decode),
+tests), ``agg_count_min`` (count-min estimates, bounds pinned in
+tests/test_cms.py), ``multimodal_features`` (mapInPandas byte-stub decode),
 ``similarity_topk_fast`` (numpy float64 path, validated vs the exact
 decimal twin in tests), ``ann_pq`` (product quantization, recall@5
 0.98 vs exact in tests), ``near_dedup_minhash_ml`` (MLlib MinHashLSH

@@ -364,3 +364,71 @@ def interval_merge_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_ts"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# snapshot_diff  (table-format change audit: what a lakehouse "diff two
+# snapshots" API answers — which keys were added, removed, or changed
+# between two dataset versions.  The engine-level shape behind Iceberg/
+# Delta incremental consumption and backfill validation.)
+# --------------------------------------------------------------------------
+
+_SNAP_V1_END = "1997-06-01"   # v1 = orders strictly before this date
+_SNAP_V2_START = "1996-01-01"  # v2 = orders from this date on
+_SNAP_MUT_MOD = 13             # overlap keys % 13 == 0 get a v2 update
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS price
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_SNAP_V1_END} 00:00:00'
+), v2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % {_SNAP_MUT_MOD} = 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_SNAP_V2_START} 00:00:00'
+)
+SELECT COALESCE(v1.k, v2.k) AS o_orderkey,
+       CASE WHEN v1.k IS NULL THEN 'added'
+            WHEN v2.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM v1 FULL JOIN v2 ON v1.k = v2.k
+WHERE v1.k IS NULL OR v2.k IS NULL OR v1.price <> v2.price
+"""
+
+
+@register("snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two deterministic snapshots of the orders table (v1 = an
+    older date horizon, v2 = a newer one with a seeded in-place price
+    update on the overlap): FULL OUTER join on the key, emit only
+    added / removed / changed rows.
+
+    100 TB: one key-partitioned sort-merge join; unchanged rows (the
+    overwhelming majority in real snapshots) are filtered before they
+    leave the join, so output is bounded by churn, not table size.  On
+    a real lakehouse the same plan consumes two snapshot reads of one
+    table — manifest pruning cuts the scan to changed files first."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(
+        F.col("o_orderdate") < F.lit(_SNAP_V1_END).cast("timestamp")
+    ).select(F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1"))
+    v2 = o.filter(
+        F.col("o_orderdate") >= F.lit(_SNAP_V2_START).cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            F.col("o_orderkey") % _SNAP_MUT_MOD == 0,
+            F.col("o_totalprice") + 1,
+        ).otherwise(F.col("o_totalprice")).alias("p2"),
+    )
+    joined = v1.join(v2, F.col("k1") == F.col("k2"), "full")
+    return joined.filter(
+        F.col("k1").isNull() | F.col("k2").isNull() | (F.col("p1") != F.col("p2"))
+    ).select(
+        F.coalesce("k1", "k2").alias("o_orderkey"),
+        F.when(F.col("k1").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
