@@ -189,6 +189,61 @@ def _decode_avro_pandas(raw: DataFrame, value_col: str,
     )
 
 
+def reference_ingestion_record(eid: int, uid: int, etype: str) -> dict:
+    """The IngestionData record the certification queries encode for
+    event (eid, uid, etype): rows with eid % 3 == 0 take the null-union
+    tags branch, the rest carry a 2-element Tag array — both spec
+    branches exercised on every run.  ONE definition shared by every
+    encode site (decode_avro, avro_schema_evolution; the delivery loop
+    uses its own uuid/tags variant) so a schema change can't silently
+    desynchronize the certification payloads."""
+    return {
+        "identifier": str(eid),
+        "name": etype,
+        "uuid": str(uid),
+        "type": etype,
+        "ingestion_time": int(eid),
+        "tags": None
+        if eid % 3 == 0
+        else [
+            {"type": "u", "value": str(uid)},
+            {"type": "t", "value": etype},
+        ],
+    }
+
+
+def encode_events_as_avro(ev: DataFrame, rec_builder=reference_ingestion_record,
+                          include_event_id: bool = False) -> DataFrame:
+    """events (event_id, user_id, event_type) -> real Avro binary
+    payloads via the pure-spec encoder, Arrow-batched.  ``rec_builder``
+    maps (eid, uid, etype) to the IngestionData dict; pass
+    ``include_event_id`` to keep the event id alongside the payload
+    (broker seeding wants it for deterministic publish order)."""
+    schema = avro_codec.parse_schema(INGESTION_AVRO_SCHEMA)
+    cols = (["event_id"] if include_event_id else []) + ["value"]
+    ddl = ("event_id long, " if include_event_id else "") + "value binary"
+
+    def enc(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for eid, uid, etype in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"]
+            ):
+                payload = avro_codec.encode(
+                    schema, rec_builder(int(eid), int(uid), str(etype))
+                )
+                rows.append(
+                    (int(eid), payload) if include_event_id else (payload,)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ev.select("event_id", "user_id", "event_type").mapInPandas(
+        enc, ddl
+    )
+
+
 # --------------------------------------------------------------------------
 # decode_avro — certified end-to-end: events rows are mapped onto the
 # reference's IngestionData shape, ENCODED to real Avro binary, decoded
@@ -224,34 +279,8 @@ def decode_avro_q(spark, sf_dir: str) -> DataFrame:
     from go_pulsar_elasticsearch_spark.session import tune
 
     tune(spark)
-    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    schema = avro_codec.parse_schema(INGESTION_AVRO_SCHEMA)
-
-    def enc(it):
-        import pandas as pd
-
-        for pdf in it:
-            vals = []
-            for eid, uid, etype in zip(
-                pdf["event_id"], pdf["user_id"], pdf["event_type"]
-            ):
-                rec = {
-                    "identifier": str(eid),
-                    "name": etype,
-                    "uuid": str(uid),
-                    "type": etype,
-                    "ingestion_time": int(eid),
-                    "tags": None
-                    if eid % 3 == 0
-                    else [
-                        {"type": "u", "value": str(uid)},
-                        {"type": "t", "value": etype},
-                    ],
-                }
-                vals.append(avro_codec.encode(schema, rec))
-            yield pd.DataFrame({"value": vals})
-
-    payloads = ev.mapInPandas(enc, "value binary")
+    ev = t(spark, sf_dir, "events")
+    payloads = encode_events_as_avro(ev)
     decoded = decode_avro_payload(payloads)
     return decoded.select(
         "identifier",
@@ -389,34 +418,9 @@ def avro_schema_evolution_q(spark, sf_dir: str) -> DataFrame:
     from go_pulsar_elasticsearch_spark.session import tune
 
     tune(spark)
-    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-    schema = avro_codec.parse_schema(INGESTION_AVRO_SCHEMA)
-
-    def enc(it):
-        import pandas as pd
-
-        for pdf in it:
-            vals = []
-            for eid, uid, etype in zip(
-                pdf["event_id"], pdf["user_id"], pdf["event_type"]
-            ):
-                rec = {
-                    "identifier": str(eid),
-                    "name": etype,  # v2 drops this on resolution
-                    "uuid": str(uid),
-                    "type": etype,
-                    "ingestion_time": int(eid),
-                    "tags": None
-                    if eid % 3 == 0
-                    else [
-                        {"type": "u", "value": str(uid)},
-                        {"type": "t", "value": etype},
-                    ],
-                }
-                vals.append(avro_codec.encode(schema, rec))
-            yield pd.DataFrame({"value": vals})
-
-    payloads = ev.mapInPandas(enc, "value binary")
+    ev = t(spark, sf_dir, "events")
+    # same v1 payloads as decode_avro (shared builder); v2 drops `name`
+    payloads = encode_events_as_avro(ev)
     decoded = decode_avro_resolved(
         payloads, INGESTION_AVRO_SCHEMA, INGESTION_AVRO_SCHEMA_V2
     )

@@ -253,6 +253,10 @@ _PROMOTIONS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _unqualified(name: str) -> str:
+    return name.rsplit(".", 1)[-1]
+
+
 def _resolvable(writer: Any, reader: Any) -> bool:
     """Cheap static check: can data written as ``writer`` decode under
     ``reader``?  Used to pick the reader-union branch; field-level
@@ -265,7 +269,12 @@ def _resolvable(writer: Any, reader: Any) -> bool:
         return any(_resolvable(br, reader) for br in writer)
     wt, rt = _type_name(writer), _type_name(reader)
     if wt == "record" and rt == "record":
-        return True
+        # spec: records match by UNQUALIFIED name — without this, a
+        # reader union of two record branches would silently bind the
+        # wrong one and fabricate a value entirely from defaults
+        return _unqualified(writer.get("name", "")) == _unqualified(
+            reader.get("name", "")
+        )
     if wt == "array" and rt == "array":
         return _resolvable(writer["items"], reader["items"])
     if wt == "map" and rt == "map":
@@ -327,6 +336,13 @@ def decode_resolved(writer: Any, reader: Any, buf: io.BytesIO | bytes) -> Any:
         )
     wt, rt = _type_name(writer), _type_name(reader)
     if wt == "record" and rt == "record":
+        wn = _unqualified(writer.get("name", ""))
+        rn = _unqualified(reader.get("name", ""))
+        if wn != rn:
+            raise ValueError(
+                f"record name mismatch: writer {wn!r} vs reader {rn!r} "
+                "(Avro resolution matches records by unqualified name)"
+            )
         readers = {f["name"]: f for f in reader["fields"]}
         out: dict[str, Any] = {}
         written = set()

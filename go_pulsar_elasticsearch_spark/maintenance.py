@@ -151,12 +151,11 @@ def delete_keys(
         if os.path.exists(scratch):
             shutil.rmtree(scratch)
         part = spark.read.parquet(path)
-        file_rows = part.count()
-        kept = part.filter(keep)
-        kept.coalesce(1).write.mode("overwrite").parquet(scratch)
-        # count deletions as rows lost, not rows matched — proves the
-        # null-keyed rows survived the rewrite
-        deleted += file_rows - spark.read.parquet(scratch).count()
+        # hit is never TRUE for a NULL key (isin -> NULL under 3VL), so
+        # this count is exact; only the KEEP predicate needed the
+        # null-safe form — one count + one write per file, no re-read
+        deleted += part.filter(hit).count()
+        part.filter(keep).coalesce(1).write.mode("overwrite").parquet(scratch)
         new_part = [
             f for f in os.listdir(scratch) if f.endswith(".parquet")
         ][0]

@@ -151,9 +151,8 @@ def _drive(spark: SparkSession, sf_dir: str) -> tuple:
     if sf_dir in _LOOP_STATE:
         return _LOOP_STATE[sf_dir]
     from go_pulsar_elasticsearch_spark.ingest.avro import (
-        INGESTION_AVRO_SCHEMA,
+        encode_events_as_avro,
     )
-    from go_pulsar_elasticsearch_spark.ingest import avro_codec
     from go_pulsar_elasticsearch_spark.sources.es_mock_cluster import (
         make_server,
     )
@@ -161,41 +160,28 @@ def _drive(spark: SparkSession, sf_dir: str) -> tuple:
         MockPulsarBroker,
     )
 
-    schema = avro_codec.parse_schema(INGESTION_AVRO_SCHEMA)
+    def _loop_record(eid: int, uid: int, etype: str) -> dict:
+        # delivery-loop variant: uuid is the EVENT id (the ack/DLQ
+        # disposition key must be unique per message)
+        return {
+            "identifier": str(eid),
+            "name": etype,
+            "uuid": str(eid),
+            "type": etype,
+            "ingestion_time": int(eid),
+            "tags": None
+            if eid % 3 == 0
+            else [{"type": "u", "value": str(uid)}],
+        }
 
-    def enc(it):
-        import pandas as pd
-
-        for pdf in it:
-            vals = []
-            for eid, uid, etype in zip(
-                pdf["event_id"], pdf["user_id"], pdf["event_type"]
-            ):
-                rec = {
-                    "identifier": str(eid),
-                    "name": etype,
-                    "uuid": str(eid),
-                    "type": etype,
-                    "ingestion_time": int(eid),
-                    "tags": None
-                    if eid % 3 == 0
-                    else [{"type": "u", "value": str(uid)}],
-                }
-                vals.append(
-                    (int(eid), avro_codec.encode(schema, rec))
-                )
-            yield pd.DataFrame(
-                {"event_id": [v[0] for v in vals],
-                 "value": [v[1] for v in vals]}
-            )
-
-    payloads = (
-        t(spark, sf_dir, "events", repair=False)
-        .filter(F.col("event_id") < 10000)
-        .select("event_id", "user_id", "event_type")
-        .mapInPandas(enc, "event_id long, value binary")
-        .collect()
-    )  # failure-injection + broker seeding apparatus: the in-process
+    payloads = encode_events_as_avro(
+        t(spark, sf_dir, "events", repair=False).filter(
+            F.col("event_id") < 10000
+        ),
+        rec_builder=_loop_record,
+        include_event_id=True,
+    ).collect()
+    # failure-injection + broker seeding apparatus: the in-process
     # broker lives on the driver by construction (a real deployment
     # swaps in the pulsar connector); 10k small payloads, test-bounded
     broker = MockPulsarBroker(

@@ -82,6 +82,15 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         self._reply(200, {"name": "mock-es", "version": {"number": "8.0.0-mock"}})
 
+    def do_DELETE(self):
+        if self.path.rstrip("/") != "/_pit":
+            self._reply(404, {"error": "unknown path " + self.path})
+            return
+        body = json.loads(self._read_body() or b"{}")
+        with self.state.lock:
+            existed = self.state.pits.pop(body.get("id"), None) is not None
+        self._reply(200 if existed else 404, {"succeeded": existed})
+
     def do_PUT(self):
         index = self.path.strip("/").split("/")[0]
         body = self._read_body()

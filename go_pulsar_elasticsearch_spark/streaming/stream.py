@@ -177,10 +177,9 @@ def run_ingest_pipeline(
             derived = derive_ingest_cols(
                 main_df.drop("parsed", "raw_value"), ms_col=ts_col
             )
-            n_main = derived.count()  # pre-collapse, matching the
-            # reference's Indexed counter — ES collapses doc-ids
+            n_main = derived.count()  # pre-collapse (feeds `received`)
             n_item_dlq = 0
-            n_indexed = n_main  # parquet branch: every derived row lands
+            n_indexed = 0
             if n_main:
                 deduped = upsert_last_write_wins(
                     derived, key_cols, "ingestion_time", tiebreak
@@ -206,6 +205,10 @@ def run_ingest_pipeline(
                     n_indexed = res["indexed"]
                 else:
                     # R11: dated partitions behind the stable sink path.
+                    # indexed counts what the sink actually receives —
+                    # the DEDUPED rows — the same base as the bulk
+                    # branch, so in-batch duplicates never overcount
+                    n_indexed = deduped.count()
                     (deduped.withColumn("tags_json", F.to_json("tags")).drop("tags")
                      .write.mode("append").partitionBy("ingest_date")
                      .format("parquet").save(sink_dir))

@@ -149,3 +149,48 @@ def test_illegal_demotion_raises():
         pass
     else:
         raise AssertionError("long -> int must not resolve")
+
+
+def test_union_branch_selection_matches_record_names():
+    """Round-5 review finding: a reader union of two record branches
+    must bind the branch whose (unqualified) NAME matches the writer
+    record, not the first record branch — otherwise the value is
+    fabricated entirely from the wrong branch's defaults."""
+    tag = {"type": "record", "name": "Tag", "fields": [
+        {"name": "type", "type": "string"},
+        {"name": "value", "type": "string"},
+    ]}
+    audit = {"type": "record", "name": "Audit", "fields": [
+        {"name": "actor", "type": "string", "default": "x"},
+        {"name": "note", "type": "string", "default": ""},
+    ]}
+    writer = {"type": "record", "name": "R", "fields": [
+        {"name": "item", "type": tag},
+    ]}
+    reader = {"type": "record", "name": "R", "fields": [
+        {"name": "item", "type": [audit, tag]},
+    ]}
+    b = ac.encode(writer, {"item": {"type": "k", "value": "v"}})
+    out = ac.decode_resolved(writer, reader, b)
+    assert out == {"item": {"type": "k", "value": "v"}}
+
+
+def test_record_name_mismatch_raises():
+    w = {"type": "record", "name": "A",
+         "fields": [{"name": "x", "type": "long"}]}
+    r = {"type": "record", "name": "B",
+         "fields": [{"name": "x", "type": "long"}]}
+    try:
+        ac.decode_resolved(w, r, ac.encode(w, {"x": 1}))
+    except ValueError as exc:
+        assert "name mismatch" in str(exc)
+    else:
+        raise AssertionError("differently-named records must not resolve")
+
+
+def test_qualified_names_match_unqualified():
+    w = {"type": "record", "name": "com.example.R",
+         "fields": [{"name": "x", "type": "int"}]}
+    r = {"type": "record", "name": "other.ns.R",
+         "fields": [{"name": "x", "type": "long"}]}
+    assert ac.decode_resolved(w, r, ac.encode(w, {"x": 7})) == {"x": 7}
