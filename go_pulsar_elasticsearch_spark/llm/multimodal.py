@@ -889,3 +889,134 @@ def image_ahash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l1_thumb") <= _VERIFY_L1)
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_transform — REAL media transforms, byte-certified round
+# trip: decode (real parser) -> transform (nearest-neighbor thumbnail /
+# stride-2 audio decimation) -> RE-ENCODE with the real writer ->
+# decode AGAIN -> emit stats of the re-decoded output.  A bug in either
+# direction of either codec, or in the transform arithmetic, breaks the
+# hash; the oracle computes the expected values from the generating
+# formulas without seeing a byte.
+# --------------------------------------------------------------------------
+
+_THUMB = 8          # thumbnail edge (nearest-neighbor)
+_WAV_STRIDE = 2     # audio decimation factor
+
+_TRANSFORM_ORACLE = f"""
+WITH bmp AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), thumb AS (
+  SELECT doc_id,
+         SUM((doc_id*7  + ((i % {_THUMB}) * w) // {_THUMB}
+                       + 3*(((i // {_THUMB}) * h) // {_THUMB})) % 256
+           + (doc_id*11 + 2*(((i % {_THUMB}) * w) // {_THUMB})
+                       + ((i // {_THUMB}) * h) // {_THUMB}) % 256
+           + (doc_id*13 + ((i % {_THUMB}) * w) // {_THUMB}
+                       + ((i // {_THUMB}) * h) // {_THUMB}) % 256) AS s
+  FROM (SELECT doc_id, w, h, unnest(range(0, {_THUMB}*{_THUMB})) AS i
+        FROM bmp)
+  GROUP BY doc_id
+), wav AS (
+  SELECT doc_id, 50 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 2 = 1
+), decim AS (
+  SELECT doc_id, (n + {_WAV_STRIDE} - 1) // {_WAV_STRIDE} AS n_out,
+         SUM(abs((doc_id*31 + i*17) % 4096 - 2048)) AS s
+  FROM (SELECT doc_id, n, unnest(range(0, n, {_WAV_STRIDE})) AS i
+        FROM wav)
+  GROUP BY doc_id, n
+)
+SELECT doc_id, 'bmp' AS kind,
+       CAST({_THUMB}*{_THUMB} AS BIGINT) AS out_units,
+       CAST(s AS BIGINT) AS sum_values
+FROM thumb
+UNION ALL
+SELECT doc_id, 'wav', CAST(n_out AS BIGINT), CAST(s AS BIGINT)
+FROM decim
+"""
+
+
+@register("multimodal_transform", _TRANSFORM_ORACLE)
+def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail + decimate through the real codecs, both directions.
+    Images: decode the synthetic 24-bit BMP, nearest-neighbor resample
+    to 8x8 (src = (dst*dim)//8, the exact integer mapping), encode the
+    thumbnail as a REAL BMP again, decode THAT, and sum its channels.
+    Audio: decode the PCM WAV, keep every 2nd sample, re-encode,
+    re-decode, sum absolute amplitudes.
+
+    At 100 TB this is the production media-prep shape: scan ->
+    mapInPandas, one decode+transform+encode per blob, zero shuffles;
+    thumbnails/decimated audio are what actually ship to training."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp_pixels,
+        decode_wav_samples,
+        encode_bmp,
+        encode_wav,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    T, S = _THUMB, _WAV_STRIDE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = 4 + d % 13, 3 + d % 7
+                    grid = [
+                        [
+                            (
+                                (d * 7 + x + 3 * y) % 256,
+                                (d * 11 + 2 * x + y) % 256,
+                                (d * 13 + x + y) % 256,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    px = decode_bmp_pixels(encode_bmp(w, h, grid))
+                    src = px["rgb_rows"]
+                    thumb = [
+                        [
+                            src[(y * px["height"]) // T][(x * px["width"]) // T]
+                            for x in range(T)
+                        ]
+                        for y in range(T)
+                    ]
+                    back = decode_bmp_pixels(encode_bmp(T, T, thumb))
+                    s = sum(
+                        c
+                        for row in back["rgb_rows"]
+                        for p in row
+                        for c in p
+                    )
+                    rows.append((d, "bmp", T * T, s))
+                else:
+                    n = 50 + d % 100
+                    rate = 8000 + (d % 3) * 4000
+                    samples = [
+                        (d * 31 + i * 17) % 4096 - 2048 for i in range(n)
+                    ]
+                    dec = decode_wav_samples(encode_wav(rate, samples))
+                    kept = dec["samples"][::S]
+                    back = decode_wav_samples(
+                        encode_wav(dec["sample_rate"] // S, kept)
+                    )
+                    rows.append((
+                        d, "wav", len(back["samples"]),
+                        sum(abs(v) for v in back["samples"]),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "out_units", "sum_values"]
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, kind string, out_units long, sum_values long",
+    )

@@ -545,3 +545,64 @@ def sql_surface_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_NULLS_SQL)
+
+
+# --------------------------------------------------------------------------
+# sql_surface_exists_correlated  (correlated EXISTS / NOT EXISTS — one
+# text, both engines; Catalyst's RewritePredicateSubquery turns them
+# into left-semi / left-anti joins, the decorrelation every warehouse
+# migration leans on)
+# --------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 50000)
+"""
+
+
+@register("sql_surface_exists_correlated", _EXISTS_SQL)
+def sql_surface_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS in one statement: customers with a
+    big order and no small finished one.  The identical text runs on
+    both engines; Spark decorrelates to one semi and one anti join on
+    c_custkey (a single exchange each, no per-row subquery execution) —
+    the plan shape that makes correlated predicates scale."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+# --------------------------------------------------------------------------
+# sql_surface_scalar_subquery  (correlated scalar subquery in the select
+# list — RewriteCorrelatedScalarSubquery: aggregate once per key, join
+# back; NOT a per-row re-execution)
+# --------------------------------------------------------------------------
+
+_SCALAR_SUBQ_SQL = """
+SELECT o.o_orderkey,
+       o.o_totalprice,
+       (SELECT MAX(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey) AS cust_max_price
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+"""
+
+
+@register("sql_surface_scalar_subquery", _SCALAR_SUBQ_SQL)
+def sql_surface_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order next to its customer's lifetime max price via a
+    correlated scalar subquery.  Catalyst decorrelates to ONE grouped
+    aggregate over orders joined back on o_custkey — the rewrite that
+    keeps select-list subqueries from becoming N executions.  MAX over
+    doubles is order-insensitive and exact, so the identical text
+    hash-matches DuckDB."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
