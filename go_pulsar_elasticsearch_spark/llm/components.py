@@ -506,3 +506,110 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy(F.col("node").alias("doc_id")).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+# --------------------------------------------------------------------------
+# graph_clustering_coeff  (local clustering coefficient over the
+# candidate graph: 2*triangles / deg*(deg-1) — the density score that
+# separates organic near-dup neighborhoods from template blowups)
+# --------------------------------------------------------------------------
+
+_CLUSTERING_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM words)
+), sigs AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM (SELECT doc_id, shingle, unnest(range(0, 8)) AS band FROM shingles)
+  GROUP BY doc_id, band
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+                          AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 4
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.src = e1.dst
+  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), tri_per AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+), deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT src AS node FROM pairs
+    UNION ALL SELECT dst FROM pairs
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS doc_id,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                 / (d.degree * (d.degree - 1))
+            ELSE CAST(0.0 AS DOUBLE) END AS clustering_coeff
+FROM deg d LEFT JOIN tri_per t ON t.node = d.node
+"""
+
+
+@register("graph_clustering_coeff", _CLUSTERING_ORACLE)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree + triangle count + local clustering coefficient per node
+    of the near-dup candidate graph.  Shares the slot-cached edge list
+    with graph_triangle_count (same builder, same key), so running both
+    in one session pays for the band join once.  The coefficient is an
+    IEEE-exact division of exact integers — hash-stable across engines.
+    Same two-join wedge plan as the triangle count; the degree side is
+    one extra grouped aggregate over the (cached) edges."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_band_sigs(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    edges = cache_slot(
+        "tri_edges",
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("n_bands"))
+        .filter(F.col("n_bands") >= 4)
+        .select("src", "dst"),
+    )
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_per = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri_per, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+        coeff.alias("clustering_coeff"),
+    )

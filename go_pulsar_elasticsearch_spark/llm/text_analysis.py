@@ -656,3 +656,73 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# readability_score  (Flesch-style reading ease: curation pipelines gate
+# on it to separate prose from tables/boilerplate/code — one more
+# deterministic text-quality signal next to quality_score/gopher)
+# --------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(text, ' +')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sentences,
+         greatest(len(regexp_extract_all(text, '[aeiou]+')), 1) AS n_syllables
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+             6) AS flesch,
+       CASE WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 60
+            THEN 'easy'
+            WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 30
+            THEN 'moderate'
+            ELSE 'hard' END AS band
+FROM c
+"""
+
+
+@register("readability_score", _READABILITY_ORACLE)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading ease from three deterministic counts
+    (whitespace words, sentence punctuation, vowel-group syllable
+    proxy).  All three counts are exact ints, the two ratios are
+    IEEE-exact divisions, and the score rounds to 6 places on both
+    engines (house hash rule), so the float formula hash-certifies.
+    One scan, zero shuffles — the gate composes into curation filters
+    for free."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.split("text", " +"))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0)), F.lit(1)
+    )
+    raw = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sent)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    band = (
+        F.when(raw >= 60, F.lit("easy"))
+        .when(raw >= 30, F.lit("moderate"))
+        .otherwise(F.lit("hard"))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+        F.round(raw, 6).alias("flesch"),
+        band.alias("band"),
+    )
