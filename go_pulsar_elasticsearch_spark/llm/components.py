@@ -464,24 +464,19 @@ FROM per_node
 """
 
 
-@register("graph_triangle_count", _TRIANGLE_ORACLE)
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc triangle counts over the MinHash candidate graph.
+def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oriented (src < dst) MinHash candidate edge list both graph
+    QA ops build on, slot-cached with cache_slot_reuse so whichever op
+    runs second REUSES the first's materialization (the builds are
+    semantically identical, so sameSemantics hits) — one band self-join
+    per session, not one per operator."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
 
-    The classic distributed shape: orient every edge low-id -> high-id
-    (so each triangle {a<b<c} is found exactly once as the wedge
-    a->b->c closed by a->c), self-join edges on the wedge midpoint,
-    then semi-verify the closing edge with a second join — two shuffle
-    joins total, never an all-pairs pass.  At 100 TB the standard
-    refinement is degree-ordering instead of id-ordering (point the
-    wedge at the lower-degree endpoint to bound wedge fan-out on skewed
-    graphs); id-ordering keeps the oracle exact here and the LSH
-    candidate graph is degree-bounded by band-bucket design anyway."""
-    tune(spark)
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_band_sigs(docs)
+    sigs = minhash_band_sigs(t(spark, sf_dir, "documents"))
     a, b = sigs.alias("a"), sigs.alias("b")
-    edges = cache_slot(
+    return cache_slot_reuse(
         "tri_edges",
         a.join(
             b,
@@ -494,10 +489,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_bands") >= 4)
         .select("src", "dst"),
     )
+
+
+def _wedge_triangles(edges: DataFrame) -> DataFrame:
+    """Each triangle {a<b<c} exactly once: the wedge a->b->c closed by
+    the a->c edge — two shuffle joins, never an all-pairs pass."""
     e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return e1.join(e2, "b").join(e3, ["a", "c"])
+
+
+@register("graph_triangle_count", _TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts over the MinHash candidate graph.
+
+    The classic distributed shape (see _wedge_triangles).  At 100 TB
+    the standard refinement is degree-ordering instead of id-ordering
+    (point the wedge at the lower-degree endpoint to bound wedge
+    fan-out on skewed graphs); id-ordering keeps the oracle exact here
+    and the LSH candidate graph is degree-bounded by band-bucket design
+    anyway."""
+    tune(spark)
+    tri = _wedge_triangles(_candidate_edges(spark, sf_dir))
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
@@ -563,32 +577,15 @@ FROM deg d LEFT JOIN tri_per t ON t.node = d.node
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree + triangle count + local clustering coefficient per node
     of the near-dup candidate graph.  Shares the slot-cached edge list
-    with graph_triangle_count (same builder, same key), so running both
-    in one session pays for the band join once.  The coefficient is an
-    IEEE-exact division of exact integers — hash-stable across engines.
-    Same two-join wedge plan as the triangle count; the degree side is
-    one extra grouped aggregate over the (cached) edges."""
+    with graph_triangle_count (one _candidate_edges builder, slot-
+    REUSED via sameSemantics), so running both in one session pays for
+    the band join once.  The coefficient is an IEEE-exact division of
+    exact integers — hash-stable across engines.  Same two-join wedge
+    plan as the triangle count; the degree side is one extra grouped
+    aggregate over the (cached) edges."""
     tune(spark)
-    docs = t(spark, sf_dir, "documents")
-    sigs = minhash_band_sigs(docs)
-    a, b = sigs.alias("a"), sigs.alias("b")
-    edges = cache_slot(
-        "tri_edges",
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .agg(F.count("*").alias("n_bands"))
-        .filter(F.col("n_bands") >= 4)
-        .select("src", "dst"),
-    )
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    edges = _candidate_edges(spark, sf_dir)
+    tri = _wedge_triangles(edges)
     tri_per = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
