@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import register_views, t
+from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 from go_pulsar_elasticsearch_spark.functions.exact import AVGD, SUMD, davg, dsum
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -842,4 +843,82 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_probe,
         "event_type string, user_id bigint, est_count bigint, "
         "n_events bigint",
+    )
+
+
+# --------------------------------------------------------------------------
+# basket_lift  (market-basket affinity: brand-pair co-occurrence within
+# orders, support + lift — the classic retail association query, run
+# here over the largest fixture table)
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_CO = 3
+
+_BASKET_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+  SELECT COUNT(DISTINCT ok) AS n_orders FROM ob
+), bc AS (
+  SELECT b, COUNT(*) AS cnt FROM ob GROUP BY b
+), pairs AS (
+  SELECT a.b AS brand1, c.b AS brand2, COUNT(*) AS co
+  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+  GROUP BY 1, 2
+)
+SELECT p.brand1, p.brand2,
+       CAST(p.co AS BIGINT) AS co_orders,
+       round(CAST(p.co * n.n_orders AS DOUBLE)
+             / CAST(b1.cnt * b2.cnt AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN bc b1 ON b1.b = p.brand1
+JOIN bc b2 ON b2.b = p.brand2
+CROSS JOIN n
+WHERE p.co >= {_BASKET_MIN_CO}
+"""
+
+
+@register("basket_lift", _BASKET_ORACLE)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand pairs bought together more than chance predicts: lift =
+    P(b1,b2) / (P(b1)·P(b2)) over distinct (order, brand) incidence.
+
+    100 TB shape: the incidence frame is ONE distinct shuffle on
+    (orderkey, brand); the pair join is orderkey-co-partitioned with
+    fan-out bounded by basket width (≤ 7 lineitems per order in this
+    schema, so ≤ C(7,2) pairs each — never quadratic in the table);
+    brand marginals are a broadcast-sized dim joined back.  lift is a
+    single IEEE division of exact int64 products (both < 2^53), so the
+    double hash-matches DuckDB bit-for-bit; round-6 per house rule."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    ob = cache_slot("basket_ob", ob)
+    n_orders = ob.select("ok").distinct().count()  # one scalar, driver-safe
+    bc = ob.groupBy("b").agg(F.count("*").alias("cnt"))
+    a, c = ob.alias("a"), ob.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.b") < F.col("c.b")))
+        .groupBy(F.col("a.b").alias("brand1"), F.col("c.b").alias("brand2"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= _BASKET_MIN_CO)
+    )
+    b1 = bc.select(F.col("b").alias("brand1"), F.col("cnt").alias("c1"))
+    b2 = bc.select(F.col("b").alias("brand2"), F.col("cnt").alias("c2"))
+    lift = F.round(
+        (F.col("co") * F.lit(n_orders)).cast("double")
+        / (F.col("c1") * F.col("c2")).cast("double"),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(b1), "brand1")
+        .join(F.broadcast(b2), "brand2")
+        .select("brand1", "brand2", F.col("co").alias("co_orders"),
+                lift.alias("lift"))
     )
