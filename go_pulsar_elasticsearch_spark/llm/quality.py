@@ -309,3 +309,97 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_n") >= _KANON_K).alias("k_anonymous"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# embedding_psi_drift  (population stability index between a reference
+# and a current embedding population — the standard "did my feature
+# distribution move" monitor, run per histogram bucket so the output
+# is bucket-sized and the math stays engine-portable)
+# --------------------------------------------------------------------------
+
+_PSI_BINS_LO, _PSI_BINS_HI = -20, 19  # floor(x*10) clamped
+
+_PSI_ORACLE = f"""
+WITH pop AS (
+  SELECT vec_id % 2 AS side,
+         greatest({_PSI_BINS_LO},
+                  least({_PSI_BINS_HI},
+                        CAST(floor(CAST(embedding[1] AS DOUBLE) * 10)
+                             AS BIGINT))) AS bucket
+  FROM embeddings
+), counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE side = 0) AS n_ref,
+         COUNT(*) FILTER (WHERE side = 1) AS n_cur
+  FROM pop GROUP BY bucket
+), tot AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+)
+SELECT c.bucket,
+       CAST(c.n_ref AS BIGINT) AS n_ref,
+       CAST(c.n_cur AS BIGINT) AS n_cur,
+       round((CAST(c.n_cur AS DOUBLE) / t.t_cur
+              - CAST(c.n_ref AS DOUBLE) / t.t_ref)
+             * round(ln(CAST(c.n_cur * t.t_ref AS DOUBLE)
+                        / CAST(c.n_ref * t.t_cur AS DOUBLE)), 6),
+             6) AS psi_term
+FROM counts c CROSS JOIN tot t
+WHERE c.n_ref > 0 AND c.n_cur > 0
+"""
+
+
+@register("embedding_psi_drift", _PSI_ORACLE)
+def embedding_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI terms per dim-0 histogram bucket between the even-id
+    (reference) and odd-id (current) embedding populations; the
+    monitor's score is the sum of psi_term, kept per-bucket here so
+    the certified output also localizes WHERE the distribution moved.
+
+    Engine portability: float32 -> double is exact, bucket floors are
+    integer, the probability ratio is one IEEE division of exact int64
+    products, and ln rounds to 6 places immediately (house hash rule).
+    At 100 TB: one scan, one bucket-sized aggregate, a 1-row totals
+    broadcast — nothing scales with corpus size after the scan."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    bucket = F.greatest(
+        F.lit(_PSI_BINS_LO),
+        F.least(
+            F.lit(_PSI_BINS_HI),
+            F.floor(
+                F.element_at("embedding", 1).cast("double") * 10
+            ).cast("bigint"),
+        ),
+    )
+    side = (F.col("vec_id") % 2).alias("side")
+    counts = (
+        emb.select(side, bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("side") == 0, 1)).alias("n_ref"),
+            F.count(F.when(F.col("side") == 1, 1)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    j = counts.crossJoin(F.broadcast(tot)).filter(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    )
+    ln_ratio = F.round(
+        F.log(
+            (F.col("n_cur") * F.col("t_ref")).cast("double")
+            / (F.col("n_ref") * F.col("t_cur")).cast("double")
+        ),
+        6,
+    )
+    psi = F.round(
+        (
+            F.col("n_cur").cast("double") / F.col("t_cur")
+            - F.col("n_ref").cast("double") / F.col("t_ref")
+        )
+        * ln_ratio,
+        6,
+    )
+    return j.select("bucket", "n_ref", "n_cur", psi.alias("psi_term"))

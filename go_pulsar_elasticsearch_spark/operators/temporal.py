@@ -432,3 +432,79 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+# --------------------------------------------------------------------------
+# duplicate_invoice_detect  (structured near-duplicate detection: same
+# customer, same amount, order dates within a 3-day window, different
+# keys — the billing-dedup complement to the text-dedup family; the
+# blocking key makes it a bounded self-join, not all-pairs)
+# --------------------------------------------------------------------------
+
+_DUPINV_WINDOW_DAYS = 7
+_DUPINV_AMOUNT_TOL = 0.10  # relative amount tolerance
+
+_DUPINV_ORACLE = f"""
+SELECT a.o_orderkey AS orderkey_a,
+       b.o_orderkey AS orderkey_b,
+       a.o_custkey AS custkey,
+       a.o_totalprice AS amount_a,
+       b.o_totalprice AS amount_b,
+       CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                      CAST(b.o_orderdate AS DATE)) AS BIGINT) AS day_gap
+FROM orders a
+JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderkey > a.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL {_DUPINV_WINDOW_DAYS} DAY
+ AND abs(b.o_totalprice - a.o_totalprice)
+     <= {_DUPINV_AMOUNT_TOL} * a.o_totalprice
+"""
+
+
+@register("duplicate_invoice_detect", _DUPINV_ORACLE)
+def duplicate_invoice_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suspected double-billing pairs: same customer, order dates
+    within a 7-day window, amounts within ±10% — the structured twin of
+    the text near-dup ops (exact BLOCKING key + cheap residual verify,
+    the shape every entity-resolution pipeline runs).
+
+    The equi block is custkey (co-partitioned self-join, never
+    all-pairs; per-customer order counts bound the fan-out — real
+    billing data would add an amount bucket to the block, the fixture's
+    continuous prices make custkey the selective key).  The date window
+    and relative-amount tolerance are residual predicates inside the
+    join; both engines evaluate the identical IEEE expressions, so even
+    the float tolerance boundary hash-matches."""
+    tune(spark)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a, b = o.alias("a"), o.alias("b")
+    upper = F.col("a.o_orderdate") + F.expr(
+        f"INTERVAL {_DUPINV_WINDOW_DAYS} DAY"
+    )
+    close = (
+        F.abs(F.col("b.o_totalprice") - F.col("a.o_totalprice"))
+        <= F.lit(_DUPINV_AMOUNT_TOL) * F.col("a.o_totalprice")
+    )
+    pairs = a.join(
+        b,
+        (F.col("b.o_custkey") == F.col("a.o_custkey"))
+        & (F.col("b.o_orderkey") > F.col("a.o_orderkey"))
+        & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+        & (F.col("b.o_orderdate") <= upper)
+        & close,
+    )
+    return pairs.select(
+        F.col("a.o_orderkey").alias("orderkey_a"),
+        F.col("b.o_orderkey").alias("orderkey_b"),
+        F.col("a.o_custkey").alias("custkey"),
+        F.col("a.o_totalprice").alias("amount_a"),
+        F.col("b.o_totalprice").alias("amount_b"),
+        F.datediff(
+            F.col("b.o_orderdate").cast("date"),
+            F.col("a.o_orderdate").cast("date"),
+        ).cast("bigint").alias("day_gap"),
+    )
