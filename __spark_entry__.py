@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 5): 242 registered queries, 231 with oracles (new this
+State (round 5): 244 registered queries, 233 with oracles (new this
 round: the wire-certified Pulsar delivery loop, Avro schema-resolution
 decode, leakage-safe splits, interval merge, triangle counts,
 k-anonymity audit, full-outer interval join).  The eleven

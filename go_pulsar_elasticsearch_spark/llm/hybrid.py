@@ -496,3 +496,88 @@ def function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("event_id"))
         .limit(_FS_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# ndcg_eval  (ranking-quality evaluation: nDCG@10 per query — the search
+# family's missing EVAL metric; deterministic pseudo-rankings make the
+# whole computation hash-certifiable)
+# --------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_QUERIES = 19  # coprime with the rel modulus, so grades vary per query
+
+
+def _ndcg_oracle() -> str:
+    from go_pulsar_elasticsearch_spark.llm.lm_score import _md5_u32_sql
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id % {_NDCG_QUERIES} AS q, doc_id,
+         {_md5_u32_sql('doc_id')} AS score,
+         CAST(doc_id % 4 AS BIGINT) AS rel
+  FROM documents
+), ranked AS (
+  SELECT q, rel,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY score DESC, doc_id) AS r
+  FROM scored
+), ideal AS (
+  SELECT q, rel,
+         ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, doc_id) AS r
+  FROM scored
+), dcg AS (
+  SELECT q, round(SUM((pow(2, rel) - 1) / log2(r + 1)), 6) AS dcg
+  FROM ranked WHERE r <= {_NDCG_K} GROUP BY q
+), idcg AS (
+  SELECT q, round(SUM((pow(2, rel) - 1) / log2(r + 1)), 6) AS idcg
+  FROM ideal WHERE r <= {_NDCG_K} GROUP BY q
+)
+SELECT CAST(d.q AS BIGINT) AS q, d.dcg, i.idcg,
+       round(d.dcg / i.idcg, 6) AS ndcg_at_{_NDCG_K}
+FROM dcg d JOIN idcg i ON i.q = d.q
+"""
+
+
+@register("ndcg_eval", _ndcg_oracle())
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per query bucket: a deterministic pseudo-retrieval
+    (md5-u32 of doc_id as the system score) is evaluated against
+    deterministic graded relevance (doc_id % 4), so DCG, ideal DCG and
+    their ratio are all closed-form — the certification covers the
+    metric arithmetic itself (the part eval harnesses get subtly wrong:
+    gain = 2^rel - 1, log2 discounting, per-query ideal ordering).
+
+    Scale: two q-partitioned windows share one hash exchange; only
+    rank <= 10 rows reach the per-query aggregate, so the output is
+    queries x 1 regardless of corpus size — plug a real retriever's
+    (q, doc, score) frame in and the same plan scores it."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    scored = docs.select(
+        (F.col("doc_id") % _NDCG_QUERIES).alias("q"),
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint").alias("score"),
+        (F.col("doc_id") % 4).alias("rel"),
+    )
+    ranked_w = Window.partitionBy("q").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ideal_w = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("doc_id"))
+    gain = F.pow(F.lit(2), F.col("rel")) - 1
+
+    def _dcg(w, out):
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= _NDCG_K)
+            .groupBy("q")
+            .agg(F.round(
+                F.sum(gain / F.log2(F.col("r") + 1)), 6).alias(out))
+        )
+
+    dcg = _dcg(ranked_w, "dcg")
+    idcg = _dcg(ideal_w, "idcg")
+    return dcg.join(idcg, "q").select(
+        "q", "dcg", "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg_at_{_NDCG_K}"),
+    )

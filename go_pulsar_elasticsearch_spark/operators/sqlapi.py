@@ -606,3 +606,38 @@ def sql_surface_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir)
     return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+# --------------------------------------------------------------------------
+# sql_surface_window_clause  (named WINDOW definitions shared by several
+# over() consumers — one text, both engines; Catalyst plans ONE Window
+# node per distinct spec, so the shared name is also a shared exchange)
+# --------------------------------------------------------------------------
+
+_WINDOW_CLAUSE_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       ROW_NUMBER() OVER w AS order_seq,
+       LAG(o_orderkey) OVER w AS prev_orderkey,
+       CAST(COUNT(*) OVER w_all AS BIGINT) AS cust_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_all
+            AS DOUBLE) AS cust_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_all AS (PARTITION BY o_custkey)
+"""
+
+
+@register("sql_surface_window_clause", _WINDOW_CLAUSE_SQL)
+def sql_surface_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-standard WINDOW clause: two named specs consumed by four
+    window functions.  The identical statement runs on both engines
+    (the oracle IS the query text); the partition sum goes through the
+    exact-decimal cast so the unordered double accumulation can't
+    diverge between engines.  Catalyst collapses same-spec functions
+    into one Window node — both `w` consumers share one sort, both
+    `w_all` consumers share one unordered pass, all on a single
+    o_custkey exchange."""
+    tune(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_CLAUSE_SQL)
