@@ -526,10 +526,12 @@ WITH scored AS (
          ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, doc_id) AS r
   FROM scored
 ), dcg AS (
-  SELECT q, round(SUM((pow(2, rel) - 1) / log2(r + 1)), 6) AS dcg
+  SELECT q, CAST(SUM(CAST(round((pow(2, rel) - 1) / log2(r + 1), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS dcg
   FROM ranked WHERE r <= {_NDCG_K} GROUP BY q
 ), idcg AS (
-  SELECT q, round(SUM((pow(2, rel) - 1) / log2(r + 1)), 6) AS idcg
+  SELECT q, CAST(SUM(CAST(round((pow(2, rel) - 1) / log2(r + 1), 6)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS idcg
   FROM ideal WHERE r <= {_NDCG_K} GROUP BY q
 )
 SELECT CAST(d.q AS BIGINT) AS q, d.dcg, i.idcg,
@@ -546,6 +548,9 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     their ratio are all closed-form — the certification covers the
     metric arithmetic itself (the part eval harnesses get subtly wrong:
     gain = 2^rel - 1, log2 discounting, per-query ideal ordering).
+    Each discount term rounds to 6 places BEFORE an exact decimal sum
+    (sum order differs between engines; round-then-exact-sum is the
+    house rule for transcendentals).
 
     Scale: two q-partitioned windows share one hash exchange; only
     rank <= 10 rows reach the per-query aggregate, so the output is
@@ -567,12 +572,17 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain = F.pow(F.lit(2), F.col("rel")) - 1
 
     def _dcg(w, out):
+        # round each transcendental TERM to 6 places, then sum exactly
+        # as decimals (the house order-independence rule — a raw double
+        # SUM's partition-merge order differs between engines)
+        term = F.round(gain / F.log2(F.col("r") + 1), 6).cast(
+            "decimal(18,6)"
+        )
         return (
             scored.withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= _NDCG_K)
             .groupBy("q")
-            .agg(F.round(
-                F.sum(gain / F.log2(F.col("r") + 1)), 6).alias(out))
+            .agg(F.sum(term).cast("double").alias(out))
         )
 
     dcg = _dcg(ranked_w, "dcg")

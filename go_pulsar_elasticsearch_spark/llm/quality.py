@@ -319,6 +319,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PSI_BINS_LO, _PSI_BINS_HI = -20, 19  # floor(x*10) clamped
+_PSI_EPS = 1e-6  # probability floor: one-sided buckets must CONTRIBUTE
 
 _PSI_ORACLE = f"""
 WITH pop AS (
@@ -341,11 +342,11 @@ SELECT c.bucket,
        CAST(c.n_cur AS BIGINT) AS n_cur,
        round((CAST(c.n_cur AS DOUBLE) / t.t_cur
               - CAST(c.n_ref AS DOUBLE) / t.t_ref)
-             * round(ln(CAST(c.n_cur * t.t_ref AS DOUBLE)
-                        / CAST(c.n_ref * t.t_cur AS DOUBLE)), 6),
+             * round(ln(greatest(CAST(c.n_cur AS DOUBLE) / t.t_cur, {_PSI_EPS})
+                        / greatest(CAST(c.n_ref AS DOUBLE) / t.t_ref, {_PSI_EPS})),
+                     6),
              6) AS psi_term
 FROM counts c CROSS JOIN tot t
-WHERE c.n_ref > 0 AND c.n_cur > 0
 """
 
 
@@ -355,10 +356,15 @@ def embedding_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference) and odd-id (current) embedding populations; the
     monitor's score is the sum of psi_term, kept per-bucket here so
     the certified output also localizes WHERE the distribution moved.
+    One-sided buckets (mass present on only one side — the STRONGEST
+    drift signal) are floored at eps=1e-6 probability rather than
+    dropped, the standard PSI guard; a total distribution shift now
+    produces large terms instead of an empty frame (round-5 review).
 
     Engine portability: float32 -> double is exact, bucket floors are
-    integer, the probability ratio is one IEEE division of exact int64
-    products, and ln rounds to 6 places immediately (house hash rule).
+    integer, each probability is one IEEE division of exact int64s
+    (greatest() against the eps literal is deterministic), and ln
+    rounds to 6 places immediately (house hash rule).
     At 100 TB: one scan, one bucket-sized aggregate, a 1-row totals
     broadcast — nothing scales with corpus size after the scan."""
     tune(spark)
@@ -384,13 +390,13 @@ def embedding_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
     )
-    j = counts.crossJoin(F.broadcast(tot)).filter(
-        (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
-    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
     ln_ratio = F.round(
         F.log(
-            (F.col("n_cur") * F.col("t_ref")).cast("double")
-            / (F.col("n_ref") * F.col("t_cur")).cast("double")
+            F.greatest(p_cur, F.lit(_PSI_EPS))
+            / F.greatest(p_ref, F.lit(_PSI_EPS))
         ),
         6,
     )

@@ -436,9 +436,9 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # duplicate_invoice_detect  (structured near-duplicate detection: same
-# customer, same amount, order dates within a 3-day window, different
-# keys — the billing-dedup complement to the text-dedup family; the
-# blocking key makes it a bounded self-join, not all-pairs)
+# customer, amounts within ±10%, order dates within a 7-day window,
+# different keys — the billing-dedup complement to the text-dedup
+# family; the blocking key makes it a bounded self-join, not all-pairs)
 # --------------------------------------------------------------------------
 
 _DUPINV_WINDOW_DAYS = 7
