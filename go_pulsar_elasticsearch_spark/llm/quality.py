@@ -301,7 +301,9 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(
             "lang",
             "source",
-            (F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
+            # floor, not truncate-toward-zero: matches the oracle's
+            # integer // even if lengths ever admit negatives/nulls
+            F.floor(F.col("n_chars") / 200).cast("bigint").alias("len_bucket"),
         )
         .agg(F.count("*").alias("group_n"))
         .select(

@@ -188,7 +188,8 @@ _RESULT_SCHEMA = "uuid string, status int, error string, doc string"
 
 
 def bulk_index_rows(df: DataFrame, endpoint: str,
-                    opts: BulkClientOptions | None = None) -> DataFrame:
+                    opts: BulkClientOptions | None = None,
+                    passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Distributed bulk indexing as a transformation.
 
     Each input partition serializes its rows to JSON docs and posts bulk
@@ -199,6 +200,13 @@ def bulk_index_rows(df: DataFrame, endpoint: str,
     join back (the reference nacks the original message for the same
     reason, main.go:194-197).
 
+    `passthrough` names input columns carried to the result row WITHOUT
+    being indexed (e.g. a broker message id): because an ES bulk response
+    returns exactly one item per action IN ORDER, results pair with input
+    rows positionally, so the pairing stays exact even when two rows share
+    a doc id — keying reconciliation on a passthrough message id instead
+    of the (possibly duplicated) uuid (round-5 ADVICE).
+
     At 100 TB this is the right shape: no collect, no driver fan-in; the
     result frame is tiny per partition (ids + statuses) unless failures
     are pervasive, and failure payloads are exactly what must be
@@ -206,6 +214,7 @@ def bulk_index_rows(df: DataFrame, endpoint: str,
     """
     opts = opts or BulkClientOptions()
     endpoint_v, opts_v = endpoint, opts  # close over plain values only
+    pt_cols = tuple(passthrough)
 
     def run(batches):
         import pandas as pd
@@ -213,25 +222,39 @@ def bulk_index_rows(df: DataFrame, endpoint: str,
         for pdf in batches:
             if pdf.empty:
                 continue
+            pt = pdf[list(pt_cols)] if pt_cols else None
+            doc_pdf = pdf.drop(columns=list(pt_cols)) if pt_cols else pdf
             docs = []
-            for rec in pdf.to_dict("records"):
+            for rec in doc_pdf.to_dict("records"):
                 docs.append({k: _to_jsonable(v) for k, v in rec.items()})
             results = bulk_index_docs(docs, endpoint_v, opts_v)
-            by_id = {d[opts_v.id_field]: d for d in docs}
-            yield pd.DataFrame(
+            if len(results) != len(docs):
+                raise BulkTransportError(
+                    0, f"bulk item count {len(results)} != posted {len(docs)}"
+                )
+            out = pd.DataFrame(
                 {
                     "uuid": [r[0] for r in results],
                     "status": [r[1] for r in results],
                     "error": [r[2] for r in results],
+                    # positional: the i-th result IS the i-th posted doc
                     "doc": [
                         None if 200 <= r[1] < 300
-                        else json.dumps(by_id.get(r[0]), separators=(",", ":"))
-                        for r in results
+                        else json.dumps(docs[i], separators=(",", ":"))
+                        for i, r in enumerate(results)
                     ],
                 }
             )
+            for c in pt_cols:
+                out[c] = pt[c].values
+            yield out
 
-    return df.mapInPandas(run, schema=_RESULT_SCHEMA)
+    schema = _RESULT_SCHEMA
+    if pt_cols:
+        schema += ", " + ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in pt_cols
+        )
+    return df.mapInPandas(run, schema=schema)
 
 
 # --------------------------------------------------------------------------

@@ -24,11 +24,14 @@ cluster:
   real-ES-valid, not mock-only (round-4 ADVICE).
 - `POST /<index>/_search` and `POST /_search` (PIT form): the READ
   side — slices (`slice: {id, max}` partitions docs by md5(_id) % max),
-  `search_after` keyset pagination over `sort: [_id asc]`,
-  `_source: [fields]` projection filtering (hits carry ONLY the
-  requested fields), and `match_all` / `term` / `terms` / `range` under
-  `bool.filter` (the subset es_reader_sim pushes down); every request
-  body is recorded for pushdown assertions.
+  `search_after` keyset pagination over `sort: [{"_shard_doc":
+  "asc"}]` (the ES-8 PIT tiebreaker; `_id` sort is REJECTED like real
+  ES does with fielddata disabled, and `_shard_doc` outside a PIT is
+  400), per-hit `sort` cursor arrays, `_source: [fields]` projection
+  filtering (hits carry ONLY the requested fields), and `match_all` /
+  `term` / `terms` / `range` under `bool.filter` (the subset
+  es_reader_sim pushes down); every request body is recorded for
+  pushdown assertions.
 
 Successful `index` actions store the doc under its `_id`
 (last-write-wins), mirroring how ES doc-id indexing collapses
@@ -139,13 +142,35 @@ class _Handler(BaseHTTPRequestHandler):
         """Sliced + search_after keyset pagination over one index (or
         alias): the ES read topology a partitioned reader needs —
         slice k of n sees docs with md5(_id) % n == k, pages are
-        _id-ordered after the cursor.  PIT form: ``POST /_search`` with
-        ``pit: {id}`` in the body (index resolved from the pit).  Like
-        real ES, ``slice`` is only legal with a PIT (or scroll)."""
+        cursor-ordered after ``search_after``.  PIT form: ``POST
+        /_search`` with ``pit: {id}`` in the body (index resolved from
+        the pit).  Like real ES, ``slice`` is only legal with a PIT (or
+        scroll), ``_shard_doc`` sort is only legal inside a PIT, and
+        ``_id`` sort is REJECTED (fielddata disabled on _id in ES 8) —
+        so the reader's request shape is proven real-ES-valid.  The
+        mock's _shard_doc stand-in is the _id itself: opaque to a
+        well-behaved client, which must echo each hit's ``sort`` array
+        back verbatim."""
         import hashlib
 
         st = self.state
         pit = body.get("pit")
+        sort_fields = [
+            next(iter(s)) if isinstance(s, dict) else s
+            for s in body.get("sort", [])
+        ]
+        if "_id" in sort_fields:
+            self._reply(400, {"error": {
+                "type": "illegal_argument_exception",
+                "reason": "Fielddata access on the _id field is disallowed,"
+                          " you can use doc values instead"}})
+            return
+        if "_shard_doc" in sort_fields and not pit:
+            self._reply(400, {"error": {
+                "type": "illegal_argument_exception",
+                "reason": "[_shard_doc] sort field is only supported in"
+                          " [point-in-time] requests"}})
+            return
         with st.lock:
             if pit:
                 index = st.pits.get(pit.get("id"))
@@ -188,7 +213,9 @@ class _Handler(BaseHTTPRequestHandler):
                     src = st.docs[i]
                     if isinstance(wanted, list):
                         src = {k: v for k, v in src.items() if k in wanted}
-                    hits.append({"_id": i, "_source": src})
+                    # per-hit sort values = the keyset cursor the client
+                    # echoes back (real ES: the _shard_doc value)
+                    hits.append({"_id": i, "_source": src, "sort": [i]})
                     if len(hits) >= body.get("size", 10):
                         break
         self._reply(

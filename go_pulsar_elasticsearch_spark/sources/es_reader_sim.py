@@ -11,14 +11,23 @@ cluster):
   /_search` with `pit: {id}` in the body (round-4 ADVICE closed; the
   mock enforces the same rule with a 400).  The PIT also freezes the
   doc set, so concurrent writes can't skew slice membership mid-scan.
-  The handle expires via keep_alive (no reader close() hook exists to
-  delete it eagerly);
+  LIFECYCLE (round-5 ADVICE): re-planning best-effort-DELETEs the
+  previous handle before opening a new one, so a reader reused across
+  actions never accumulates server-side search contexts.  Eager
+  delete-on-finish is deliberately ABSENT: a per-slice executor-side
+  delete would be wrong (all slices of one scan must share a single
+  live PIT id — ES requirement — so the first-finishing slice would
+  kill its siblings mid-page), and a driver-side __del__ fires while
+  partitions are still scheduled when Spark discards the planning
+  reader.  keep_alive expiry bounds whatever re-planning misses;
 - one InputPartition per SLICE (`slice: {id, max}`): the cluster
   partitions the doc set server-side, so N executors read N disjoint
   shards-of-the-index concurrently, no coordinator fan-in;
-- within a slice, keyset pagination via `sort: [_id asc]` +
-  `search_after` (the scroll-less cursor ES recommends) — constant
-  memory per page on both sides;
+- within a slice, keyset pagination via `sort: [{"_shard_doc":
+  "asc"}]` + `search_after` carrying the hit's opaque `sort` values —
+  the tiebreaker ES 8 documents for PIT pagination (round-5 ADVICE:
+  `_id` sort needs fielddata and is rejected/deprecated on a real
+  cluster) — constant memory per page on both sides;
 - PROJECTION pushdown: the declared schema's field list ships as
   `_source: [cols]` on every search (elasticsearch-hadoop's field
   filtering), so wide documents never cross the wire for narrow reads
@@ -110,6 +119,7 @@ class _SearchReader(DataSourceReader):
             (f.name, f.dataType.simpleString()) for f in schema.fields
         ]
         self._clauses: list[dict] = []
+        self._pit_id: str | None = None  # last PIT this reader opened
 
     def pushFilters(self, filters) -> Iterator[Filter]:
         names = {n for n, _ in self._fields}
@@ -126,21 +136,55 @@ class _SearchReader(DataSourceReader):
             else:
                 self._clauses.append(c)
 
-    def partitions(self):
-        # ES requires slice.max >= 2 AND a scroll/PIT context; a sliced
-        # read therefore opens ONE point-in-time at planning (driver-
-        # side, one HTTP call) that every slice shares — the only form
-        # a real cluster accepts.  Single-slice reads stay plain.
-        pit_id = None
-        if self._slices > 1:
+    def _delete_pit(self) -> None:
+        """Best-effort close of the PIT this reader last opened (driver-
+        side only — slices share one live id, so executors must not)."""
+        if self._pit_id is None:
+            return
+        pit_id, self._pit_id = self._pit_id, None
+        try:
             req = urllib.request.Request(
-                f"{self._endpoint}/{self._index}/_pit?keep_alive=5m",
-                data=b"",
-                method="POST",
+                f"{self._endpoint}/_pit",
+                data=json.dumps({"id": pit_id}).encode("utf-8"),
+                headers={"Content-Type": "application/json"},
+                method="DELETE",
             )
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                pit_id = json.loads(resp.read())["id"]
-        return [_Slice(i, self._slices, pit_id) for i in range(self._slices)]
+            with urllib.request.urlopen(req, timeout=10):
+                pass
+        except Exception:
+            pass  # keep_alive expiry is the backstop
+
+    def __getstate__(self):
+        # PIT ownership stays with the DRIVER copy: executor copies of
+        # the pickled reader must never delete the shared handle out
+        # from under sibling slices (read() uses partition.pit_id).
+        # NOTE deliberately no __del__ hook either: Spark may discard
+        # the planning-phase reader while its partitions are still
+        # scheduled, so eager teardown can only happen on RE-planning
+        # (same live reader); keep_alive expiry bounds the rest.
+        st = self.__dict__.copy()
+        st["_pit_id"] = None
+        return st
+
+    def partitions(self):
+        # ES requires a scroll/PIT context for slicing, and _shard_doc
+        # sort is only legal inside a PIT — so EVERY read (even one
+        # slice) opens ONE point-in-time at planning (driver-side, one
+        # HTTP call) that all slices share, the only form a real
+        # cluster accepts.  Re-planning closes the previous handle
+        # first instead of leaking a server-side search context.
+        self._delete_pit()
+        req = urllib.request.Request(
+            f"{self._endpoint}/{self._index}/_pit?keep_alive=5m",
+            data=b"",
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            self._pit_id = json.loads(resp.read())["id"]
+        return [
+            _Slice(i, self._slices, self._pit_id)
+            for i in range(self._slices)
+        ]
 
     def _query(self) -> dict:
         if not self._clauses:
@@ -148,33 +192,33 @@ class _SearchReader(DataSourceReader):
         return {"bool": {"filter": self._clauses}}
 
     def read(self, partition: _Slice) -> Iterator[tuple]:
-        after = None
+        after: list | None = None
         # projection pushdown: only the declared columns cross the wire
         # (_id rides in hit metadata, not _source)
         source_fields = [
             name for name, _ in self._fields if name != self._id_column
         ]
         while True:
+            # PIT searches address /_search (index implied by the pit);
+            # _shard_doc is the fielddata-free tiebreaker ES 8 documents
+            # for PIT + search_after, and its per-hit `sort` values are
+            # an OPAQUE cursor — echo them back verbatim.
             body: dict = {
                 "size": self._page_size,
-                "sort": [{"_id": "asc"}],
+                "sort": [{"_shard_doc": "asc"}],
                 "query": self._query(),
                 "_source": source_fields,
+                "pit": {"id": partition.pit_id, "keep_alive": "5m"},
             }
-            if partition.pit_id is not None:
-                # PIT searches address /_search; the index is implied
-                body["pit"] = {"id": partition.pit_id, "keep_alive": "5m"}
+            if partition.n_slices > 1:
                 body["slice"] = {
                     "id": partition.slice_id,
                     "max": partition.n_slices,
                 }
-                url = f"{self._endpoint}/_search"
-            else:
-                url = f"{self._endpoint}/{self._index}/_search"
             if after is not None:
-                body["search_after"] = [after]
+                body["search_after"] = after
             req = urllib.request.Request(
-                url,
+                f"{self._endpoint}/_search",
                 data=json.dumps(body).encode("utf-8"),
                 headers={"Content-Type": "application/json"},
                 method="POST",
@@ -189,7 +233,7 @@ class _SearchReader(DataSourceReader):
                 )
             if len(hits) < self._page_size:
                 return
-            after = hits[-1]["_id"]
+            after = hits[-1]["sort"]
 
 
 class EsSearchDataSource(DataSource):

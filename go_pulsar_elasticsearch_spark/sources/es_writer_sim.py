@@ -233,29 +233,48 @@ def replay_dlq(spark, dlq_dir: str, endpoint: str, index: str = "index_data",
         n_replayed = n_ok = n_failed = 0
         spool_fh = None
         spool_tmp = spool_final = None
+        def spool(entry: dict) -> None:
+            nonlocal spool_fh, spool_tmp, spool_final
+            if spool_fh is None:
+                spool_final = os.path.join(
+                    dlq_dir_,
+                    f"replay-{pid}-{uuid_mod.uuid4().hex}.ndjson",
+                )
+                spool_tmp = spool_final + ".tmp"
+                spool_fh = open(spool_tmp, "w")
+            spool_fh.write(json.dumps(entry) + "\n")
+
         for pdf in batches:
             if pdf.empty:
                 continue
             entries = [json.loads(ln) for ln in pdf["value"]]
-            docs = [e["doc"] for e in entries]
-            by_id = {e["uuid"]: e for e in entries}
+            # doc-less entries (legacy spools) are unreplayable: keep
+            # them spooled, never post them — a None doc would break
+            # docs_to_ndjson on this very run (round-5 ADVICE)
+            replayable = [e for e in entries if e.get("doc") is not None]
+            for e in entries:
+                if e.get("doc") is None:
+                    n_failed += 1
+                    spool(dict(e))
+            docs = [e["doc"] for e in replayable]
             results = bulk_index_docs(docs, endpoint_, opts)
+            if len(results) != len(docs):
+                raise RuntimeError(
+                    f"bulk item count {len(results)} != posted {len(docs)}"
+                )
             n_replayed += len(results)
-            for rid, status, err in results:
+            # positional pairing: the i-th result IS the i-th posted doc
+            # (an ES bulk response preserves action order), so a survivor
+            # always carries its own original payload — even when two
+            # entries share a uuid (round-5 ADVICE)
+            for i, (rid, status, err) in enumerate(results):
                 if status < 300:
                     n_ok += 1
                     continue
                 n_failed += 1
-                if spool_fh is None:
-                    spool_final = os.path.join(
-                        dlq_dir_,
-                        f"replay-{pid}-{uuid_mod.uuid4().hex}.ndjson",
-                    )
-                    spool_tmp = spool_final + ".tmp"
-                    spool_fh = open(spool_tmp, "w")
-                entry = dict(by_id.get(rid) or {"uuid": rid, "doc": None})
+                entry = dict(replayable[i])
                 entry["status"], entry["error"] = status, err
-                spool_fh.write(json.dumps(entry) + "\n")
+                spool(entry)
         if spool_fh is not None:
             spool_fh.flush()
             os.fsync(spool_fh.fileno())

@@ -70,7 +70,10 @@ def test_search_after_pagination_pages_through(spark, mock_es):
     bodies = [q["body"] for q in state.search_requests]
     assert len(bodies) == 8
     assert sum("search_after" in b for b in bodies) == 7
-    assert all(b["sort"] == [{"_id": "asc"}] for b in bodies)
+    # ES-8-valid shape: _shard_doc tiebreaker inside a PIT, opaque
+    # sort-cursor echoed back (never an _id sort — fielddata disabled)
+    assert all(b["sort"] == [{"_shard_doc": "asc"}] for b in bodies)
+    assert all("pit" in b for b in bodies)
 
 
 def test_equal_and_range_filters_push_to_the_wire(spark, mock_es):
@@ -201,7 +204,7 @@ def test_mock_rejects_sliced_search_without_pit(mock_es):
     state, url = mock_es
     _seed(state, n=5)
     body = json.dumps(
-        {"size": 10, "sort": [{"_id": "asc"}], "query": {"match_all": {}},
+        {"size": 10, "sort": [{"score": "asc"}], "query": {"match_all": {}},
          "slice": {"id": 0, "max": 2}}
     ).encode()
     req = urllib.request.Request(
@@ -215,3 +218,72 @@ def test_mock_rejects_sliced_search_without_pit(mock_es):
         assert "point-in-time" in exc.read().decode()
     else:
         raise AssertionError("sliced plain search must 400")
+
+
+def _raw_search(url, path, body):
+    import json
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{url}{path}", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.HTTPError as exc:
+        return exc.code, exc.read().decode()
+
+
+def test_mock_rejects_id_sort_like_es8(mock_es):
+    """Real ES 8 disallows fielddata on _id; the mock enforces it so the
+    reader can never regress to an _id sort (round-5 ADVICE)."""
+    state, url = mock_es
+    _seed(state, n=5)
+    status, payload = _raw_search(
+        url, "/index_data/_search",
+        {"size": 10, "sort": [{"_id": "asc"}], "query": {"match_all": {}}},
+    )
+    assert status == 400 and "Fielddata" in payload
+
+
+def test_mock_rejects_shard_doc_sort_outside_pit(mock_es):
+    """_shard_doc is only defined inside a point-in-time context."""
+    state, url = mock_es
+    _seed(state, n=5)
+    status, payload = _raw_search(
+        url, "/index_data/_search",
+        {"size": 10, "sort": [{"_shard_doc": "asc"}],
+         "query": {"match_all": {}}},
+    )
+    assert status == 400 and "point-in-time" in payload
+
+
+def test_replanning_deletes_the_previous_pit(mock_es):
+    """A second partitions() call on the same reader must close the
+    first PIT instead of leaking a server-side search context, and an
+    executor-bound pickle must NOT carry delete rights (round-5
+    ADVICE)."""
+    import pickle
+
+    from pyspark.sql.types import StructType
+
+    from go_pulsar_elasticsearch_spark.sources.es_reader_sim import (
+        _SearchReader,
+    )
+
+    state, url = mock_es
+    _seed(state, n=20)
+    reader = _SearchReader(
+        {"endpoint": url, "index": "index_data", "slices": "2"},
+        StructType.fromDDL(_SCHEMA),
+    )
+    parts1 = reader.partitions()
+    assert len(state.pits) == 1 and parts1[0].pit_id in state.pits
+    # the executor copy is disarmed: no PIT ownership crosses the pickle
+    clone = pickle.loads(pickle.dumps(reader))
+    assert clone._pit_id is None
+    parts2 = reader.partitions()  # re-plan: closes pit-1, opens pit-2
+    assert len(state.pits) == 1 and parts2[0].pit_id in state.pits
+    assert parts1[0].pit_id not in state.pits
