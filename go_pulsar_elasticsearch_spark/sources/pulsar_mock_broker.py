@@ -177,6 +177,18 @@ class MockPulsarBroker:
                 for st in self._states(topic, subscription).values()
             )
 
+    def waiting(self, topic: str, subscription: str) -> int:
+        """Messages neither done nor in flight — receivable now or after
+        a redelivery delay.  A streaming reader advances the virtual
+        clock only when this is non-zero: pending-but-in-flight means
+        another micro-batch holds them, not that time must pass."""
+        with self._lock:
+            return sum(
+                1
+                for st in self._states(topic, subscription).values()
+                if not st.done and not st.in_flight
+            )
+
     def delivery_count(self, topic: str, subscription: str,
                        msg_id: int) -> int:
         with self._lock:
@@ -185,3 +197,81 @@ class MockPulsarBroker:
     def topic_messages(self, topic: str) -> list[Message]:
         with self._lock:
             return list(self._topics.get(topic, ()))
+
+
+# --------------------------------------------------------------------------
+# HTTP wire layer — a real Pulsar broker is a NETWORK service, and the
+# streaming engine runs its Python source reader in a separate worker
+# process (python_streaming_source_runner), so the consume channel must
+# cross a process boundary exactly like production.  Same topology as
+# es_mock_cluster: ephemeral localhost port, daemon thread.
+# --------------------------------------------------------------------------
+
+
+def make_broker_server(broker: MockPulsarBroker):
+    """Serve ``broker`` over HTTP; returns (server, url).  Endpoints:
+    POST /receive {topic, subscription, max_messages} -> {messages:
+    [{msg_id, payload (hex), properties}]}; GET /waiting, /pending
+    (?topic=&subscription=); POST /advance {} (one redelivery delay).
+    Caller must server.shutdown()."""
+    import json as _json
+    import threading as _threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *args):
+            pass
+
+        def _reply(self, payload: dict, status: int = 200) -> None:
+            body = _json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length", "0"))
+            return _json.loads(self.rfile.read(n) or b"{}")
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+            if u.path == "/pending":
+                self._reply({
+                    "n": broker.pending(qs["topic"], qs["subscription"])})
+            elif u.path == "/waiting":
+                self._reply({
+                    "n": broker.waiting(qs["topic"], qs["subscription"])})
+            else:
+                self._reply({"error": "unknown " + u.path}, 404)
+
+        def do_POST(self):
+            body = self._body()
+            if self.path == "/receive":
+                msgs = broker.receive(
+                    body["topic"],
+                    body["subscription"],
+                    int(body.get("max_messages", 100)),
+                )
+                self._reply({
+                    "messages": [
+                        {
+                            "msg_id": m.msg_id,
+                            "payload": m.payload.hex(),
+                            "properties": m.properties,
+                        }
+                        for m in msgs
+                    ]
+                })
+            elif self.path == "/advance":
+                broker.advance(broker.nack_redelivery_delay_s)
+                self._reply({"now": broker.now})
+            else:
+                self._reply({"error": "unknown " + self.path}, 404)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
