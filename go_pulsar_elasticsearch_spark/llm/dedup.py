@@ -1370,3 +1370,120 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= _CONTAIN_T)
     )
+
+
+# --------------------------------------------------------------------------
+# dup_span_remove  (the TRANSFORM dup_span_fraction only scores: excise
+# corpus-duplicate rolling-gram spans and reassemble the remaining
+# text, Lee et al. "Deduplicating Training Data Makes Language Models
+# Better", ACL 2022 — round-5 VERDICT #4)
+# --------------------------------------------------------------------------
+
+_REMOVE_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         md5(list_aggr(w[i:i+{_SPAN_N - 1}], 'string_agg', ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS i
+    FROM words WHERE len(w) >= {_SPAN_N}
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM grams GROUP BY h
+), dups AS (
+  SELECT doc_id, i FROM grams JOIN freq USING (h) WHERE n > 1
+), covered AS (
+  SELECT DISTINCT doc_id, i + d AS p
+  FROM dups CROSS JOIN range(0, {_SPAN_N}) t(d)
+), positions AS (
+  SELECT doc_id, p, w[p] AS word
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM words)
+), kept AS (
+  SELECT pos.doc_id,
+         string_agg(pos.word, ' ' ORDER BY pos.p) AS cleaned_text,
+         COUNT(*) AS n_kept
+  FROM positions pos
+  LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+  WHERE c.p IS NULL
+  GROUP BY pos.doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM words w LEFT JOIN kept k ON k.doc_id = w.doc_id
+"""
+
+
+def dup_span_remove_df(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """Excise every word position covered by a rolling word-n-gram that
+    occurs more than once in the corpus (its own doc included), then
+    reassemble the surviving words IN ORDER.
+
+    Distribution shape — generalizes segment_dedup's fixed paragraphs
+    to arbitrary overlapping spans with zero Python in the hot path:
+      1. positioned gram hashes (explode; span TEXT never leaves the
+         row, md5 stands in);
+      2. corpus frequency = one groupBy on the hash (uniform keys,
+         map-side combined);
+      3. duplicate start positions fold back per doc as ONE bounded
+         array (collect_list, <= doc length ints);
+      4. the excision itself is row-local array math: covered =
+         flatten(transform(starts, s -> sequence(s, s+n-1))),
+         kept = array_except(sequence(1, L), covered) — order
+         preserving — and concat_ws(transform(kept, element_at)).
+    No window, no per-word shuffle: the wide state is exactly the gram
+    frequency table, same as dup_span_fraction."""
+    w = F.split("text", " ")
+    based = docs.select("doc_id", w.alias("w")).withColumn(
+        "L", F.size("w")
+    )
+    grams = based.filter(F.col("L") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, L - {n - 1}), i -> named_struct("
+                f"'i', i, 'h', md5(concat_ws(' ', slice(w, i, {n})))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    freq = grams.groupBy("h").agg(F.count("*").alias("cnt"))
+    starts = (
+        grams.join(freq, "h")
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("starts"), F.expr("array()")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    kept = F.array_except(F.sequence(F.lit(1), F.col("L")), covered)
+    return (
+        based.join(starts, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.col("L").cast("long").alias("n_words"),
+            (F.col("L") - F.size("kept")).cast("long").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform("kept", lambda p: F.element_at(F.col("w"), p)),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+@register("dup_span_remove", _REMOVE_ORACLE)
+def dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup_span_fraction's TRANSFORM sibling, hash-certified end to end
+    (counts AND the reassembled text): corpus-duplicate 10-gram spans
+    are cut, unique text survives verbatim — the doc-in-doc case is
+    pinned in tests/test_dup_span_remove.py."""
+    tune(spark)
+    return dup_span_remove_df(t(spark, sf_dir, "documents"))
