@@ -5,16 +5,19 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 5): 244 registered queries, 233 with oracles (new this
-round: the wire-certified Pulsar delivery loop, Avro schema-resolution
-decode, leakage-safe splits, interval merge, triangle counts,
-k-anonymity audit, full-outer interval join).  The eleven
-rows-only entries are approximate/float/iterative by design:
+State (round 6): 250 registered queries, 238 with oracles (new this
+round: the delivery loop as a LIVE StreamingQuery with mid-drain
+checkpoint restart, stored ANN index probes — `ann_ivf_stored` hash-
+certified by ann_ivf's own oracle, `ann_pq_stored` rows-only with a
+stored==fresh pytest — URL canonicalization + canonical-URL dedup,
+and duplicate-span REMOVAL with the reassembled text in the hash).
+The twelve rows-only entries are approximate/float/iterative by
+design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
 tests/test_cms.py), ``multimodal_features`` (mapInPandas byte-stub decode),
 ``similarity_topk_fast`` (numpy float64 path, validated vs the exact
-decimal twin in tests), ``ann_pq`` (product quantization, recall@5
+decimal twin in tests), ``ann_pq`` + ``ann_pq_stored`` (product quantization, recall@5
 0.98 vs exact in tests), ``near_dedup_minhash_ml`` (MLlib MinHashLSH
 internals), ``quality_classifier_lr`` (pyspark.ml fitting, AUC
 asserted in tests), ``embedding_pca_project`` (eigendecomposition —
