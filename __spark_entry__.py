@@ -5,12 +5,13 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 6): 250 registered queries, 238 with oracles (new this
+State (round 6): 251 registered queries, 239 with oracles (new this
 round: the delivery loop as a LIVE StreamingQuery with mid-drain
-checkpoint restart, stored ANN index probes — `ann_ivf_stored` hash-
-certified by ann_ivf's own oracle, `ann_pq_stored` rows-only with a
-stored==fresh pytest — URL canonicalization + canonical-URL dedup,
-and duplicate-span REMOVAL with the reassembled text in the hash).
+checkpoint restart; stored ANN index probes — `ann_ivf_stored` and the
+append-only `ann_ivf_append` both hash-certified by ann_ivf's own
+oracle, `ann_pq_stored` rows-only with a stored==fresh pytest — URL
+canonicalization + canonical-URL dedup, and duplicate-span REMOVAL
+with the reassembled text in the hash).
 The twelve rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in

@@ -95,6 +95,11 @@ HEADLINE = [
     "avro_schema_evolution",
     "rfm_segmentation",
     "dedup_components",
+    # round 6 flagships: stored-index probe, canonical-URL dedup,
+    # span-level duplicate removal
+    "ann_ivf_stored",
+    "url_canonical_dedup",
+    "dup_span_remove",
 ]
 
 

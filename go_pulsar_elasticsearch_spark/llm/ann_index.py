@@ -81,32 +81,22 @@ def _mark_built(d: str) -> None:
 # --------------------------------------------------------------------------
 
 
-def ivf_build_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
-    """One corpus pass -> three parquet artifacts: centroids (every
-    _IVF_STEP-th vector, the deterministic coarse quantizer), the
-    nearest-centroid assignment per vector, and the vector norms.
-    The marker file publishes the index only after every artifact is
-    fully written (a killed build is rebuilt, never half-read)."""
+def _ivf_assign(emb: DataFrame, cents: DataFrame, norms: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for ``emb`` against ``cents``: one
+    broadcast cross + per-vector window (bounded: K rows per vector)."""
     from pyspark.sql import Window
 
-    emb = t(spark, sf_dir, "embeddings")
-    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
-    cents = emb.filter(F.col("vec_id") % _IVF_STEP == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
     adots = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", _dot("embedding", "ce").alias("dot")
+    )
+    cnorms = cents.select(
+        "cid", _dot("ce", "ce").alias("nc")
     )
     ranked = (
         adots.join(
             norms.select(F.col("vec_id"), F.col("n2").alias("nv")), "vec_id"
         )
-        .join(
-            F.broadcast(
-                norms.select(F.col("vec_id").alias("cid"), F.col("n2").alias("nc"))
-            ),
-            "cid",
-        )
+        .join(F.broadcast(cnorms), "cid")
         .withColumn(
             "crk",
             F.row_number().over(
@@ -117,12 +107,61 @@ def ivf_build_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
             ),
         )
     )
-    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
+    return ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
+
+
+def ivf_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    where: F.Column | None = None,
+) -> None:
+    """One corpus pass -> three parquet artifacts: centroids (every
+    _IVF_STEP-th vector, the deterministic coarse quantizer), the
+    nearest-centroid assignment per vector, and the vector norms.
+    ``where`` restricts the BASE corpus (the append path adds the rest
+    later).  The marker file publishes the index only after every
+    artifact is fully written (a killed build is rebuilt, never
+    half-read)."""
+    emb = t(spark, sf_dir, "embeddings")
+    if where is not None:
+        emb = emb.filter(where)
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    cents = emb.filter(F.col("vec_id") % _IVF_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    assign = _ivf_assign(emb, cents, norms)
     os.makedirs(out_dir, exist_ok=True)
     cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
     assign.write.mode("overwrite").parquet(os.path.join(out_dir, "assign"))
     norms.write.mode("overwrite").parquet(os.path.join(out_dir, "norms"))
     _mark_built(out_dir)
+
+
+def ivf_append_index(
+    spark: SparkSession,
+    sf_dir: str,
+    idx_dir: str,
+    where: F.Column,
+    tag: str,
+) -> None:
+    """APPEND-ONLY index maintenance (the daily-ingest path at 100 TB:
+    new vectors join the index WITHOUT retraining): assign the ``where``
+    slice against the STORED centroids and append its assignment + norm
+    rows as new parquet files in the same artifacts.  ``tag`` makes the
+    append idempotent — a marker per tag skips a re-append, so repeat
+    invocations never double-insert."""
+    marker = os.path.join(idx_dir, f"_APPENDED_{tag}")
+    if os.path.exists(marker):
+        return
+    emb = t(spark, sf_dir, "embeddings").filter(where)
+    cents = spark.read.parquet(os.path.join(idx_dir, "centroids"))
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    assign = _ivf_assign(emb, cents, norms)
+    assign.write.mode("append").parquet(os.path.join(idx_dir, "assign"))
+    norms.write.mode("append").parquet(os.path.join(idx_dir, "norms"))
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
 
 
 def ivf_probe(
@@ -207,6 +246,33 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = index_dir("ivf", sf_dir)
     if not _is_built(d):
         ivf_build_index(spark, sf_dir, d)
+    return ivf_probe(spark, sf_dir, d)
+
+
+@register("ann_ivf_append", _IVF_ORACLE)
+def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance, hash-certified: build the stored
+    IVF index on the BASE corpus (vec_id % 4 != 3, ~75%), then APPEND
+    the remaining quarter against the stored centroids — no retrain —
+    and probe the merged artifacts.
+
+    Certified by the SAME closed-form oracle as the full-corpus
+    ann_ivf: every centroid id is a multiple of _IVF_STEP (even), and
+    even numbers are never ≡ 3 (mod 4), so the base slice contains the
+    ENTIRE centroid set and base-build + delta-append must reproduce
+    the full build bit-for-bit — which is exactly the invariant an
+    append path has to prove (new data lands in the right lists
+    without disturbing old ones)."""
+    assert _IVF_STEP % 2 == 0, "centroid-parity invariant needs an even step"
+    tune(spark)
+    d = index_dir("ivf_base", sf_dir)
+    if not _is_built(d):
+        ivf_build_index(
+            spark, sf_dir, d, where=F.col("vec_id") % 4 != F.lit(3)
+        )
+    ivf_append_index(
+        spark, sf_dir, d, where=F.col("vec_id") % 4 == F.lit(3), tag="q4"
+    )
     return ivf_probe(spark, sf_dir, d)
 
 

@@ -329,9 +329,12 @@ def _drive_stream(spark: SparkSession, sf_dir: str) -> tuple:
         run_delivery_stream,
     )
 
+    # batch_size 1000 drains 2k messages in ~2 initial micro-batches +
+    # the redelivery waves — the engine's per-batch overhead, not the
+    # wire, dominates this harness, so fewer batches = faster cert
     broker, es_state, url = seed_delivery_fixture(spark, sf_dir, _N_STREAM)
     metrics = run_delivery_stream(
-        spark, broker, _TOPIC, _SUB, url, batch_size=500
+        spark, broker, _TOPIC, _SUB, url, batch_size=1000
     )
     assert metrics["dlq_routed"] == len(es_state.fail_ids), metrics
     _STREAM_STATE[sf_dir] = (broker, es_state, url)

@@ -76,3 +76,28 @@ def test_half_built_index_is_rebuilt(spark):
     got = _rows(ann_index.ann_ivf_stored(spark, _SF))
     assert os.path.exists(ann_index._publish_marker(d))
     assert got == _rows(ann_ivf(spark, _SF))
+
+
+def test_ivf_append_equals_full_build(spark):
+    """Base build (75%) + delta append reproduces the full-corpus
+    result bit-for-bit (every centroid lives in the base slice)."""
+    d = ann_index.index_dir("ivf_base", _SF)
+    shutil.rmtree(d, ignore_errors=True)
+    appended = _rows(ann_index.ann_ivf_append(spark, _SF))
+    assert appended == _rows(ann_ivf(spark, _SF)) and appended
+
+
+def test_ivf_append_is_idempotent(spark):
+    """A second invocation must not double-insert the delta slice (the
+    per-tag marker guards the append)."""
+    d = ann_index.index_dir("ivf_base", _SF)
+    first = _rows(ann_index.ann_ivf_append(spark, _SF))
+    before = _mtimes(d)
+    second = _rows(ann_index.ann_ivf_append(spark, _SF))
+    assert second == first
+    assert _mtimes(d) == before, "repeat invocation rewrote artifacts"
+    # the assignment table holds every vector exactly once
+    import os as _os
+
+    assign = spark.read.parquet(_os.path.join(d, "assign"))
+    assert assign.count() == assign.select("vec_id").distinct().count()
