@@ -10,9 +10,12 @@ Canonicalization rules (each one a JVM-side regexp_replace; no UDFs):
    case-insensitive; paths are NOT touched);
 3. drop a leading `www.`;
 4. drop default ports (`:443` on https, `:80` on http);
-5. remove tracking query params (utm_*, gclid, fbclid, ref) and any
-   dangling `?`/`&` they leave behind;
-6. strip trailing slashes (before the query and at the end).
+5. remove tracking query params (utm_*, gclid, fbclid, ref) — matches
+   are ANCHORED on their [?&] separator so `ref=` can never fire
+   inside `href=`, and runs of adjacent tracking params clear in one
+   match (a global replace never rescans its own output);
+6. strip trailing slashes at the path/query boundary and the path end
+   only (a `/?` inside a query VALUE is data, not structure).
 
 The same chain is expressed in the DuckDB oracle — semantically, not
 textually: DuckDB regexp_replace is FIRST-match unless passed the 'g'
@@ -55,13 +58,22 @@ def canonicalize_url(url: Column) -> Column:
     # 4 default ports (no lookahead: capture end-or-path and re-emit)
     u = F.regexp_replace(u, r"^(https://[^/:?#]*):443($|[/?].*)", r"$1$2")
     u = F.regexp_replace(u, r"^(http://[^/:?#]*):80($|[/?].*)", r"$1$2")
-    # 5 tracking params: mid-query (trailing &) then query-final
-    u = F.regexp_replace(u, _TRACKING + r"=[^&#]*&", "")
+    # 5 tracking params: anchored on the [?&] separator (an unanchored
+    # pattern would match 'ref=' inside 'href=' and corrupt real
+    # params), with a (?:...)+ run so ADJACENT tracking params clear in
+    # one match (a global replace never rescans its own output, so
+    # back-to-back params would otherwise survive alternately); then
+    # the query-final param, then a query emptied entirely
+    u = F.regexp_replace(
+        u, r"([?&])(?:" + _TRACKING + r"=[^&#]*&)+", r"$1"
+    )
     u = F.regexp_replace(u, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
-    u = F.regexp_replace(u, r"\?$", "")  # a query emptied by rule 5
-    # 6 trailing slashes
-    u = F.regexp_replace(u, r"/+\?", "?")
-    u = F.regexp_replace(u, r"/+$", "")
+    u = F.regexp_replace(u, r"\?$", "")
+    # 6 trailing slashes: only at the path/query boundary (lazy [^?]*?
+    # guarantees the FIRST '?', so a '/?' inside a query value is never
+    # touched — and the match is single+anchored in both engines)
+    u = F.regexp_replace(u, r"^([^?]*?)/+\?", r"$1?")
+    u = F.regexp_replace(u, r"^([^?]*?)/+$", r"$1")
     return u
 
 
@@ -75,11 +87,11 @@ regexp_replace(regexp_replace(regexp_replace(regexp_replace(
   '^(https?://)www\.', '\1'),
   '^(https://[^/:?#]*):443($|[/?].*)', '\1\2'),
   '^(http://[^/:?#]*):80($|[/?].*)', '\1\2'),
-  '(utm_[A-Za-z]+|gclid|fbclid|ref)=[^&#]*&', '', 'g'),
+  '([?&])(?:(utm_[A-Za-z]+|gclid|fbclid|ref)=[^&#]*&)+', '\1', 'g'),
   '[?&](utm_[A-Za-z]+|gclid|fbclid|ref)=[^&#]*$', ''),
   '\?$', ''),
-  '/+\?', '?'),
-  '/+$', '')
+  '^([^?]*?)/+\?', '\1?'),
+  '^([^?]*?)/+$', '\1')
 """
 
 _FRAG_STRIPPED = "regexp_replace(raw_url, '#.*$', '')"

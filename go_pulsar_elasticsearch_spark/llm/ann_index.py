@@ -52,11 +52,24 @@ from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
 
+def _hyperparams(kind: str) -> str:
+    """The knobs baked into each family's artifact key — changing any
+    of them must address a DIFFERENT artifact, never reuse a stale one.
+    Read off the similarity module at CALL time (not import-time copies)
+    so a reconfigured quantizer re-keys immediately."""
+    from go_pulsar_elasticsearch_spark.llm import similarity as _sim
+
+    if kind.startswith("ivf"):
+        return f"step={_sim._IVF_STEP}"
+    return f"m={_sim._PQ_M},k={_sim._PQ_K},iters={_sim._PQ_ITERS}"
+
+
 def index_dir(kind: str, sf_dir: str) -> str:
     """Artifact root for (index kind, corpus): content-addressed by the
-    corpus path + index hyperparameters so two corpora never share."""
+    corpus path + index hyperparameters so two corpora never share and
+    a hyperparameter change never reuses a stale artifact."""
     key = hashlib.sha256(
-        f"{kind}|{os.path.abspath(sf_dir)}".encode()
+        f"{kind}|{os.path.abspath(sf_dir)}|{_hyperparams(kind)}".encode()
     ).hexdigest()[:16]
     return os.path.join(
         tempfile.gettempdir(), "gpe_ann", f"{kind}-{key}"
@@ -147,10 +160,13 @@ def ivf_append_index(
 ) -> None:
     """APPEND-ONLY index maintenance (the daily-ingest path at 100 TB:
     new vectors join the index WITHOUT retraining): assign the ``where``
-    slice against the STORED centroids and append its assignment + norm
-    rows as new parquet files in the same artifacts.  ``tag`` makes the
-    append idempotent — a marker per tag skips a re-append, so repeat
-    invocations never double-insert."""
+    slice against the STORED centroids and publish it as a DELTA
+    partition (`assign_delta_<tag>`, `norms_delta_<tag>`) next to the
+    base artifacts.  Crash-safe + idempotent: the delta dirs are
+    written with overwrite semantics (a rerun after a mid-append kill
+    rewrites them whole, never double-inserts into the base files),
+    and the per-tag marker — written only after BOTH tables land — is
+    what makes the delta visible to probes."""
     marker = os.path.join(idx_dir, f"_APPENDED_{tag}")
     if os.path.exists(marker):
         return
@@ -158,10 +174,28 @@ def ivf_append_index(
     cents = spark.read.parquet(os.path.join(idx_dir, "centroids"))
     norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
     assign = _ivf_assign(emb, cents, norms)
-    assign.write.mode("append").parquet(os.path.join(idx_dir, "assign"))
-    norms.write.mode("append").parquet(os.path.join(idx_dir, "norms"))
+    assign.write.mode("overwrite").parquet(
+        os.path.join(idx_dir, f"assign_delta_{tag}")
+    )
+    norms.write.mode("overwrite").parquet(
+        os.path.join(idx_dir, f"norms_delta_{tag}")
+    )
     with open(marker, "w") as fh:
         fh.write("ok\n")
+
+
+def _with_deltas(spark: SparkSession, idx_dir: str, table: str) -> DataFrame:
+    """The base artifact UNIONed with every PUBLISHED delta (marker
+    present; an unmarked delta is a half-written append awaiting its
+    idempotent rewrite and must stay invisible)."""
+    import glob as _glob
+
+    paths = [os.path.join(idx_dir, table)]
+    for d in sorted(_glob.glob(os.path.join(idx_dir, f"{table}_delta_*"))):
+        tag = os.path.basename(d)[len(table) + len("_delta_"):]
+        if os.path.exists(os.path.join(idx_dir, f"_APPENDED_{tag}")):
+            paths.append(d)
+    return spark.read.parquet(*paths)
 
 
 def ivf_probe(
@@ -169,28 +203,32 @@ def ivf_probe(
 ) -> DataFrame:
     """Probe the STORED index: rank each query's _NPROBE nearest lists
     against the loaded centroids (KB-sized broadcast), pull candidates
-    from the stored assignment table, exact-cosine re-rank.  Identical
-    math to ann_ivf -> certified by the same oracle."""
+    from the stored assignment table (base + published deltas),
+    exact-cosine re-rank.  Identical math to ann_ivf — deliberately a
+    separate implementation rather than a shared helper: the in-memory
+    op ranks ALL vectors in one window pass (assignment and probes fall
+    out of the same frame), while the stored path ranks only the query
+    set against frozen artifacts; sharing would contort one shape into
+    the other, and the shared closed-form ORACLE is the equivalence
+    gate — any divergence fails certification loudly."""
     from pyspark.sql import Window
 
     emb = t(spark, sf_dir, "embeddings")
     cents = spark.read.parquet(os.path.join(idx_dir, "centroids"))
-    assign = spark.read.parquet(os.path.join(idx_dir, "assign"))
-    norms = spark.read.parquet(os.path.join(idx_dir, "norms"))
+    assign = _with_deltas(spark, idx_dir, "assign")
+    norms = _with_deltas(spark, idx_dir, "norms")
     queries = emb.filter(F.col("vec_id") < 10)
     qdots = queries.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", _dot("embedding", "ce").alias("dot")
     )
+    # centroid norms come from the KB-sized centroid table itself (a
+    # centroid IS its vector), never a corpus-sized norms broadcast
+    cnorms = cents.select("cid", _dot("ce", "ce").alias("nc"))
     probes = (
         qdots.join(
             norms.select(F.col("vec_id"), F.col("n2").alias("nv")), "vec_id"
         )
-        .join(
-            F.broadcast(
-                norms.select(F.col("vec_id").alias("cid"), F.col("n2").alias("nc"))
-            ),
-            "cid",
-        )
+        .join(F.broadcast(cnorms), "cid")
         .withColumn(
             "crk",
             F.row_number().over(

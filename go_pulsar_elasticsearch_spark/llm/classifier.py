@@ -88,14 +88,33 @@ def quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mdir = _model_dir(sf_dir)
         if os.path.isdir(mdir):
-            model = LogisticRegressionModel.load(mdir)  # probe-only path
-        else:
+            try:
+                model = LogisticRegressionModel.load(mdir)  # probe path
+            except Exception:
+                # half-written artifact (killed save): refit below
+                import shutil
+
+                shutil.rmtree(mdir, ignore_errors=True)
+                model = None
+        if model is None:
             lr = LogisticRegression(
                 maxIter=20, regParam=0.01, elasticNetParam=0.0,
                 standardization=False,
             )
             model = lr.fit(feats)
-            model.write().overwrite().save(mdir)
+            # publish atomically: save to a scratch dir, rename into
+            # place — a killed save never leaves a loadable-looking
+            # directory for later processes to trip over
+            tmp = f"{mdir}.tmp.{os.getpid()}"
+            model.write().overwrite().save(tmp)
+            try:
+                os.rename(tmp, mdir)
+            except OSError:
+                # a concurrent fitter published first (deterministic
+                # fit -> identical model); use theirs
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
         _LR_MODELS[sf_dir] = model
     scored = model.transform(feats)
     return scored.select(

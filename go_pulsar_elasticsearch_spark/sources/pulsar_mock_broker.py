@@ -161,6 +161,33 @@ class MockPulsarBroker:
                     n += 1
             return n
 
+    def in_flight_ids(self, topic: str, subscription: str) -> list[int]:
+        """Message ids currently held by a consumer (delivered, neither
+        acked nor nacked) — what a restart must reconcile."""
+        with self._lock:
+            return [
+                mid
+                for mid, st in self._states(topic, subscription).items()
+                if st.in_flight and not st.done
+            ]
+
+    def redeliver(self, topic: str, subscription: str,
+                  msg_ids: list[int]) -> int:
+        """Targeted crash recovery: make exactly ``msg_ids`` receivable
+        again (ids a restarted consumer knows it will NOT replay).
+        Unlike redeliver_unacked this never frees messages another
+        replay path still owns.  Returns how many were freed."""
+        with self._lock:
+            states = self._states(topic, subscription)
+            n = 0
+            for mid in msg_ids:
+                st = states.get(mid)
+                if st is not None and st.in_flight and not st.done:
+                    st.in_flight = False
+                    st.available_at = self.now
+                    n += 1
+            return n
+
     # ------------------------------------------------------------- clock
 
     def advance(self, seconds: float) -> None:

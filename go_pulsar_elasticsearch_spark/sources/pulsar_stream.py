@@ -189,6 +189,29 @@ class PulsarBrokerDataSource(DataSource):
 # ------------------------------------------------------------------ driver
 
 
+def _reconcile_stranded(broker, topic: str, subscription: str,
+                        spool_dir: str) -> int:
+    """Close the one kill window the spool can't cover: messages
+    received (in-flight, delivery count bumped) but killed BEFORE
+    _spool_put published their batch.  No replay path will ever see
+    them, so the restart frees exactly those ids for redelivery —
+    targeted, never redeliver_unacked, because an in-flight message
+    whose batch IS spooled will be replayed and re-acked, and freeing
+    it too would double-deliver it (inflating delivery counts past the
+    certified MaxDeliveries contract)."""
+    spooled: set[int] = set()
+    for f in os.listdir(spool_dir):
+        if f.startswith("batch-") and f.endswith(".json"):
+            with open(os.path.join(spool_dir, f)) as fh:
+                spooled.update(mid for mid, _hx in json.load(fh))
+    stranded = [
+        mid
+        for mid in broker.in_flight_ids(topic, subscription)
+        if mid not in spooled
+    ]
+    return broker.redeliver(topic, subscription, stranded)
+
+
 def start_delivery_stream(
     spark: SparkSession,
     broker,
@@ -212,6 +235,7 @@ def start_delivery_stream(
     )
 
     os.makedirs(spool_dir, exist_ok=True)
+    _reconcile_stranded(broker, topic, subscription, spool_dir)
     spark.dataSource.register(PulsarBrokerDataSource)
     opts = BulkClientOptions(index=index, id_field="uuid")
 

@@ -101,3 +101,39 @@ def test_ivf_append_is_idempotent(spark):
 
     assign = spark.read.parquet(_os.path.join(d, "assign"))
     assert assign.count() == assign.select("vec_id").distinct().count()
+
+
+def test_half_appended_delta_is_invisible_then_healed(spark):
+    """A kill after the delta parquet lands but before the marker must
+    leave the delta INVISIBLE to probes; the rerun rewrites it whole
+    (overwrite semantics — never a double-insert)."""
+    d = ann_index.index_dir("ivf_base", _SF)
+    shutil.rmtree(d, ignore_errors=True)
+    full = _rows(ann_index.ann_ivf_append(spark, _SF))
+    marker = os.path.join(d, "_APPENDED_q4")
+    os.remove(marker)  # simulate the kill window
+    # unmarked delta: probe sees base only (delta invisible, not half)
+    from go_pulsar_elasticsearch_spark.llm.ann_index import _with_deltas
+
+    base_only = _with_deltas(spark, d, "assign").count()
+    healed = _rows(ann_index.ann_ivf_append(spark, _SF))  # re-append
+    assert os.path.exists(marker)
+    assert healed == full
+    assign = spark.read.parquet(os.path.join(d, "assign"))
+    merged = _with_deltas(spark, d, "assign")
+    assert merged.count() == merged.select("vec_id").distinct().count()
+    assert base_only == assign.count()  # the unmarked delta was hidden
+
+
+def test_hyperparams_in_index_key():
+    """Changing a quantizer knob must address a different artifact."""
+    import go_pulsar_elasticsearch_spark.llm.similarity as sim
+
+    d1 = ann_index.index_dir("ivf", _SF)
+    old = sim._IVF_STEP
+    sim._IVF_STEP = old * 2
+    try:
+        d2 = ann_index.index_dir("ivf", _SF)
+    finally:
+        sim._IVF_STEP = old
+    assert d1 != d2

@@ -183,3 +183,44 @@ def test_stream_equals_hand_rolled_loop(spark, fixture, tmp_path):
         assert [d for _, d in loop_dlq] == [d for _, d in stream_dlq]
     finally:
         srv2.shutdown()
+
+
+def test_stranded_in_flight_messages_are_redelivered(spark, fixture):
+    """The one kill window the spool can't cover: messages received
+    (delivery count bumped) but killed BEFORE their batch was spooled.
+    The restart must free exactly those — and only those — so the
+    drain completes and DLQ delivery counts stay exact."""
+    broker, es_state, url, tmp = fixture
+    ckpt, spool = str(tmp / "ckpt"), str(tmp / "spool")
+    # simulate the crash: a receive that never reached the spool
+    stranded = broker.receive(_TOPIC, _SUB, 50)
+    assert len(stranded) == 50
+    assert broker.waiting(_TOPIC, _SUB) == _N - 50
+    metrics = run_delivery_stream(
+        spark,
+        broker,
+        _TOPIC,
+        _SUB,
+        url,
+        batch_size=60,
+        checkpoint_dir=ckpt,
+        spool_dir=spool,
+    )
+    assert metrics["pending"] == 0
+    _assert_dispositions(broker, es_state)
+
+
+def test_targeted_redeliver_frees_only_named_ids():
+    from go_pulsar_elasticsearch_spark.sources.pulsar_mock_broker import (
+        MockPulsarBroker,
+    )
+
+    b = MockPulsarBroker()
+    for i in range(4):
+        b.publish("t", bytes([i]))
+    msgs = b.receive("t", "s", 4)
+    ids = [m.msg_id for m in msgs]
+    assert b.redeliver("t", "s", ids[:2]) == 2
+    assert sorted(m.msg_id for m in b.receive("t", "s", 10)) == ids[:2]
+    # the other two stay in flight (their batch will be replayed)
+    assert sorted(b.in_flight_ids("t", "s")) == sorted(ids)

@@ -30,6 +30,19 @@ CASES = [
     ("https://a.com/x?fbclid=9&q=1&ref=tw", "https://a.com/x?q=1"),
     # a real param whose VALUE contains 'utm_' survives
     ("https://a.com/x?q=utm_source", "https://a.com/x?q=utm_source"),
+    # a real param whose NAME contains a tracking name survives
+    # (unanchored 'ref=' would fire inside 'href=' — review finding)
+    ("https://a.com/x?href=a&b=1", "https://a.com/x?href=a&b=1"),
+    ("https://a.com/x?preference=1", "https://a.com/x?preference=1"),
+    # ADJACENT tracking params followed by a real one (a global replace
+    # never rescans its own output — the run must clear in one match)
+    ("https://a.com/x?utm_a=1&utm_b=2&q=1", "https://a.com/x?q=1"),
+    ("https://a.com/x?utm_a=1&gclid=2&utm_b=3&q=1&ref=z",
+     "https://a.com/x?q=1"),
+    # '/?' inside a query VALUE is data, not structure
+    ("https://a.com/x/?q=/?y", "https://a.com/x?q=/?y"),
+    # trailing slash after a query belongs to the query value
+    ("https://a.com/x?q=a/", "https://a.com/x?q=a/"),
     # trailing slash: path, root, before query
     ("https://a.com/x/", "https://a.com/x"),
     ("https://a.com/", "https://a.com"),
