@@ -168,7 +168,20 @@ class _BrokerStreamReader(SimpleDataSourceStreamReader):
             yield from rows
 
     def commit(self, end: dict) -> None:
-        pass  # spool files persist for replay; test-bounded volume
+        """Bound the spool: a committed batch can never be replayed
+        (the engine replays at most the last offset-log entry), so
+        everything older than the previous committed batch is garbage.
+        Keeping end-2 onward leaves a safety margin for the replanned
+        last batch on restart."""
+        keep_from = end["batch"] - 2
+        for f in os.listdir(self._spool_dir):  # O(live window), not O(k)
+            if not (f.startswith("batch-") and f.endswith(".json")):
+                continue
+            if int(f[len("batch-"):-len(".json")]) < keep_from:
+                try:
+                    os.remove(os.path.join(self._spool_dir, f))
+                except FileNotFoundError:
+                    pass  # concurrent truncation
 
 
 class PulsarBrokerDataSource(DataSource):

@@ -224,3 +224,27 @@ def test_targeted_redeliver_frees_only_named_ids():
     assert sorted(m.msg_id for m in b.receive("t", "s", 10)) == ids[:2]
     # the other two stay in flight (their batch will be replayed)
     assert sorted(b.in_flight_ids("t", "s")) == sorted(ids)
+
+
+def test_spool_is_truncated_as_batches_commit(spark, fixture):
+    """The spool is bounded: committed batches (never replayable) are
+    garbage-collected, only a small replay window survives the drain."""
+    import glob
+    import os
+
+    broker, es_state, url, tmp = fixture
+    spool = str(tmp / "spool")
+    run_delivery_stream(
+        spark,
+        broker,
+        _TOPIC,
+        _SUB,
+        url,
+        batch_size=20,  # many batches -> truncation must have fired
+        checkpoint_dir=str(tmp / "ckpt"),
+        spool_dir=spool,
+    )
+    left = glob.glob(os.path.join(spool, "batch-*.json"))
+    # 200 msgs / 20 per batch + redelivery waves >> the kept window
+    assert 0 < len(left) <= 4, sorted(os.path.basename(p) for p in left)
+    _assert_dispositions(broker, es_state)
