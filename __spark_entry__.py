@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 6): 251 registered queries, 239 with oracles (new this
+State (round 6): 253 registered queries, 241 with oracles (new this
 round: the delivery loop as a LIVE StreamingQuery with mid-drain
 checkpoint restart; stored ANN index probes — `ann_ivf_stored` and the
 append-only `ann_ivf_append` both hash-certified by ann_ivf's own

@@ -203,3 +203,191 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("best_n_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# url_host_profile  (host-level crawl accounting: the other half of
+# URL-level dedup — per-host volume, duplication pressure, and fetch
+# quality drive crawl scheduling and host-level quota decisions)
+# --------------------------------------------------------------------------
+
+# host variants: 5 hosts, each doc's URL mangled like the dedup fixture
+_HOST_VARIANT_SQL = """
+CASE CAST(doc_id % 3 AS INTEGER)
+  WHEN 0 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.org/d/' || CAST(doc_id // 15 AS VARCHAR)
+  WHEN 1 THEN 'HTTPS://WWW.H' || CAST(doc_id % 5 AS VARCHAR)
+              || '.Example.ORG:443/d/' || CAST(doc_id // 15 AS VARCHAR)
+              || '/?utm_source=feed'
+  ELSE 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example.org:443/d/' || CAST(doc_id // 15 AS VARCHAR)
+              || '?gclid=abc#frag'
+END
+"""
+
+
+def _host_mangled(docs: DataFrame) -> DataFrame:
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.org"),
+    )
+    base = F.floor(F.col("doc_id") / 15).cast("long").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("https://"), host, F.lit("/d/"), base),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.H"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".Example.ORG:443/d/"),
+                base,
+                F.lit("/?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), host, F.lit(":443/d/"), base,
+                F.lit("?gclid=abc#frag"),
+            )
+        )
+    )
+    return docs.select("doc_id", "n_chars", raw.alias("raw_url"))
+
+
+_HOST_PROFILE_ORACLE = f"""
+WITH mangled AS (
+  SELECT doc_id, n_chars, {_HOST_VARIANT_SQL} AS raw_url FROM documents
+), canon AS (
+  SELECT doc_id, n_chars,
+         {{CANON}} AS canonical_url
+  FROM mangled
+), hosted AS (
+  SELECT doc_id, n_chars, canonical_url,
+         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]*)', 1) AS host
+  FROM canon
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS BIGINT)
+         AS n_dup_fetches,
+       CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS DOUBLE) / COUNT(*)
+         AS dup_fetch_ratio,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM hosted GROUP BY host
+""".replace("{CANON}", _canon_sql(_FRAG_STRIPPED))
+
+
+@register("url_host_profile", _HOST_PROFILE_ORACLE)
+def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST crawl accounting over canonicalized URLs: fetch volume,
+    distinct pages, duplicate-fetch pressure, and byte totals — the
+    numbers a crawl scheduler budgets politeness and recrawl quotas
+    with.  One row-map (canonicalize + host extract) fused into the
+    scan, then ONE aggregate keyed by host (host cardinality, not
+    corpus size, bounds the output at any scale)."""
+    tune(spark)
+    m = _host_mangled(t(spark, sf_dir, "documents"))
+    hosted = m.select(
+        "doc_id",
+        "n_chars",
+        canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+    ).withColumn(
+        "host",
+        F.regexp_extract("canonical_url", r"^[a-z]+://([^/:?#]*)", 1),
+    )
+    dup = F.count("*") - F.count_distinct(F.col("canonical_url"))
+    return hosted.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.count_distinct(F.col("canonical_url")).alias("n_pages"),
+        dup.alias("n_dup_fetches"),
+        (dup.cast("double") / F.count("*")).alias("dup_fetch_ratio"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# web_curation_pipeline  (the round-6 pieces COMPOSED: canonical-URL
+# keep-best -> duplicate-span removal over the KEPT corpus — the order
+# matters, because dropping URL-duplicates changes span frequencies,
+# which is exactly why crawlers run URL dedup first)
+# --------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH mangled AS (
+  SELECT doc_id, n_chars, {_VARIANT_SQL} AS raw_url FROM documents
+), canon AS (
+  SELECT doc_id,
+         {_canon_sql(_FRAG_STRIPPED)} AS canonical_url
+  FROM mangled
+), kept AS (
+  SELECT canonical_url, MIN(doc_id) AS doc_id
+  FROM canon GROUP BY canonical_url
+), words AS (
+  SELECT d.doc_id, k.canonical_url, string_split(d.text, ' ') AS w
+  FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+), grams AS (
+  SELECT doc_id, i,
+         md5(list_aggr(w[i:i+9], 'string_agg', ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+    FROM words WHERE len(w) >= 10
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM grams GROUP BY h
+), dups AS (
+  SELECT doc_id, i FROM grams JOIN freq USING (h) WHERE n > 1
+), covered AS (
+  SELECT DISTINCT doc_id, i + d AS p
+  FROM dups CROSS JOIN range(0, 10) t(d)
+), positions AS (
+  SELECT doc_id, p
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM words)
+), keptpos AS (
+  SELECT pos.doc_id, COUNT(*) AS n_kept
+  FROM positions pos
+  LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+  WHERE c.p IS NULL
+  GROUP BY pos.doc_id
+)
+SELECT w.doc_id,
+       w.canonical_url,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(len(w.w) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed
+FROM words w LEFT JOIN keptpos k ON k.doc_id = w.doc_id
+"""
+
+
+@register("web_curation_pipeline", _PIPELINE_ORACLE)
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL keep-best THEN span removal, as one certified pipeline: the
+    kept representative per canonical URL feeds dup_span_remove, whose
+    corpus-wide gram frequencies are computed over the KEPT subset only
+    (URL dedup first shrinks the frequency table AND changes which
+    spans count as duplicated — the composition is not the sum of its
+    parts, which is what this query certifies).  Plan shape: one URL
+    aggregate, one semi-join back to the text, then dup_span_remove's
+    one gram-frequency shuffle."""
+    from go_pulsar_elasticsearch_spark.llm.dedup import dup_span_remove_df
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    kept = (
+        _mangled(docs)
+        .select(
+            "doc_id",
+            canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept_docs = docs.join(kept, "doc_id").select(
+        "doc_id", "canonical_url", "text"
+    )
+    cleaned = dup_span_remove_df(kept_docs.select("doc_id", "text"))
+    return cleaned.join(
+        kept_docs.select("doc_id", "canonical_url"), "doc_id"
+    ).select("doc_id", "canonical_url", "n_words", "n_removed")
