@@ -316,6 +316,10 @@ def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # which is exactly why crawlers run URL dedup first)
 # --------------------------------------------------------------------------
 
+# span constants interpolated from dedup._SPAN_N (hardcoded literals
+# would silently desynchronize this oracle if the span width changes)
+from go_pulsar_elasticsearch_spark.llm.dedup import _SPAN_N as _PIPE_N
+
 _PIPELINE_ORACLE = f"""
 WITH mangled AS (
   SELECT doc_id, n_chars, {_VARIANT_SQL} AS raw_url FROM documents
@@ -331,10 +335,10 @@ WITH mangled AS (
   FROM documents d JOIN kept k ON k.doc_id = d.doc_id
 ), grams AS (
   SELECT doc_id, i,
-         md5(list_aggr(w[i:i+9], 'string_agg', ' ')) AS h
+         md5(list_aggr(w[i:i+{_PIPE_N - 1}], 'string_agg', ' ')) AS h
   FROM (
-    SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
-    FROM words WHERE len(w) >= 10
+    SELECT doc_id, w, unnest(range(1, len(w) - {_PIPE_N - 2})) AS i
+    FROM words WHERE len(w) >= {_PIPE_N}
   )
 ), freq AS (
   SELECT h, COUNT(*) AS n FROM grams GROUP BY h
@@ -342,7 +346,7 @@ WITH mangled AS (
   SELECT doc_id, i FROM grams JOIN freq USING (h) WHERE n > 1
 ), covered AS (
   SELECT DISTINCT doc_id, i + d AS p
-  FROM dups CROSS JOIN range(0, 10) t(d)
+  FROM dups CROSS JOIN range(0, {_PIPE_N}) t(d)
 ), positions AS (
   SELECT doc_id, p
   FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM words)

@@ -36,11 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+# NOTE: the quantizer knobs (_IVF_STEP, _NPROBE, _PQ_*) are deliberately
+# NOT from-imported — an import-time copy would go stale if the knob is
+# reconfigured, while index_dir re-keys on the live value; every use
+# reads the similarity module at call time (_sim.<knob>)
+from go_pulsar_elasticsearch_spark.llm import similarity as _sim
 from go_pulsar_elasticsearch_spark.llm.similarity import (
     _dot,
     _IVF_ORACLE,
-    _IVF_STEP,
-    _NPROBE,
     pq_codebook_array,
     pq_encode_df,
     pq_query_vectors,
@@ -57,8 +60,6 @@ def _hyperparams(kind: str) -> str:
     of them must address a DIFFERENT artifact, never reuse a stale one.
     Read off the similarity module at CALL time (not import-time copies)
     so a reconfigured quantizer re-keys immediately."""
-    from go_pulsar_elasticsearch_spark.llm import similarity as _sim
-
     if kind.startswith("ivf"):
         return f"step={_sim._IVF_STEP}"
     return f"m={_sim._PQ_M},k={_sim._PQ_K},iters={_sim._PQ_ITERS}"
@@ -140,7 +141,7 @@ def ivf_build_index(
     if where is not None:
         emb = emb.filter(where)
     norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
-    cents = emb.filter(F.col("vec_id") % _IVF_STEP == 0).select(
+    cents = emb.filter(F.col("vec_id") % _sim._IVF_STEP == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     assign = _ivf_assign(emb, cents, norms)
@@ -162,11 +163,17 @@ def ivf_append_index(
     new vectors join the index WITHOUT retraining): assign the ``where``
     slice against the STORED centroids and publish it as a DELTA
     partition (`assign_delta_<tag>`, `norms_delta_<tag>`) next to the
-    base artifacts.  Crash-safe + idempotent: the delta dirs are
-    written with overwrite semantics (a rerun after a mid-append kill
-    rewrites them whole, never double-inserts into the base files),
-    and the per-tag marker — written only after BOTH tables land — is
-    what makes the delta visible to probes."""
+    base artifacts.  Crash-safe, idempotent AND concurrency-safe: each
+    delta table is written to a dot-prefixed scratch dir (invisible to
+    _with_deltas' glob) and published with one atomic os.rename — a
+    published delta is never deleted or rewritten in place, so a probe
+    can't catch a half-state even with a concurrent appender (the
+    loser of the rename race drops its scratch: deterministic
+    assignment against frozen centroids makes both copies identical).
+    The per-tag marker — written only after BOTH tables land — is what
+    makes the delta visible to probes."""
+    import shutil
+
     marker = os.path.join(idx_dir, f"_APPENDED_{tag}")
     if os.path.exists(marker):
         return
@@ -174,12 +181,16 @@ def ivf_append_index(
     cents = spark.read.parquet(os.path.join(idx_dir, "centroids"))
     norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
     assign = _ivf_assign(emb, cents, norms)
-    assign.write.mode("overwrite").parquet(
-        os.path.join(idx_dir, f"assign_delta_{tag}")
-    )
-    norms.write.mode("overwrite").parquet(
-        os.path.join(idx_dir, f"norms_delta_{tag}")
-    )
+    for name, df in (("assign", assign), ("norms", norms)):
+        final = os.path.join(idx_dir, f"{name}_delta_{tag}")
+        if os.path.isdir(final):
+            continue  # published by a sibling/crashed run (rename=atomic)
+        tmp = os.path.join(idx_dir, f".tmp-{name}_delta_{tag}-{os.getpid()}")
+        df.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # race lost; theirs == ours
     with open(marker, "w") as fh:
         fh.write("ok\n")
 
@@ -238,7 +249,7 @@ def ivf_probe(
                 )
             ),
         )
-        .filter(F.col("crk") <= _NPROBE)
+        .filter(F.col("crk") <= _sim._NPROBE)
         .select(F.col("vec_id").alias("qid"), "cid")
     )
     cand = (
@@ -301,7 +312,8 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full build bit-for-bit — which is exactly the invariant an
     append path has to prove (new data lands in the right lists
     without disturbing old ones)."""
-    assert _IVF_STEP % 2 == 0, "centroid-parity invariant needs an even step"
+    assert _sim._IVF_STEP % 2 == 0, \
+        "centroid-parity invariant needs an even step"
     tune(spark)
     d = index_dir("ivf_base", sf_dir)
     if not _is_built(d):

@@ -149,17 +149,24 @@ class MockPulsarBroker:
             else:
                 st.available_at = self.now + self.nack_redelivery_delay_s
 
+    def _free_locked(self, st: _DeliveryState) -> bool:
+        """Make one in-flight message immediately receivable again
+        (caller holds the lock).  The single definition of redelivery-
+        on-crash semantics for both the blanket and targeted paths."""
+        if not st.in_flight or st.done:
+            return False
+        st.in_flight = False
+        st.available_at = self.now
+        return True
+
     def redeliver_unacked(self, topic: str, subscription: str) -> int:
         """Consumer crash / ack-timeout: every in-flight message becomes
         immediately receivable again.  Returns how many."""
         with self._lock:
-            n = 0
-            for st in self._states(topic, subscription).values():
-                if st.in_flight and not st.done:
-                    st.in_flight = False
-                    st.available_at = self.now
-                    n += 1
-            return n
+            return sum(
+                self._free_locked(st)
+                for st in self._states(topic, subscription).values()
+            )
 
     def in_flight_ids(self, topic: str, subscription: str) -> list[int]:
         """Message ids currently held by a consumer (delivered, neither
@@ -179,14 +186,11 @@ class MockPulsarBroker:
         replay path still owns.  Returns how many were freed."""
         with self._lock:
             states = self._states(topic, subscription)
-            n = 0
-            for mid in msg_ids:
-                st = states.get(mid)
-                if st is not None and st.in_flight and not st.done:
-                    st.in_flight = False
-                    st.available_at = self.now
-                    n += 1
-            return n
+            return sum(
+                self._free_locked(states[mid])
+                for mid in msg_ids
+                if mid in states
+            )
 
     # ------------------------------------------------------------- clock
 
