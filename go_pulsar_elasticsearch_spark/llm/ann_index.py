@@ -90,6 +90,31 @@ def _mark_built(d: str) -> None:
         fh.write("ok\n")
 
 
+def _publish_dir(scratch: str, out_dir: str) -> None:
+    """Atomically publish a fully-built scratch tree (marker already
+    inside) as ``out_dir`` with one os.rename — the same pattern as
+    ivf_append_index's deltas, applied to the BASE build: two processes
+    racing past _is_built() can no longer interleave overwrites inside
+    the final dir; the rename loser drops its scratch (deterministic
+    build -> identical artifacts)."""
+    import shutil
+
+    try:
+        os.rename(scratch, out_dir)
+    except OSError:
+        if _is_built(out_dir):
+            # race lost: a sibling published first and theirs == ours
+            shutil.rmtree(scratch, ignore_errors=True)
+            return
+        # a stale half-build (pre-atomic era or killed mid-write, no
+        # marker) occupies the name: clear it and retry once
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(scratch, out_dir)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # IVF
 # --------------------------------------------------------------------------
@@ -134,9 +159,10 @@ def ivf_build_index(
     _IVF_STEP-th vector, the deterministic coarse quantizer), the
     nearest-centroid assignment per vector, and the vector norms.
     ``where`` restricts the BASE corpus (the append path adds the rest
-    later).  The marker file publishes the index only after every
-    artifact is fully written (a killed build is rebuilt, never
-    half-read)."""
+    later).  Built into a dot-prefixed scratch sibling and published
+    with one atomic os.rename (marker written inside the scratch tree
+    first) — a killed or racing build can never leave the final dir
+    marker-over-corrupt."""
     emb = t(spark, sf_dir, "embeddings")
     if where is not None:
         emb = emb.filter(where)
@@ -145,11 +171,14 @@ def ivf_build_index(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     assign = _ivf_assign(emb, cents, norms)
-    os.makedirs(out_dir, exist_ok=True)
-    cents.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    assign.write.mode("overwrite").parquet(os.path.join(out_dir, "assign"))
-    norms.write.mode("overwrite").parquet(os.path.join(out_dir, "norms"))
-    _mark_built(out_dir)
+    parent, base = os.path.split(os.path.abspath(out_dir))
+    scratch = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
+    os.makedirs(scratch, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(scratch, "centroids"))
+    assign.write.mode("overwrite").parquet(os.path.join(scratch, "assign"))
+    norms.write.mode("overwrite").parquet(os.path.join(scratch, "norms"))
+    _mark_built(scratch)
+    _publish_dir(scratch, out_dir)
 
 
 def ivf_append_index(
@@ -334,18 +363,22 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_build_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     """Two parquet artifacts: codebooks (sub, cid, centroid) and the
     PQ-coded corpus (vec_id, codes) — 8 small ints per vector instead
-    of 64 doubles, the whole point of PQ at 100 TB."""
+    of 64 doubles, the whole point of PQ at 100 TB.  Same atomic
+    scratch+rename publish as ivf_build_index."""
     unit = pq_unit_vectors(t(spark, sf_dir, "embeddings"))
     cb_df = pq_train_codebooks_df(unit)
-    os.makedirs(out_dir, exist_ok=True)
-    cb_df.write.mode("overwrite").parquet(os.path.join(out_dir, "codebooks"))
+    parent, base = os.path.split(os.path.abspath(out_dir))
+    scratch = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
+    os.makedirs(scratch, exist_ok=True)
+    cb_df.write.mode("overwrite").parquet(os.path.join(scratch, "codebooks"))
     cb = pq_codebook_array(
-        spark.read.parquet(os.path.join(out_dir, "codebooks")).collect()
+        spark.read.parquet(os.path.join(scratch, "codebooks")).collect()
     )
     pq_encode_df(unit, cb).write.mode("overwrite").parquet(
-        os.path.join(out_dir, "codes")
+        os.path.join(scratch, "codes")
     )
-    _mark_built(out_dir)
+    _mark_built(scratch)
+    _publish_dir(scratch, out_dir)
 
 
 @register("ann_pq_stored")  # rows-only: float codebooks, like ann_pq;

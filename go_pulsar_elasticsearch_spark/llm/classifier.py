@@ -35,6 +35,17 @@ from go_pulsar_elasticsearch_spark.session import tune
 _N_FEATURES = 1 << 15
 _SEED = 42
 
+# single source of truth for the LR knobs: BOTH the persisted-artifact
+# key and the LogisticRegression constructor derive from this dict, so
+# changing a knob re-keys the artifact instead of silently reusing a
+# stale model (the failure mode ann_index._hyperparams guards against)
+_LR_PARAMS: dict[str, object] = {
+    "maxIter": 20,
+    "regParam": 0.01,
+    "elasticNetParam": 0.0,
+    "standardization": False,
+}
+
 # fit is once-per-model in production (train offline, probe everywhere):
 # memoize the fitted LR per (process, sf_dir) like the delivery loop's
 # _LOOP_STATE, AND persist it as a reloadable artifact so later
@@ -50,8 +61,9 @@ def _model_dir(sf_dir: str) -> str:
     import hashlib
     import tempfile
 
+    knobs = ",".join(f"{k}={v}" for k, v in sorted(_LR_PARAMS.items()))
     key = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}|lr|{_N_FEATURES}|20|0.01".encode()
+        f"{os.path.abspath(sf_dir)}|lr|{_N_FEATURES}|{knobs}".encode()
     ).hexdigest()[:16]
     return os.path.join(tempfile.gettempdir(), "gpe_models", f"lr-{key}")
 
@@ -97,10 +109,7 @@ def quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(mdir, ignore_errors=True)
                 model = None
         if model is None:
-            lr = LogisticRegression(
-                maxIter=20, regParam=0.01, elasticNetParam=0.0,
-                standardization=False,
-            )
+            lr = LogisticRegression(**_LR_PARAMS)
             model = lr.fit(feats)
             # publish atomically: save to a scratch dir, rename into
             # place — a killed save never leaves a loadable-looking

@@ -164,8 +164,12 @@ def bulk_index_docs(docs: list[dict], endpoint: str, opts: BulkClientOptions,
                     sleep=time.sleep) -> list[tuple[str, int, str | None]]:
     """Index a list of JSON docs, chunked by count AND bytes (es.go:
     161-168 FlushInterval analog is the micro-batch trigger; Flush
-    thresholds are per-request here).  Returns per-item results in input
-    order-insensitive form."""
+    thresholds are per-request here).  Returns per-item results in
+    STRICT INPUT ORDER — results[i] pairs with docs[i].  ES bulk
+    preserves action order within a request, and chunks are posted and
+    extended sequentially; the passthrough reconciliation in
+    bulk_index_rows and replay_dlq load-bearingly depends on this
+    positional pairing for msg_id-keyed ack/nack."""
     out: list[tuple[str, int, str | None]] = []
     chunk: list[dict] = []
     chunk_bytes = 0

@@ -319,6 +319,10 @@ def run_delivery_stream(
             if _time.monotonic() > deadline:
                 raise RuntimeError("delivery stream did not drain in time")
             q.processAllAvailable()
+            # between redelivery waves every remaining message sits
+            # behind the virtual-clock delay — don't hot-loop a driver
+            # core while the reader catches up and advances the clock
+            _time.sleep(0.02)
     finally:
         q.stop()
         q.awaitTermination(30)
