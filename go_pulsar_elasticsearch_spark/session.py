@@ -33,8 +33,11 @@ RUNTIME_CONFS = {
     # lets es_reader_sim compile Spark filters to ES term/terms/range
     # clauses instead of scanning the whole index
     "spark.sql.python.filterPushdown.enabled": "true",
-    # 10 MB default is fine locally; keep explicit so plans are stable.
-    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # 64 MB: node-cardinality array frames (adjacency lists, centroid
+    # tables) sit in the 30-60 MB band at probe scale; Spark ships
+    # broadcasts of this size routinely, and AQE still gates on the
+    # ACTUAL runtime size, so an oversized build side falls back to SMJ.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 
 # Only the timezone is load-bearing for CORRECTNESS (the oracle compares
