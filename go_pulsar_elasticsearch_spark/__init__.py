@@ -55,6 +55,9 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.ingest import pipeline  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import urlnorm  # noqa: F401
     from go_pulsar_elasticsearch_spark.ingest import warc  # noqa: F401
+    from go_pulsar_elasticsearch_spark.ingest import (  # noqa: F401
+        crawl_pipeline,
+    )
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
         ann_index,
         bpe,

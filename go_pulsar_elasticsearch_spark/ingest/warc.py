@@ -42,10 +42,30 @@ def _warc_date(doc_id: int) -> str:
     )
 
 
-def _materialize_warc(sf_dir: str) -> str:
+def _mangled_url(doc_id: int) -> str:
+    """The crawl-pipeline fixture's messy URL per doc — byte-identical
+    to urlnorm._VARIANT_SQL / urlnorm._mangled (three docs share one
+    base URL through three corruptions), so WARC records written with
+    this URI exercise the REAL canonicalize-what-you-read path."""
+    b = doc_id // 3
+    m = doc_id % 3
+    if m == 0:
+        return f"https://corpus.local/d/{b}"
+    if m == 1:
+        return (
+            f"HTTPS://WWW.Corpus.LOCAL:443/d/{b}"
+            "/?utm_source=feed&utm_campaign=x"
+        )
+    return f"https://corpus.local:443/d/{b}?gclid=abc#frag"
+
+
+def _materialize_warc(sf_dir: str, mangle_urls: bool = False) -> str:
     """Write {sf_dir}/documents.parquet as _N_FILES WARC files under a
     content-addressed cache dir (keyed by source path + size + mtime so
-    regenerated fixtures invalidate); idempotent across runs."""
+    regenerated fixtures invalidate); idempotent across runs.  With
+    ``mangle_urls`` the Target-URI is the adversarially mangled crawl
+    URL (_mangled_url) instead of the canonical per-doc URI — a
+    DIFFERENT cache key, so both fixtures coexist."""
     src = os.path.join(sf_dir, "documents.parquet")
     # single-file fixture or a Spark-written directory of part files
     if os.path.isdir(src):
@@ -60,7 +80,8 @@ def _materialize_warc(sf_dir: str) -> str:
     else:
         st = os.stat(src)
         sig = f"{src}|{st.st_size}|{st.st_mtime_ns}"
-    key = hashlib.md5(f"{sig}|v1".encode()).hexdigest()[:16]
+    variant = "v2-mangled" if mangle_urls else "v1"
+    key = hashlib.md5(f"{sig}|{variant}".encode()).hexdigest()[:16]
     out_dir = os.path.join("/tmp", "gpe_warc_cache", key)
     done = os.path.join(out_dir, "_done")
     if os.path.exists(done):
@@ -88,7 +109,9 @@ def _materialize_warc(sf_dir: str) -> str:
                             "record_id": f"urn:gpe:doc:{doc_id}",
                             "warc_type": "response",
                             "target_uri": (
-                                f"https://corpus.local/{lang}/{doc_id}"
+                                _mangled_url(int(doc_id))
+                                if mangle_urls
+                                else f"https://corpus.local/{lang}/{doc_id}"
                             ),
                             "warc_date": _warc_date(doc_id),
                             "body": text,

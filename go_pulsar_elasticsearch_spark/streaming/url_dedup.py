@@ -1,0 +1,158 @@
+"""Streaming canonical-URL keep-best dedup (round-6 VERDICT #7), plus
+the streaming twin of the crawl->corpus flagship.
+
+The batch op (`url_canonical_dedup`) is ONE hash aggregate whose every
+measure is ASSOCIATIVE (min kept_doc_id, count n_variants, max
+best_n_chars) — so the streaming form is the cleanest incremental shape
+there is: each micro-batch writes its own partial aggregate to an
+epoch-keyed store directory, and "the state so far" is the re-aggregate
+of the partials.  No state rewrite, no read-modify-write race: the
+store is append-only by epoch, each epoch directory is written with
+overwrite (a checkpoint replay of a failed batch rewrites the SAME
+files — byte-idempotent), and the merge is a deterministic fold over
+whatever epochs exist.  This is exactly how a 1000-executor crawl
+frontier maintains its seen-URL table: per-ingest-window partials,
+compacted by an associative merge.
+
+Keep-best decisions can FLIP (a later epoch may carry a lower doc_id
+for an already-seen canonical URL); emitting per-epoch "kept" rows
+would therefore need retractions.  The store-of-partials sidesteps
+that: consumers read the merged view, which is always the exact batch
+answer over everything ingested so far (convergence asserted
+hash-for-hash in tests/test_crawl_pipeline.py).
+
+The crawl twin (`run_crawl_corpus_stream` + `finalize_crawl_corpus`)
+adds a raw-corpus spool next to the URL store: foreachBatch spools the
+batch rows and updates the URL partials; finalize joins the merged
+keep-best ids back to the spool and runs the SAME downstream stages as
+the batch flagship (ingest/crawl_pipeline.curated_manifest — shared
+code, not a re-implementation).  The corpus-global stages (gram/band
+frequencies) are functions of the whole surviving corpus by definition
+and so run once at finalize; the URL stage is the part that
+incrementalizes, and it is the part that owns the unbounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.ingest.urlnorm import canonicalize_url
+from go_pulsar_elasticsearch_spark.streaming.store import read_store_or_empty
+
+_STORE_SCHEMA = (
+    "canonical_url string, kept_doc_id long, n_variants long,"
+    " best_n_chars long"
+)
+
+
+def _batch_partial(batch_df: DataFrame) -> DataFrame:
+    """The batch's own keep-best partial aggregate — the unit the store
+    accumulates."""
+    return (
+        batch_df.select(
+            "doc_id",
+            "n_chars",
+            canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").alias("n_variants"),
+            F.max("n_chars").alias("best_n_chars"),
+        )
+    )
+
+
+def url_dedup_batch(
+    spark: SparkSession, batch_df: DataFrame, store_path: str, epoch_id: int
+) -> None:
+    """foreachBatch body: write this epoch's keep-best partial under
+    its own directory (overwrite => checkpoint replays are
+    byte-idempotent; no prior-epoch state is read or rewritten)."""
+    _batch_partial(batch_df).write.mode("overwrite").parquet(
+        f"{store_path}/epoch={epoch_id}"
+    )
+
+
+def read_url_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The merged keep-best view over every epoch partial: associative
+    re-aggregation (min/sum/max), identical to the batch aggregate over
+    the union of all ingested rows."""
+    partials = read_store_or_empty(spark, store_path, _STORE_SCHEMA)
+    return partials.groupBy("canonical_url").agg(
+        F.min("kept_doc_id").alias("kept_doc_id"),
+        F.sum("n_variants").alias("n_variants"),
+        F.max("best_n_chars").alias("best_n_chars"),
+    )
+
+
+def run_incremental_url_dedup(
+    source: DataFrame, store_path: str, checkpoint: str
+):
+    """Wire a streaming (doc_id, n_chars, raw_url) source through the
+    incremental keep-best; returns the started query.  Read the result
+    with read_url_store."""
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        url_dedup_batch(batch_df.sparkSession, batch_df, store_path, epoch_id)
+
+    return (
+        source.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming twin of the crawl->corpus flagship
+# --------------------------------------------------------------------------
+
+
+def run_crawl_corpus_stream(
+    source: DataFrame, spool_path: str, store_path: str, checkpoint: str
+):
+    """Stream (doc_id, raw_url, text) crawl records: spool the raw rows
+    and maintain the URL keep-best partials, both epoch-keyed and
+    replay-idempotent.  The batch's n_chars for keep-best accounting is
+    the text length (the crawl fetch size)."""
+
+    def body(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(
+                f"{spool_path}/epoch={epoch_id}"
+            )
+            url_dedup_batch(
+                batch_df.sparkSession,
+                batch_df.withColumn("n_chars", F.length("text")),
+                store_path,
+                epoch_id,
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        source.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def finalize_crawl_corpus(
+    spark: SparkSession, spool_path: str, store_path: str
+) -> DataFrame:
+    """Join the merged keep-best ids back to the spooled corpus and run
+    the batch flagship's downstream verbatim — the returned manifest
+    hash-equals `crawl_corpus_pipeline` over the same corpus."""
+    from go_pulsar_elasticsearch_spark.ingest.crawl_pipeline import (
+        curated_manifest,
+    )
+
+    corpus = spark.read.parquet(spool_path).select("doc_id", "text")
+    kept_ids = read_url_store(spark, store_path).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    return curated_manifest(corpus.join(kept_ids, "doc_id"))
