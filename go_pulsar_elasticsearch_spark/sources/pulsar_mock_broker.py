@@ -242,9 +242,13 @@ class MockPulsarBroker:
 def make_broker_server(broker: MockPulsarBroker):
     """Serve ``broker`` over HTTP; returns (server, url).  Endpoints:
     POST /receive {topic, subscription, max_messages} -> {messages:
-    [{msg_id, payload (hex), properties}]}; GET /waiting, /pending
-    (?topic=&subscription=); POST /advance {} (one redelivery delay).
-    Caller must server.shutdown()."""
+    [{msg_id, payload (hex), properties}]}; GET /waiting, /pending,
+    /in_flight (?topic=&subscription=); POST /advance {} (one
+    redelivery delay); POST /ack, /nack, /redeliver {topic,
+    subscription, msg_ids: [...]} — the PRODUCER-SIDE channel end, so
+    an engine-owned sink can reconcile deliveries over the same wire
+    the reader consumes on (no broker object crosses into the
+    StreamingQuery).  Caller must server.shutdown()."""
     import json as _json
     import threading as _threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -275,6 +279,11 @@ def make_broker_server(broker: MockPulsarBroker):
             elif u.path == "/waiting":
                 self._reply({
                     "n": broker.waiting(qs["topic"], qs["subscription"])})
+            elif u.path == "/in_flight":
+                self._reply({
+                    "msg_ids": broker.in_flight_ids(
+                        qs["topic"], qs["subscription"]
+                    )})
             else:
                 self._reply({"error": "unknown " + u.path}, 404)
 
@@ -299,6 +308,19 @@ def make_broker_server(broker: MockPulsarBroker):
             elif self.path == "/advance":
                 broker.advance(broker.nack_redelivery_delay_s)
                 self._reply({"now": broker.now})
+            elif self.path == "/ack":
+                for mid in body["msg_ids"]:
+                    broker.ack(body["topic"], body["subscription"], mid)
+                self._reply({"n": len(body["msg_ids"])})
+            elif self.path == "/nack":
+                for mid in body["msg_ids"]:
+                    broker.nack(body["topic"], body["subscription"], mid)
+                self._reply({"n": len(body["msg_ids"])})
+            elif self.path == "/redeliver":
+                n = broker.redeliver(
+                    body["topic"], body["subscription"], body["msg_ids"]
+                )
+                self._reply({"n": n})
             else:
                 self._reply({"error": "unknown " + self.path}, 404)
 

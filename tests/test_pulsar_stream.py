@@ -106,7 +106,7 @@ def test_mid_drain_restart_from_checkpoint_converges(spark, fixture):
     srv, broker_url = make_broker_server(broker)
     try:
         q = start_delivery_stream(
-            spark, broker, broker_url, _TOPIC, _SUB, url, ckpt, spool,
+            spark, broker_url, _TOPIC, _SUB, url, ckpt, spool,
             batch_size=60,
         )
         # let at least one micro-batch land, then kill mid-drain
