@@ -360,12 +360,22 @@ def ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def pq_build_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+def pq_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    where: F.Column | None = None,
+) -> None:
     """Two parquet artifacts: codebooks (sub, cid, centroid) and the
     PQ-coded corpus (vec_id, codes) — 8 small ints per vector instead
-    of 64 doubles, the whole point of PQ at 100 TB.  Same atomic
-    scratch+rename publish as ivf_build_index."""
-    unit = pq_unit_vectors(t(spark, sf_dir, "embeddings"))
+    of 64 doubles, the whole point of PQ at 100 TB.  ``where``
+    restricts the BASE corpus (codebooks train on it; the append path
+    encodes the rest later against those frozen codebooks).  Same
+    atomic scratch+rename publish as ivf_build_index."""
+    emb = t(spark, sf_dir, "embeddings")
+    if where is not None:
+        emb = emb.filter(where)
+    unit = pq_unit_vectors(emb)
     cb_df = pq_train_codebooks_df(unit)
     parent, base = os.path.split(os.path.abspath(out_dir))
     scratch = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
@@ -396,6 +406,70 @@ def ann_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(d, "codebooks")).collect()
     )
     coded = spark.read.parquet(os.path.join(d, "codes"))
+    unit = pq_unit_vectors(t(spark, sf_dir, "embeddings"))
+    qids, qmat = pq_query_vectors(unit)
+    return pq_search(coded, unit, cb, qids, qmat)
+
+
+def pq_append_index(
+    spark: SparkSession,
+    sf_dir: str,
+    idx_dir: str,
+    where: F.Column,
+    tag: str,
+) -> None:
+    """APPEND-ONLY PQ maintenance (round-6 VERDICT #4, the exact
+    pattern of ivf_append_index): encode the ``where`` slice against
+    the STORED codebooks — no retrain, the quantizer is frozen — and
+    publish it as a marked delta partition (`codes_delta_<tag>`).
+    Crash-safe, idempotent and concurrency-safe via the dot-prefixed
+    scratch + atomic rename + marker-last protocol; deterministic
+    encoding against frozen codebooks makes a rename-race loser's copy
+    identical to the winner's."""
+    import shutil
+
+    marker = os.path.join(idx_dir, f"_APPENDED_{tag}")
+    if os.path.exists(marker):
+        return
+    cb = pq_codebook_array(
+        spark.read.parquet(os.path.join(idx_dir, "codebooks")).collect()
+    )
+    unit = pq_unit_vectors(t(spark, sf_dir, "embeddings").filter(where))
+    final = os.path.join(idx_dir, f"codes_delta_{tag}")
+    if not os.path.isdir(final):
+        tmp = os.path.join(idx_dir, f".tmp-codes_delta_{tag}-{os.getpid()}")
+        pq_encode_df(unit, cb).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # race lost; theirs == ours
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
+@register("ann_pq_append")  # rows-only: float codebooks, like ann_pq;
+# append==one-shot-encode equality asserted in tests/test_ann_index.py
+def ann_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ maintenance: train codebooks on the BASE corpus
+    (vec_id % 4 != 3, ~75%), APPEND the remaining quarter as codes
+    encoded against those frozen codebooks, probe the merged artifacts.
+    A growing corpus joins the index without a codebook retrain —
+    tests pin that base-build + delta-append reproduces one-shot
+    encoding of the full corpus against the same codebooks bit-for-bit,
+    and that probes union only MARKED deltas."""
+    tune(spark)
+    d = index_dir("pq_base", sf_dir)
+    if not _is_built(d):
+        pq_build_index(
+            spark, sf_dir, d, where=F.col("vec_id") % 4 != F.lit(3)
+        )
+    pq_append_index(
+        spark, sf_dir, d, where=F.col("vec_id") % 4 == F.lit(3), tag="q4"
+    )
+    cb = pq_codebook_array(
+        spark.read.parquet(os.path.join(d, "codebooks")).collect()
+    )
+    coded = _with_deltas(spark, d, "codes")
     unit = pq_unit_vectors(t(spark, sf_dir, "embeddings"))
     qids, qmat = pq_query_vectors(unit)
     return pq_search(coded, unit, cb, qids, qmat)

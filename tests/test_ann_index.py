@@ -137,3 +137,74 @@ def test_hyperparams_in_index_key():
     finally:
         sim._IVF_STEP = old
     assert d1 != d2
+
+
+def test_pq_append_equals_one_shot_encode(spark):
+    """Base-trained codebooks + delta append must reproduce one-shot
+    encoding of the FULL corpus against the same frozen codebooks:
+    deterministic per-vector encoding makes the probe bit-identical."""
+    import pyspark.sql.functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.llm.similarity import (
+        pq_codebook_array,
+        pq_encode_df,
+        pq_query_vectors,
+        pq_search,
+        pq_unit_vectors,
+    )
+
+    d = ann_index.index_dir("pq_base", _SF)
+    shutil.rmtree(d, ignore_errors=True)
+    appended = _rows(ann_index.ann_pq_append(spark, _SF))
+    cb = pq_codebook_array(
+        spark.read.parquet(os.path.join(d, "codebooks")).collect()
+    )
+    unit = pq_unit_vectors(t(spark, _SF, "embeddings"))
+    one_shot = pq_search(
+        pq_encode_df(unit, cb), unit, cb, *pq_query_vectors(unit)
+    )
+    assert appended == _rows(one_shot) and appended
+    # the delta really carries the held-out quarter, nothing else
+    delta = spark.read.parquet(os.path.join(d, "codes_delta_q4"))
+    assert delta.filter(F.col("vec_id") % 4 != 3).count() == 0
+    assert delta.count() > 0
+
+
+def test_pq_append_is_idempotent_and_marker_gated(spark):
+    """Repeat appends rewrite nothing; an unmarked delta (kill between
+    parquet and marker) stays invisible to probes until re-appended."""
+    d = ann_index.index_dir("pq_base", _SF)
+    first = _rows(ann_index.ann_pq_append(spark, _SF))
+    before = _mtimes(d)
+    assert _rows(ann_index.ann_pq_append(spark, _SF)) == first
+    assert _mtimes(d) == before, "repeat invocation rewrote artifacts"
+    marker = os.path.join(d, "_APPENDED_q4")
+    os.remove(marker)  # simulate the kill window
+    base_only = ann_index._with_deltas(spark, d, "codes").count()
+    healed = _rows(ann_index.ann_pq_append(spark, _SF))
+    assert os.path.exists(marker) and healed == first
+    merged = ann_index._with_deltas(spark, d, "codes")
+    assert merged.count() > base_only
+    assert merged.count() == merged.select("vec_id").distinct().count()
+
+
+def test_pq_append_recall_vs_exact(spark):
+    """The appended index keeps the family's recall@5 >= 0.9 bound vs
+    the exact operator, with true cosines after re-rank."""
+    import pytest as _pytest
+
+    from go_pulsar_elasticsearch_spark.registry import QUERIES
+
+    exact = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["similarity_topk"](spark, _SF).collect()
+    }
+    pq = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in ann_index.ann_pq_append(spark, _SF).collect()
+    }
+    hits = set(exact) & set(pq)
+    assert len(hits) / len(exact) >= 0.9
+    for k in hits:
+        assert pq[k] == _pytest.approx(exact[k], abs=1e-9), k

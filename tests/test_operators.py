@@ -28,6 +28,7 @@ def test_oracle_keys_subset_of_queries():
         "agg_approx", "multimodal_features", "stream_ingest_e2e",
         "similarity_topk_fast", "near_dedup_minhash_ml", "ann_pq",
         "ann_pq_stored",  # float codebooks like ann_pq; stored==fresh pytest
+        "ann_pq_append",  # frozen-codebook delta; append==one-shot pytest
         "quality_classifier_lr", "embedding_pca_project", "bpe_encode",
         "sketch_union_hll", "agg_count_min",
     }
