@@ -83,6 +83,22 @@ class _Handler(BaseHTTPRequestHandler):
         return self.rfile.read(n) if n else b""
 
     def do_GET(self):
+        # GET /_alias/<name> -> ES8 shape {"<index>": {"aliases":
+        # {"<name>": {}}}} or 404 (the read half of the alias API the
+        # mid-stream rollover's monotonic flip check needs)
+        parts = self.path.rstrip("/").split("/")
+        if len(parts) == 3 and parts[1] == "_alias":
+            name = parts[2]
+            with self.state.lock:
+                index = self.state.aliases.get(name)
+            if index is None:
+                self._reply(
+                    404,
+                    {"error": {"type": "alias_missing_exception"}},
+                )
+            else:
+                self._reply(200, {index: {"aliases": {name: {}}}})
+            return
         self._reply(200, {"name": "mock-es", "version": {"number": "8.0.0-mock"}})
 
     def do_DELETE(self):

@@ -59,8 +59,21 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
         self.dlq_dir = options.get("dlq_dir", "")
         self.state_dir = options["state_dir"]
         self.batch_entries = int(options.get("batch_entries", "500"))
+        # mid-stream dated-index rollover (round-6 VERDICT #5): when
+        # rollover_alias is set, each doc routes to
+        # <alias>_<doc[rollover_date_field]> — the day's index is
+        # ensured on first sight and the alias follows the newest day
+        self.rollover_alias = options.get("rollover_alias", "")
+        self.rollover_date_field = options.get(
+            "rollover_date_field", "ingest_date"
+        )
 
     def write(self, iterator):
+        if self.rollover_alias:
+            return self._write_rollover(iterator)
+        return self._write_fixed(iterator)
+
+    def _write_fixed(self, iterator):
         from pyspark import TaskContext
 
         from go_pulsar_elasticsearch_spark.sources.es_bulk import (
@@ -128,6 +141,87 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
                     chunk = []
             if chunk:
                 flush(chunk)
+        finally:
+            if spool_fh is not None:
+                spool_fh.close()
+        return EsBulkCommitMessage(pid, n_ok, n_failed)
+
+    def _write_rollover(self, iterator):
+        """Per-day routed variant of the bulk write: docs buffer per
+        their date value; each day's first doc triggers the idempotent
+        index-ensure + monotonic alias flip (es_bulk.
+        rollover_dated_index), then the chunk bulks into the DATED
+        index directly — a stream crossing midnight lands pre-midnight
+        docs in day N's index and post-midnight docs in day N+1's,
+        with the alias moving forward exactly once."""
+        from pyspark import TaskContext
+
+        from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+            BulkClientOptions,
+            _to_jsonable,
+            bulk_index_docs,
+            rollover_dated_index,
+        )
+
+        pid = TaskContext.get().partitionId()
+        n_ok = n_failed = 0
+        spool_fh = None
+        bufs: dict[str, list[dict]] = {}
+
+        def flush(date: str, docs: list[dict]) -> None:
+            nonlocal n_ok, n_failed, spool_fh
+            index = rollover_dated_index(
+                self.endpoint, self.rollover_alias, date
+            )
+            opts = BulkClientOptions(
+                index=index,
+                id_field=self.id_field,
+                batch_entries=self.batch_entries,
+            )
+            results = bulk_index_docs(docs, self.endpoint, opts)
+            by_id = {d[self.id_field]: d for d in docs}
+            for rid, status, err in results:
+                if status < 300:
+                    n_ok += 1
+                    continue
+                n_failed += 1
+                if self.dlq_dir:
+                    if spool_fh is None:
+                        os.makedirs(self.dlq_dir, exist_ok=True)
+                        spool_fh = open(
+                            os.path.join(
+                                self.dlq_dir,
+                                f"part-{pid}-{uuid_mod.uuid4().hex}.ndjson",
+                            ),
+                            "w",
+                        )
+                    spool_fh.write(
+                        json.dumps(
+                            {
+                                "uuid": rid,
+                                "status": status,
+                                "error": err,
+                                "doc": by_id.get(rid),
+                            }
+                        )
+                        + "\n"
+                    )
+
+        try:
+            for row in iterator:
+                d = {
+                    k: _to_jsonable(v)
+                    for k, v in row.asDict(recursive=True).items()
+                }
+                # the routing value is metadata, never indexed (strict
+                # mapping); ISO timestamps truncate to their day
+                date = str(d.pop(self.rollover_date_field))[:10]
+                bufs.setdefault(date, []).append(d)
+                if len(bufs[date]) >= self.batch_entries:
+                    flush(date, bufs.pop(date))
+            # ascending day order so the alias lands on the newest day
+            for date in sorted(bufs):
+                flush(date, bufs.pop(date))
         finally:
             if spool_fh is not None:
                 spool_fh.close()

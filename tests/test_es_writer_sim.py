@@ -199,3 +199,56 @@ def test_unrecoverable_failure_writes_abort_marker(spark, tmp_path, mock_es):
     assert glob.glob(f"{state_dir}/_aborts/*.json"), "abort marker missing"
     assert not glob.glob(f"{state_dir}/_commits/*.json")
     assert state.docs == {}
+
+
+def test_midnight_rollover_moves_alias_and_splits_indices(
+    spark, tmp_path, mock_es
+):
+    """A stream crossing a virtual midnight: day-1 docs land in
+    <alias>_<day1>, day-2 docs in <alias>_<day2>, the alias follows the
+    newest day, and LATE day-1 data arriving after the flip lands in
+    day 1's index without yanking the alias backward (es.go:78-116 as
+    continuous behavior, round-6 VERDICT #5)."""
+    state, url = mock_es
+    src = str(tmp_path / "src")
+    schema = "uuid string, name string, ingest_date string"
+    batches = (
+        [(f"a{i}", "n", "2021-06-01") for i in range(3)],       # day 1
+        [(f"b{i}", "n", "2021-06-02") for i in range(3)],       # midnight
+        [("late0", "n", "2021-06-01")],                          # late data
+    )
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.dataSource.register(EsBulkDataSource)
+    q = (
+        stream.writeStream.format("es_bulk_sim")
+        .option("endpoint", url)
+        .option("id_field", "uuid")
+        .option("state_dir", str(tmp_path / "state"))
+        .option("rollover_alias", "index_data")
+        .option("rollover_date_field", "ingest_date")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # docs split across BOTH dated indices
+    assert {state.doc_index[f"a{i}"] for i in range(3)} == {
+        "index_data_2021-06-01"
+    }
+    assert {state.doc_index[f"b{i}"] for i in range(3)} == {
+        "index_data_2021-06-02"
+    }
+    # the alias moved to the newest day and the late write didn't
+    # yank it back
+    assert state.doc_index["late0"] == "index_data_2021-06-01"
+    assert state.aliases["index_data"] == "index_data_2021-06-02"
+    # the routing field never reached the strict-mapped documents
+    assert "ingest_date" not in state.docs["a0"]
