@@ -100,7 +100,20 @@ HEADLINE = [
     "ann_ivf_stored",
     "url_canonical_dedup",
     "dup_span_remove",
+    # round 7 flagships: the composed crawl->corpus pipeline, the
+    # degree-oriented graph QA plan, append-only PQ maintenance
+    "crawl_corpus_pipeline",
+    "graph_clustering_coeff",
+    "ann_pq_append",
 ]
+
+# Host-speed canaries (round-6 VERDICT #6): tpch_q5/q6/q18 have been
+# code-identical since round 1, so their ratio to these PINNED baseline
+# timings (median of the round 5-6 committed bench runs at sf0.1 on
+# this host class) measures THIS run's host speed.  Every query time is
+# also reported divided by the canary-median ratio, so a ±30% host
+# drift between rounds stops masquerading as per-query regressions.
+CANARY_BASELINE_S = {"tpch_q5": 1.40, "tpch_q6": 0.38, "tpch_q18": 0.98}
 
 
 def materialize(df) -> None:
@@ -218,6 +231,17 @@ def main() -> None:
 
     stream_rps = bench_stream_ingest(spark, sf_dir)
 
+    # canary normalization: this run's host-speed ratio is the MEDIAN
+    # of the canaries' ratios to their pinned baselines (median, not
+    # mean: one canary catching a noise spike must not skew the factor)
+    ratios = sorted(
+        timings[c] / CANARY_BASELINE_S[c]
+        for c in CANARY_BASELINE_S
+        if c in timings
+    )
+    canary_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+    norm = lambda v: round(v / canary_ratio, 3) if v > 0 else v  # noqa: E731
+
     out = {
         "metric": "headline query latency @ sf" + sf,
         "value": round(sum(timings.values()), 3),
@@ -234,6 +258,17 @@ def main() -> None:
         # canary before attributing any cross-round per-query delta to a
         # code change (README "Current bench" note).
         "canaries": {k: timings[k] for k in ("tpch_q5", "tpch_q6", "tpch_q18") if k in timings},
+        # canary-normalized view (round-6 VERDICT #6): every time
+        # divided by this run's canary-median host-speed ratio — compare
+        # THESE across rounds; raw seconds stay above for transparency
+        "canary_ratio": round(canary_ratio, 4),
+        "canary_baseline_s": CANARY_BASELINE_S,
+        "value_normalized": norm(sum(timings.values())),
+        "queries_normalized": {k: norm(v) for k, v in timings.items()},
+        "full_queries_normalized": {k: norm(v) for k, v in full.items()},
+        "full_total_normalized_s": norm(
+            sum(v for v in full.values() if v > 0)
+        ),
     }
     # The driver's BENCH_r{N}.json artifact keeps only a 2000-char tail
     # of stdout, which truncates the headline dict — persist the full

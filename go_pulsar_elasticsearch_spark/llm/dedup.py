@@ -1424,20 +1424,33 @@ def dup_span_remove_df(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
     Distribution shape — generalizes segment_dedup's fixed paragraphs
     to arbitrary overlapping spans with zero Python in the hot path:
       1. positioned gram hashes (explode; span TEXT never leaves the
-         row, md5 stands in);
-      2. corpus frequency = one groupBy on the hash (uniform keys,
-         map-side combined);
+         row, md5 stands in) over the SLOT-CACHED word frame — the
+         frame feeds both the gram build and the final reassembly
+         join, and in the composed pipelines its lineage is the whole
+         upstream curation (round-6 VERDICT #8: without the cache the
+         crawl flagship re-ran URL dedup + gopher + minhash twice);
+      2. corpus frequency as ONE count window over the gram hash —
+         the old groupBy + re-join shape paid an extra exchange and a
+         second scan of the gram subtree for the same answer;
       3. duplicate start positions fold back per doc as ONE bounded
          array (collect_list, <= doc length ints);
       4. the excision itself is row-local array math: covered =
          flatten(transform(starts, s -> sequence(s, s+n-1))),
          kept = array_except(sequence(1, L), covered) — order
          preserving — and concat_ws(transform(kept, element_at)).
-    No window, no per-word shuffle: the wide state is exactly the gram
-    frequency table, same as dup_span_fraction."""
+    The wide state is exactly the gram-frequency shuffle, same as
+    dup_span_fraction; window partitions are per-gram occurrence
+    lists, bounded by duplication depth."""
+    from pyspark.sql import Window
+
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
+
     w = F.split("text", " ")
-    based = docs.select("doc_id", w.alias("w")).withColumn(
-        "L", F.size("w")
+    based = cache_slot_reuse(
+        "span_based",
+        docs.select("doc_id", w.alias("w")).withColumn("L", F.size("w")),
     )
     grams = based.filter(F.col("L") >= n).select(
         "doc_id",
@@ -1448,9 +1461,10 @@ def dup_span_remove_df(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
-    freq = grams.groupBy("h").agg(F.count("*").alias("cnt"))
     starts = (
-        grams.join(freq, "h")
+        grams.withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("h"))
+        )
         .filter(F.col("cnt") > 1)
         .groupBy("doc_id")
         .agg(F.collect_list("i").alias("starts"))
