@@ -43,6 +43,8 @@ north-star extension of that pipe into corpus curation.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -274,3 +276,61 @@ def crawl_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curated_manifest(
         kept_by_canonical_url(warc_corpus(spark, sf_dir))
     )
+
+
+# drained streaming-twin state per (process, sf_dir): the drain runs
+# once, later invocations re-run only the cheap finalize over the
+# accumulated spool + store
+_CRAWL_STREAM_STATE: dict[str, tuple[str, str]] = {}
+
+
+def _drive_crawl_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import tempfile
+
+    if sf_dir in _CRAWL_STREAM_STATE:
+        return _CRAWL_STREAM_STATE[sf_dir]
+    from go_pulsar_elasticsearch_spark.streaming.url_dedup import (
+        run_crawl_corpus_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="gpe-crawlstream-")
+    src = os.path.join(base, "src")
+    corpus = warc_corpus(spark, sf_dir)
+    # three uneven micro-batches (boundary mid-URL-group, so keep-best
+    # decisions genuinely span epochs)
+    for lo, hi in ((0, 40), (40, 41), (41, 1 << 62)):
+        corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, raw_url string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spool = os.path.join(base, "spool")
+    store = os.path.join(base, "store")
+    q = run_crawl_corpus_stream(
+        stream, spool, store, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    _CRAWL_STREAM_STATE[sf_dir] = (spool, store)
+    return _CRAWL_STREAM_STATE[sf_dir]
+
+
+@register("crawl_corpus_stream", _CRAWL_ORACLE)
+def crawl_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's STREAMING twin, hash-certified by the SAME
+    chained oracle: crawl records arrive in micro-batches under
+    foreachBatch, the canonical-URL keep-best store accumulates
+    incrementally (epoch-keyed associative partials, replay-
+    idempotent), and finalize runs the shared downstream over the
+    spooled corpus — converging bit-for-bit to the batch manifest, the
+    same certification pattern as pulsar_delivery_stream vs the
+    hand-rolled loop."""
+    tune(spark)
+    spool, store = _drive_crawl_stream(spark, sf_dir)
+    from go_pulsar_elasticsearch_spark.streaming.url_dedup import (
+        finalize_crawl_corpus,
+    )
+
+    return finalize_crawl_corpus(spark, spool, store)

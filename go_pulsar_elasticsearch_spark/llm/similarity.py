@@ -1148,8 +1148,21 @@ def pq_search(coded: DataFrame, unit: DataFrame, cb, qids, qmat) -> DataFrame:
         .withColumn("crk", F.row_number().over(cand_w))
         .filter(F.col("crk") <= _PQ_RERANK)
     )
-    # exact re-rank: raw-vector cosine for the top-_PQ_RERANK candidates
-    # per query
+    return pq_exact_rerank(cands.select("qid", "vid"), unit, qids, qmat)
+
+
+def pq_exact_rerank(cands: DataFrame, unit: DataFrame, qids, qmat,
+                    topk: int = _PQ_TOPK) -> DataFrame:
+    """Exact re-rank of (qid, vid) candidate pairs: raw-unit-vector
+    cosine, top-``topk`` per query — the recall knob every PQ variant
+    (full-scan ADC, stored-index, IVF-PQ) shares."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
     qn = {int(i): q for i, q in zip(qids, qmat)}
 
     def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1175,9 +1188,45 @@ def pq_search(coded: DataFrame, unit: DataFrame, cb, qids, qmat) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
     return (
         exact.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_TOPK)
+        .filter(F.col("rk") <= topk)
         .select("qid", "vid", "cosine", "rk")
     )
+
+
+def pq_adc_score_pairs(pairs: DataFrame, cb, qids, qmat) -> DataFrame:
+    """(qid, vid, codes) -> (qid, vid, approx_d2): asymmetric-distance
+    scoring of an EXPLICIT candidate pair list against per-query ADC
+    tables — the piece IVF-PQ needs, where candidates come from the
+    probed coarse lists instead of a full code scan.  Driver state is
+    the (nq, M, K) table tensor, KBs."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    qs = qmat.reshape(len(qids), _PQ_M, -1)
+    tables = ((qs[:, :, None, :] - cb[None]) ** 2).sum(axis=3)
+    qindex = {int(q): i for i, q in enumerate(qids)}
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"qid": [], "vid": [], "approx_d2": []})
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            qi = np.array([qindex[int(x)] for x in pdf["qid"]])
+            approx = tables[
+                qi[:, None], np.arange(_PQ_M)[None, :], codes
+            ].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].values,
+                    "vid": pdf["vid"].values,
+                    "approx_d2": approx,
+                }
+            )
+
+    return pairs.mapInPandas(adc, "qid long, vid long, approx_d2 double")
 
 
 def pq_query_vectors(unit: DataFrame):
@@ -1207,3 +1256,79 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = pq_encode_df(unit, cb)
     qids, qmat = pq_query_vectors(unit)
     return pq_search(coded, unit, cb, qids, qmat)
+
+
+@register("ann_ivfpq")  # rows-only: trained float codebooks like ann_pq;
+# recall vs exact asserted in tests/test_similarity.py
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS composition that is the billion-vector
+    default (Jegou et al. 2011, §IV): the coarse IVF quantizer bounds
+    the candidate set to the _NPROBE probed lists (ann_pq's ADC scans
+    EVERY code; at 100 TB that full scan is the bottleneck PQ alone
+    doesn't fix), PQ ADC scores only those candidates' 8-byte codes,
+    and the ADC top-_PQ_RERANK re-ranks exactly.
+
+    Plan shape: centroid table broadcast (KB), assignment map-side,
+    candidate generation one equi-join on the list id, ADC a
+    mapInPandas over (qid, vid, codes) triples, re-rank the shared
+    pq_exact_rerank.  Nothing scans the full corpus after assignment;
+    every moved byte is a code or a probed candidate."""
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    unit = pq_unit_vectors(emb)
+    # coarse IVF: same deterministic quantizer as ann_ivf
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    cents = emb.filter(F.col("vec_id") % _IVF_STEP == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    adots = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _dot("embedding", "ce").alias("dot")
+    )
+    ranked = (
+        adots.join(
+            norms.select(F.col("vec_id"), F.col("n2").alias("nv")), "vec_id"
+        )
+        .join(
+            F.broadcast(
+                norms.select(
+                    F.col("vec_id").alias("cid"), F.col("n2").alias("nc")
+                )
+            ),
+            "cid",
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc"))),
+                    F.asc("cid"),
+                )
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("crk") == 1).select("vec_id", "cid")
+    probes = ranked.filter(
+        (F.col("crk") <= _NPROBE) & (F.col("vec_id") < 10)
+    ).select(F.col("vec_id").alias("qid"), "cid")
+    # PQ codes for the corpus; candidates = probed lists' members
+    cb = pq_codebook_array(pq_train_codebooks_df(unit).collect())
+    coded = pq_encode_df(unit, cb)
+    qids, qmat = pq_query_vectors(unit)
+    pairs = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(coded, "vec_id")
+        .select("qid", F.col("vec_id").alias("vid"), "codes")
+    )
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.asc("approx_d2"), F.asc("vid")
+    )
+    cands = (
+        pq_adc_score_pairs(pairs, cb, qids, qmat)
+        .withColumn("crk", F.row_number().over(cand_w))
+        .filter(F.col("crk") <= _PQ_RERANK)
+    )
+    return pq_exact_rerank(cands.select("qid", "vid"), unit, qids, qmat)

@@ -29,6 +29,7 @@ def test_oracle_keys_subset_of_queries():
         "similarity_topk_fast", "near_dedup_minhash_ml", "ann_pq",
         "ann_pq_stored",  # float codebooks like ann_pq; stored==fresh pytest
         "ann_pq_append",  # frozen-codebook delta; append==one-shot pytest
+        "ann_ivfpq",  # IVF lists + PQ ADC; recall-vs-IVF/exact pytest
         "quality_classifier_lr", "embedding_pca_project", "bpe_encode",
         "sketch_union_hll", "agg_count_min",
     }

@@ -66,3 +66,29 @@ def test_ml_minhash_recovers_true_near_dup_pairs(spark, sf_dir):
     assert len(truth) > 10, "fixture should contain true near-dups"
     recall = len(truth & ml) / len(truth)
     assert recall >= 0.9, f"ml recall of true pairs {recall:.2f}"
+
+
+def test_ann_ivfpq_recall_vs_ivf_and_exact(spark, sf_dir):
+    """IVF-PQ's candidates are bounded by the SAME probed lists as
+    ann_ivf, so its top-k can never beat IVF's list recall — assert it
+    recovers >= 0.8 of ann_ivf's hits AND every returned cosine is the
+    true cosine (exact re-rank), matching the exact operator wherever
+    both return a pair."""
+    import pytest as _pytest
+
+    ivf = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["ann_ivf"](spark, sf_dir).collect()
+    }
+    ivfpq = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["ann_ivfpq"](spark, sf_dir).collect()
+    }
+    hits = set(ivf) & set(ivfpq)
+    assert len(hits) / len(ivf) >= 0.8, f"recall {len(hits)}/{len(ivf)}"
+    exact = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["similarity_topk"](spark, sf_dir).collect()
+    }
+    for k in set(ivfpq) & set(exact):
+        assert ivfpq[k] == _pytest.approx(exact[k], abs=1e-9), k
