@@ -310,6 +310,85 @@ def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# crawl_frontier_schedule  (politeness scheduling: the frontier side of
+# the crawl story — per-host fetch sequencing under a crawl delay, and
+# host-affine worker sharding so one host never spans two workers)
+# --------------------------------------------------------------------------
+
+_CRAWL_DELAY_S = 2.0
+_N_WORKERS = 8
+
+_FRONTIER_ORACLE = f"""
+WITH mangled AS (
+  SELECT doc_id, n_chars, {_HOST_VARIANT_SQL} AS raw_url FROM documents
+), canon AS (
+  SELECT {{CANON}} AS canonical_url FROM mangled
+), pages AS (
+  SELECT DISTINCT canonical_url,
+         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]*)', 1) AS host
+  FROM canon
+), seq AS (
+  SELECT canonical_url, host,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY canonical_url)
+           AS fetch_seq
+  FROM pages
+)
+SELECT canonical_url, host,
+       CAST(fetch_seq AS BIGINT) AS fetch_seq,
+       CAST((fetch_seq - 1) * {_CRAWL_DELAY_S} AS DOUBLE) AS scheduled_at_s,
+       CAST((strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
+            AS BIGINT) % {_N_WORKERS} AS worker
+FROM seq
+""".replace("{CANON}", _canon_sql(_FRAG_STRIPPED))
+
+
+@register("crawl_frontier_schedule", _FRONTIER_ORACLE)
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling over the canonical frontier: one fetch per
+    _CRAWL_DELAY_S per host (fetch_seq is a per-host window rank; the
+    serialization is inherent — politeness IS a per-host queue), and a
+    deterministic md5-bucket worker assignment keyed by HOST so a
+    host's queue never spans workers.  Scale shape: distinct-page
+    dedup + per-host window both shuffle on host-cardinality keys; a
+    mega-host makes one long queue, which is the crawl-delay physics,
+    not a plan defect."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    m = _host_mangled(t(spark, sf_dir, "documents"))
+    pages = (
+        m.select(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .distinct()
+        .withColumn(
+            "host",
+            F.regexp_extract("canonical_url", r"^[a-z]+://([^/:?#]*)", 1),
+        )
+    )
+    seq = pages.withColumn(
+        "fetch_seq",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy("canonical_url")
+        ).cast("long"),
+    )
+    hexes = "0123456789abcdef"
+    h = F.md5("host")
+    bucket = (
+        (F.instr(F.lit(hexes), F.substring(h, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexes), F.substring(h, 2, 1)) - 1)
+    ).cast("long")
+    return seq.select(
+        "canonical_url",
+        "host",
+        "fetch_seq",
+        ((F.col("fetch_seq") - 1) * F.lit(_CRAWL_DELAY_S))
+        .cast("double")
+        .alias("scheduled_at_s"),
+        (bucket % _N_WORKERS).alias("worker"),
+    )
+
+
+# --------------------------------------------------------------------------
 # web_curation_pipeline  (the round-6 pieces COMPOSED: canonical-URL
 # keep-best -> duplicate-span removal over the KEPT corpus — the order
 # matters, because dropping URL-duplicates changes span frequencies,
