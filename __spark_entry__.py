@@ -5,21 +5,26 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 6): 253 registered queries, 241 with oracles (new this
-round: the delivery loop as a LIVE StreamingQuery with mid-drain
-checkpoint restart; stored ANN index probes — `ann_ivf_stored` and the
-append-only `ann_ivf_append` both hash-certified by ann_ivf's own
-oracle, `ann_pq_stored` rows-only with a stored==fresh pytest — URL
-canonicalization + canonical-URL dedup, and duplicate-span REMOVAL
-with the reassembled text in the hash).
-The twelve rows-only entries are approximate/float/iterative by
+State (round 7): 258 registered queries, 244 with oracles (new this
+round: the composed crawl->corpus FLAGSHIP `crawl_corpus_pipeline` —
+WARC ingest with mangled Target-URIs -> canonical-URL keep-best ->
+gopher gate -> MinHash near-dup drop -> duplicate-span excision ->
+token-budget packing, ONE chained oracle, hash-green at three SFs and
+on the 100x-mutated corpus — its STREAMING twin `crawl_corpus_stream`
+certified by the same oracle, the crawl-frontier politeness scheduler,
+and the delivery stream rebuilt SINK-NATIVE: both channel ends are
+engine-owned DataSources with ack/nack driven by the sink's epoch
+commit over the broker wire).
+The fourteen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
 tests/test_cms.py), ``multimodal_features`` (mapInPandas byte-stub decode),
 ``similarity_topk_fast`` (numpy float64 path, validated vs the exact
-decimal twin in tests), ``ann_pq`` + ``ann_pq_stored`` (product quantization, recall@5
-0.98 vs exact in tests), ``near_dedup_minhash_ml`` (MLlib MinHashLSH
+decimal twin in tests), the product-quantization family ``ann_pq`` /
+``ann_pq_stored`` / ``ann_pq_append`` / ``ann_ivfpq`` (trained float
+codebooks; recall@5 vs exact, stored==fresh, and append==one-shot all
+pytest-pinned), ``near_dedup_minhash_ml`` (MLlib MinHashLSH
 internals), ``quality_classifier_lr`` (pyspark.ml fitting, AUC
 asserted in tests), ``embedding_pca_project`` (eigendecomposition —
 row-for-row vs numpy in tests), ``bpe_encode`` (iterative greedy merge
