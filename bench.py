@@ -233,13 +233,21 @@ def main() -> None:
 
     # canary normalization: this run's host-speed ratio is the MEDIAN
     # of the canaries' ratios to their pinned baselines (median, not
-    # mean: one canary catching a noise spike must not skew the factor)
+    # mean: one canary catching a noise spike must not skew the factor).
+    # The baselines are sf0.1 timings — at any other SF the ratio would
+    # measure data volume, not host speed, so normalization is only
+    # applied at the pinned scale (ratio 1.0 elsewhere, flagged).
+    import statistics
+
     ratios = sorted(
         timings[c] / CANARY_BASELINE_S[c]
         for c in CANARY_BASELINE_S
         if c in timings
     )
-    canary_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+    at_pinned_sf = sf == "0.1"
+    canary_ratio = (
+        statistics.median(ratios) if ratios and at_pinned_sf else 1.0
+    )
     norm = lambda v: round(v / canary_ratio, 3) if v > 0 else v  # noqa: E731
 
     out = {
@@ -262,6 +270,7 @@ def main() -> None:
         # divided by this run's canary-median host-speed ratio — compare
         # THESE across rounds; raw seconds stay above for transparency
         "canary_ratio": round(canary_ratio, 4),
+        "canary_normalization_applied": at_pinned_sf,
         "canary_baseline_s": CANARY_BASELINE_S,
         "value_normalized": norm(sum(timings.values())),
         "queries_normalized": {k: norm(v) for k, v in timings.items()},

@@ -146,10 +146,16 @@ def curated_manifest(kept: DataFrame) -> DataFrame:
         "running",
         "crawl_pack_prefix",
     )
+    # greatest(running-1, 0): a zero-token prefix doc (fully span-
+    # excised text) has running=0, and the nonnegative operand is what
+    # keeps Spark's floor division and DuckDB's truncating `//`
+    # identical (floor(-1/B) = -1 but -1//B = 0 in DuckDB)
     binned = cum.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.col("running") - 1) / _BIN_TOKENS).alias("bin_id"),
+        F.floor(
+            F.greatest(F.col("running") - 1, F.lit(0)) / _BIN_TOKENS
+        ).alias("bin_id"),
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),
@@ -253,7 +259,7 @@ WITH corpus AS (
   FROM toks
 ), binned AS (
   SELECT doc_id, n_tokens,
-         CAST((running - 1) // {_BIN_TOKENS} AS BIGINT) AS bin_id
+         CAST(greatest(running - 1, 0) // {_BIN_TOKENS} AS BIGINT) AS bin_id
   FROM cum
 )
 SELECT bin_id,

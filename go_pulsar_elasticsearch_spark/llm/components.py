@@ -620,8 +620,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc triangle counts over the MinHash candidate graph.
 
     The classic distributed shape with the standard 100 TB refinement:
-    DEGREE-ORDERED wedge orientation (_oriented_edges) bounds wedge
-    fan-out at O(sqrt(|E|)) per node on skewed clique-rich graphs where
+    DEGREE-ORDERED edge orientation (_adjacency) bounds out-list length
+    at O(sqrt(|E|)) per node on skewed clique-rich graphs where
     id-ordering explodes quadratically at hub nodes.  Per-node counts
     are invariant to the counting order (every triangle is still found
     exactly once), so the id-ordered DuckDB oracle certifies the

@@ -108,7 +108,7 @@ WITH toks AS (
   FROM toks
 ), binned AS (
   SELECT doc_id, n_tokens,
-    CAST((running - 1) // {_BIN_TOKENS} AS BIGINT) AS bin_id
+    CAST(greatest(running - 1, 0) // {_BIN_TOKENS} AS BIGINT) AS bin_id
   FROM cum
 )
 SELECT bin_id,
@@ -141,10 +141,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", n_tokens.alias("n_tokens")),
         [F.col("doc_id")], "n_tokens", "running", "pack_prefix",
     )
+    # nonnegative operand keeps Spark floor division and DuckDB's
+    # truncating // identical when a zero-token prefix makes running=0
     binned = cum.select(
         "doc_id",
         "n_tokens",
-        F.floor((F.col("running") - 1) / _BIN_TOKENS).alias("bin_id"),
+        F.floor(
+            F.greatest(F.col("running") - 1, F.lit(0)) / _BIN_TOKENS
+        ).alias("bin_id"),
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -389,11 +389,27 @@ def rollover_dated_index(endpoint: str, alias: str, date_str: str,
             if err_type != "resource_already_exists_exception":
                 raise BulkTransportError(status, json.dumps(resp))
     status, resp = _http(endpoint, f"/_alias/{alias}", "GET", None)
-    current = next(iter(resp), "") if status < 300 else ""
+    # GET /_alias/<name> maps every index carrying the alias; an
+    # add-only flip on real ES would ACCUMULATE indices under the
+    # alias, so compare against the NEWEST current member and swap
+    # with one atomic remove+add actions array (ES applies the array
+    # atomically; must_exist=false tolerates the first-ever flip)
+    current = max(resp, default="") if status < 300 else ""
     if current == "" or current < index:  # YYYY-MM-DD suffixes sort
         status, resp = _http(
             endpoint, "/_aliases", "POST",
-            {"actions": [{"add": {"index": index, "alias": alias}}]},
+            {
+                "actions": [
+                    {
+                        "remove": {
+                            "index": f"{alias}_*",
+                            "alias": alias,
+                            "must_exist": False,
+                        }
+                    },
+                    {"add": {"index": index, "alias": alias}},
+                ]
+            },
         )
         if status >= 300:
             raise BulkTransportError(status, json.dumps(resp))

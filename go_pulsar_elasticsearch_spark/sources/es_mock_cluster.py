@@ -248,9 +248,25 @@ class _Handler(BaseHTTPRequestHandler):
         body = self._read_body()
         st = self.state
         if self.path.rstrip("/").endswith("/_aliases"):
+            import fnmatch
+
             actions = json.loads(body).get("actions", [])
             with st.lock:
                 for a in actions:
+                    rm = a.get("remove")
+                    if rm:
+                        # ES semantics: remove the alias from every
+                        # index matching the (possibly wildcard) index
+                        # pattern; must_exist=false tolerates a miss
+                        cur = st.aliases.get(rm["alias"])
+                        if cur is not None and fnmatch.fnmatch(
+                            cur, rm["index"]
+                        ):
+                            del st.aliases[rm["alias"]]
+                        elif cur is None and rm.get("must_exist", True):
+                            self._reply(404, {"error": {
+                                "type": "aliases_not_found_exception"}})
+                            return
                     add = a.get("add")
                     if add:
                         st.aliases[add["alias"]] = add["index"]

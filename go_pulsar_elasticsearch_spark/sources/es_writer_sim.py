@@ -51,6 +51,40 @@ class EsBulkCommitMessage(WriterCommitMessage):
     n_failed: int
 
 
+class _DlqSpool:
+    """Lazily opened per-partition NDJSON spool for per-item bulk
+    failures — the ONE definition of the DLQ record shape, shared by
+    the fixed-index and rollover write paths."""
+
+    def __init__(self, dlq_dir: str, pid: int):
+        self._dir = dlq_dir
+        self._pid = pid
+        self._fh = None
+
+    def entry(self, rid, status, err, doc) -> None:
+        if not self._dir:
+            return
+        if self._fh is None:
+            os.makedirs(self._dir, exist_ok=True)
+            self._fh = open(
+                os.path.join(
+                    self._dir,
+                    f"part-{self._pid}-{uuid_mod.uuid4().hex}.ndjson",
+                ),
+                "w",
+            )
+        self._fh.write(
+            json.dumps(
+                {"uuid": rid, "status": status, "error": err, "doc": doc}
+            )
+            + "\n"
+        )
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+
+
 class EsBulkStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict):
         self.endpoint = options["endpoint"]
@@ -78,6 +112,7 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
 
         from go_pulsar_elasticsearch_spark.sources.es_bulk import (
             BulkClientOptions,
+            BulkTransportError,
             _to_jsonable,
             bulk_index_docs,
         )
@@ -89,40 +124,28 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
         )
         pid = TaskContext.get().partitionId()
         n_ok = n_failed = 0
-        spool_fh = None
+        spool = _DlqSpool(self.dlq_dir, pid)
 
         def flush(chunk: list[dict]) -> None:
             # chunked consumption: memory stays O(batch_entries), never
             # O(partition), matching the module's scale claim
-            nonlocal n_ok, n_failed, spool_fh
+            nonlocal n_ok, n_failed
             results = bulk_index_docs(chunk, self.endpoint, opts)
+            if len(results) != len(chunk):
+                # a truncated bulk response must fail the task loudly,
+                # never under-count (same guard as bulk_index_rows)
+                raise BulkTransportError(
+                    502,
+                    f"bulk returned {len(results)} items "
+                    f"for {len(chunk)} actions",
+                )
             by_id = {d[self.id_field]: d for d in chunk}
             for rid, status, err in results:
                 if status < 300:
                     n_ok += 1
                     continue
                 n_failed += 1
-                if self.dlq_dir:
-                    if spool_fh is None:
-                        os.makedirs(self.dlq_dir, exist_ok=True)
-                        spool_fh = open(
-                            os.path.join(
-                                self.dlq_dir,
-                                f"part-{pid}-{uuid_mod.uuid4().hex}.ndjson",
-                            ),
-                            "w",
-                        )
-                    spool_fh.write(
-                        json.dumps(
-                            {
-                                "uuid": rid,
-                                "status": status,
-                                "error": err,
-                                "doc": by_id.get(rid),
-                            }
-                        )
-                        + "\n"
-                    )
+                spool.entry(rid, status, err, by_id.get(rid))
 
         chunk: list[dict] = []
         try:
@@ -142,8 +165,7 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
             if chunk:
                 flush(chunk)
         finally:
-            if spool_fh is not None:
-                spool_fh.close()
+            spool.close()
         return EsBulkCommitMessage(pid, n_ok, n_failed)
 
     def _write_rollover(self, iterator):
@@ -163,13 +185,20 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
             rollover_dated_index,
         )
 
+        import re
+
+        from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+            BulkTransportError,
+        )
+
         pid = TaskContext.get().partitionId()
         n_ok = n_failed = 0
-        spool_fh = None
+        spool = _DlqSpool(self.dlq_dir, pid)
         bufs: dict[str, list[dict]] = {}
+        date_re = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
         def flush(date: str, docs: list[dict]) -> None:
-            nonlocal n_ok, n_failed, spool_fh
+            nonlocal n_ok, n_failed
             index = rollover_dated_index(
                 self.endpoint, self.rollover_alias, date
             )
@@ -179,33 +208,19 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
                 batch_entries=self.batch_entries,
             )
             results = bulk_index_docs(docs, self.endpoint, opts)
+            if len(results) != len(docs):
+                raise BulkTransportError(
+                    502,
+                    f"bulk returned {len(results)} items "
+                    f"for {len(docs)} actions",
+                )
             by_id = {d[self.id_field]: d for d in docs}
             for rid, status, err in results:
                 if status < 300:
                     n_ok += 1
                     continue
                 n_failed += 1
-                if self.dlq_dir:
-                    if spool_fh is None:
-                        os.makedirs(self.dlq_dir, exist_ok=True)
-                        spool_fh = open(
-                            os.path.join(
-                                self.dlq_dir,
-                                f"part-{pid}-{uuid_mod.uuid4().hex}.ndjson",
-                            ),
-                            "w",
-                        )
-                    spool_fh.write(
-                        json.dumps(
-                            {
-                                "uuid": rid,
-                                "status": status,
-                                "error": err,
-                                "doc": by_id.get(rid),
-                            }
-                        )
-                        + "\n"
-                    )
+                spool.entry(rid, status, err, by_id.get(rid))
 
         try:
             for row in iterator:
@@ -215,7 +230,19 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
                 }
                 # the routing value is metadata, never indexed (strict
                 # mapping); ISO timestamps truncate to their day
-                date = str(d.pop(self.rollover_date_field))[:10]
+                date = str(d.pop(self.rollover_date_field, ""))[:10]
+                if not date_re.match(date):
+                    # a NULL/garbled routing date must never mint an
+                    # index (lexically 'None' sorts past every real day
+                    # and would hijack the alias forward) — DLQ it
+                    n_failed += 1
+                    spool.entry(
+                        d.get(self.id_field),
+                        0,
+                        f"invalid rollover date {date!r}",
+                        d,
+                    )
+                    continue
                 bufs.setdefault(date, []).append(d)
                 if len(bufs[date]) >= self.batch_entries:
                     flush(date, bufs.pop(date))
@@ -223,8 +250,7 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
             for date in sorted(bufs):
                 flush(date, bufs.pop(date))
         finally:
-            if spool_fh is not None:
-                spool_fh.close()
+            spool.close()
         return EsBulkCommitMessage(pid, n_ok, n_failed)
 
     def commit(self, messages, batchId) -> None:
@@ -306,6 +332,20 @@ class EsBulkAckStreamWriter(EsBulkStreamWriter):
         def flush() -> None:
             nonlocal chunk, mids
             results = bulk_index_docs(chunk, self.endpoint, opts)
+            if len(results) != len(chunk):
+                # a truncated bulk response would silently strand the
+                # unpaired tail in flight (never acked, never nacked) —
+                # fail the task loudly instead, same guard as
+                # bulk_index_rows
+                from go_pulsar_elasticsearch_spark.sources.es_bulk import (
+                    BulkTransportError,
+                )
+
+                raise BulkTransportError(
+                    502,
+                    f"bulk returned {len(results)} items "
+                    f"for {len(chunk)} actions",
+                )
             # strict input-order pairing: results[i] IS chunk[i]
             # (es_bulk.bulk_index_docs contract), so msg ids pair
             # positionally even when two in-flight duplicates share a
@@ -332,23 +372,22 @@ class EsBulkAckStreamWriter(EsBulkStreamWriter):
         return EsBulkAckCommitMessage(pid, ok_ids, bad_ids)
 
     def _post(self, path: str, msg_ids: list) -> None:
-        import json as _json
-        import urllib.request
+        # the shared wire helper (one JSON-POST definition per package)
+        from go_pulsar_elasticsearch_spark.sources.es_bulk import _http
 
-        req = urllib.request.Request(
-            f"{self.broker_url}{path}",
-            data=_json.dumps(
-                {
-                    "topic": self.topic,
-                    "subscription": self.subscription,
-                    "msg_ids": msg_ids,
-                }
-            ).encode(),
-            headers={"Content-Type": "application/json"},
-            method="POST",
+        status, resp = _http(
+            self.broker_url,
+            path,
+            "POST",
+            {
+                "topic": self.topic,
+                "subscription": self.subscription,
+                "msg_ids": msg_ids,
+            },
+            timeout_s=30.0,
         )
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            resp.read()
+        if status >= 300:
+            raise RuntimeError(f"broker {path} failed: {status} {resp}")
 
     def commit(self, messages, batchId) -> None:
         counted = [m for m in messages if m]

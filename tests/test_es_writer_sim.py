@@ -252,3 +252,44 @@ def test_midnight_rollover_moves_alias_and_splits_indices(
     assert state.aliases["index_data"] == "index_data_2021-06-02"
     # the routing field never reached the strict-mapped documents
     assert "ingest_date" not in state.docs["a0"]
+
+
+def test_rollover_null_date_goes_to_dlq_not_alias(spark, tmp_path, mock_es):
+    """A NULL/garbled routing date must never mint an index — lexically
+    'None' sorts past every real day and would hijack the alias forward
+    permanently.  The row routes to the DLQ spool instead."""
+    state, url = mock_es
+    src = str(tmp_path / "src")
+    schema = "uuid string, name string, ingest_date string"
+    spark.createDataFrame(
+        [("good0", "n", "2021-06-01"), ("bad0", "n", None)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    spark.dataSource.register(EsBulkDataSource)
+    dlq = str(tmp_path / "dlq")
+    q = (
+        stream.writeStream.format("es_bulk_sim")
+        .option("endpoint", url)
+        .option("id_field", "uuid")
+        .option("state_dir", str(tmp_path / "state"))
+        .option("dlq_dir", dlq)
+        .option("rollover_alias", "index_data")
+        .option("rollover_date_field", "ingest_date")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert state.doc_index["good0"] == "index_data_2021-06-01"
+    assert state.aliases["index_data"] == "index_data_2021-06-01"
+    assert "bad0" not in state.docs
+    entries = [
+        json.loads(ln)
+        for f in glob.glob(f"{dlq}/*.ndjson")
+        for ln in open(f)
+    ]
+    assert any(e["uuid"] == "bad0" for e in entries)
