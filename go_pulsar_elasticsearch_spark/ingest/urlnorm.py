@@ -389,6 +389,114 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# robots_disallow_filter  (robots-exclusion over the frontier: per-host
+# Disallow PREFIX rules, the protocol's actual matching semantics —
+# a page is fetchable iff no rule prefix-matches its path)
+# --------------------------------------------------------------------------
+
+_ROBOTS_RULE_MOD = 4  # host h<k> disallows /d/<m> for (k + m) % 4 == 0
+_ROBOTS_MAX_RULE = 20
+
+_ROBOTS_ORACLE = f"""
+WITH mangled AS (
+  SELECT doc_id, n_chars, {_HOST_VARIANT_SQL} AS raw_url FROM documents
+), pages AS (
+  SELECT DISTINCT canonical_url,
+         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]*)', 1) AS host,
+         regexp_replace(canonical_url, '^[a-z]+://[^/?#]*', '') AS path
+  FROM (SELECT {{CANON}} AS canonical_url FROM mangled)
+), rules AS (
+  SELECT host, '/d/' || CAST(m AS VARCHAR) AS prefix
+  FROM (SELECT DISTINCT host,
+               CAST(substr(host, 2, 1) AS INTEGER) AS hostn
+        FROM pages)
+  CROSS JOIN range(0, {_ROBOTS_MAX_RULE}) t(m)
+  WHERE (hostn + m) % {_ROBOTS_RULE_MOD} = 0
+), verdicts AS (
+  SELECT p.canonical_url, p.host, p.path,
+         COUNT(r.prefix) AS n_rules_hit
+  FROM pages p
+  LEFT JOIN rules r
+    ON r.host = p.host AND starts_with(p.path, r.prefix)
+  GROUP BY p.canonical_url, p.host, p.path
+)
+SELECT canonical_url, host, path,
+       CAST(n_rules_hit AS BIGINT) AS n_rules_hit,
+       (n_rules_hit = 0) AS allowed
+FROM verdicts
+""".replace("{CANON}", _canon_sql(_FRAG_STRIPPED))
+
+
+@register("robots_disallow_filter", _ROBOTS_ORACLE)
+def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion verdicts over the canonical frontier: each host
+    publishes deterministic Disallow PREFIX rules (the protocol's real
+    matching — `/d/1` blocks `/d/1`, `/d/10`, `/d/1/x`), and a page is
+    fetchable iff no rule prefix-matches its path.  Scale shape: the
+    rules table is host-cardinality x rules-per-host (KBs — robots
+    files are small by construction), so the verdict join broadcasts;
+    the frontier side is one distinct + one grouped count."""
+    tune(spark)
+    m = _host_mangled(t(spark, sf_dir, "documents"))
+    pages = (
+        m.select(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .distinct()
+        .select(
+            "canonical_url",
+            F.regexp_extract(
+                "canonical_url", r"^[a-z]+://([^/:?#]*)", 1
+            ).alias("host"),
+            F.regexp_replace(
+                "canonical_url", r"^[a-z]+://[^/?#]*", ""
+            ).alias("path"),
+        )
+    )
+    rules = (
+        pages.select(
+            "host",
+            F.substring("host", 2, 1).cast("int").alias("hostn"),
+        )
+        .distinct()
+        .select(
+            "host",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_ROBOTS_MAX_RULE - 1))
+            ).alias("m"),
+            "hostn",
+        )
+        .filter((F.col("hostn") + F.col("m")) % _ROBOTS_RULE_MOD == 0)
+        .select(
+            "host",
+            F.concat(F.lit("/d/"), F.col("m").cast("string")).alias(
+                "prefix"
+            ),
+        )
+    )
+    p, r = pages.alias("p"), rules.alias("r")
+    verdicts = (
+        p.join(
+            F.broadcast(r),
+            (F.col("p.host") == F.col("r.host"))
+            & F.expr("startswith(p.path, r.prefix)"),
+            "left",
+        )
+        .groupBy(
+            F.col("p.canonical_url").alias("canonical_url"),
+            F.col("p.host").alias("host"),
+            F.col("p.path").alias("path"),
+        )
+        .agg(F.count("r.prefix").alias("n_rules_hit"))
+    )
+    return verdicts.select(
+        "canonical_url",
+        "host",
+        "path",
+        "n_rules_hit",
+        (F.col("n_rules_hit") == 0).alias("allowed"),
+    )
+
+
+# --------------------------------------------------------------------------
 # web_curation_pipeline  (the round-6 pieces COMPOSED: canonical-URL
 # keep-best -> duplicate-span removal over the KEPT corpus — the order
 # matters, because dropping URL-duplicates changes span frequencies,
