@@ -318,16 +318,41 @@ def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CRAWL_DELAY_S = 2.0
 _N_WORKERS = 8
 
-_FRONTIER_ORACLE = f"""
-WITH mangled AS (
+# the ONE definition of the distinct canonical frontier (canonical_url,
+# host, path) — shared by the scheduler and the robots filter in both
+# engines, so the host/path extraction can never desynchronize between
+# their oracles
+_PAGES_CTE = f"""mangled AS (
   SELECT doc_id, n_chars, {_HOST_VARIANT_SQL} AS raw_url FROM documents
-), canon AS (
-  SELECT {{CANON}} AS canonical_url FROM mangled
 ), pages AS (
   SELECT DISTINCT canonical_url,
-         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]*)', 1) AS host
-  FROM canon
-), seq AS (
+         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]*)', 1) AS host,
+         regexp_replace(canonical_url, '^[a-z]+://[^/?#]*', '') AS path
+  FROM (SELECT {{CANON}} AS canonical_url FROM mangled)
+)""".replace("{CANON}", _canon_sql(_FRAG_STRIPPED))
+
+
+def _frontier_pages(docs: DataFrame) -> DataFrame:
+    """Spark twin of _PAGES_CTE: the distinct canonical frontier with
+    host and path columns."""
+    return (
+        _host_mangled(docs)
+        .select(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
+        .distinct()
+        .select(
+            "canonical_url",
+            F.regexp_extract(
+                "canonical_url", r"^[a-z]+://([^/:?#]*)", 1
+            ).alias("host"),
+            F.regexp_replace(
+                "canonical_url", r"^[a-z]+://[^/?#]*", ""
+            ).alias("path"),
+        )
+    )
+
+
+_FRONTIER_ORACLE = f"""
+WITH {_PAGES_CTE}, seq AS (
   SELECT canonical_url, host,
          ROW_NUMBER() OVER (PARTITION BY host ORDER BY canonical_url)
            AS fetch_seq
@@ -340,7 +365,7 @@ SELECT canonical_url, host,
             + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
             AS BIGINT) % {_N_WORKERS} AS worker
 FROM seq
-""".replace("{CANON}", _canon_sql(_FRAG_STRIPPED))
+"""
 
 
 @register("crawl_frontier_schedule", _FRONTIER_ORACLE)
@@ -356,16 +381,8 @@ def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     from pyspark.sql import Window
 
-    m = _host_mangled(t(spark, sf_dir, "documents"))
-    pages = (
-        m.select(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
-        .distinct()
-        .withColumn(
-            "host",
-            F.regexp_extract("canonical_url", r"^[a-z]+://([^/:?#]*)", 1),
-        )
-    )
-    seq = pages.withColumn(
+    pages = _frontier_pages(t(spark, sf_dir, "documents"))
+    seq = pages.drop("path").withColumn(
         "fetch_seq",
         F.row_number().over(
             Window.partitionBy("host").orderBy("canonical_url")
@@ -398,14 +415,7 @@ _ROBOTS_RULE_MOD = 4  # host h<k> disallows /d/<m> for (k + m) % 4 == 0
 _ROBOTS_MAX_RULE = 20
 
 _ROBOTS_ORACLE = f"""
-WITH mangled AS (
-  SELECT doc_id, n_chars, {_HOST_VARIANT_SQL} AS raw_url FROM documents
-), pages AS (
-  SELECT DISTINCT canonical_url,
-         regexp_extract(canonical_url, '^[a-z]+://([^/:?#]*)', 1) AS host,
-         regexp_replace(canonical_url, '^[a-z]+://[^/?#]*', '') AS path
-  FROM (SELECT {{CANON}} AS canonical_url FROM mangled)
-), rules AS (
+WITH {_PAGES_CTE}, rules AS (
   SELECT host, '/d/' || CAST(m AS VARCHAR) AS prefix
   FROM (SELECT DISTINCT host,
                CAST(substr(host, 2, 1) AS INTEGER) AS hostn
@@ -424,7 +434,7 @@ SELECT canonical_url, host, path,
        CAST(n_rules_hit AS BIGINT) AS n_rules_hit,
        (n_rules_hit = 0) AS allowed
 FROM verdicts
-""".replace("{CANON}", _canon_sql(_FRAG_STRIPPED))
+"""
 
 
 @register("robots_disallow_filter", _ROBOTS_ORACLE)
@@ -437,20 +447,7 @@ def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     files are small by construction), so the verdict join broadcasts;
     the frontier side is one distinct + one grouped count."""
     tune(spark)
-    m = _host_mangled(t(spark, sf_dir, "documents"))
-    pages = (
-        m.select(canonicalize_url(F.col("raw_url")).alias("canonical_url"))
-        .distinct()
-        .select(
-            "canonical_url",
-            F.regexp_extract(
-                "canonical_url", r"^[a-z]+://([^/:?#]*)", 1
-            ).alias("host"),
-            F.regexp_replace(
-                "canonical_url", r"^[a-z]+://[^/?#]*", ""
-            ).alias("path"),
-        )
-    )
+    pages = _frontier_pages(t(spark, sf_dir, "documents"))
     rules = (
         pages.select(
             "host",

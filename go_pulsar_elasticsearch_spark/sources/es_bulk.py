@@ -170,22 +170,38 @@ def bulk_index_docs(docs: list[dict], endpoint: str, opts: BulkClientOptions,
     preserves action order within a request, and chunks are posted and
     extended sequentially; the passthrough reconciliation in
     bulk_index_rows and replay_dlq load-bearingly depends on this
-    positional pairing for msg_id-keyed ack/nack."""
+    positional pairing for msg_id-keyed ack/nack.  A response carrying
+    the WRONG item count raises BulkTransportError here — the contract
+    owner enforces it once, so no caller can silently mis-pair (an
+    unpaired tail would under-count or strand messages in flight)."""
     out: list[tuple[str, int, str | None]] = []
     chunk: list[dict] = []
     chunk_bytes = 0
+
+    def post(batch: list[dict]) -> None:
+        resp = bulk_post(
+            endpoint, docs_to_ndjson(batch, opts.index, opts.id_field),
+            opts, sleep,
+        )
+        items = list(parse_bulk_items(resp))
+        if len(items) != len(batch):
+            raise BulkTransportError(
+                502,
+                f"bulk returned {len(items)} items for "
+                f"{len(batch)} actions",
+            )
+        out.extend(items)
+
     for doc in docs:
         size = len(json.dumps(doc, separators=(",", ":"))) + 64
         if chunk and (len(chunk) >= opts.batch_entries
                       or chunk_bytes + size > opts.batch_bytes):
-            resp = bulk_post(endpoint, docs_to_ndjson(chunk, opts.index, opts.id_field), opts, sleep)
-            out.extend(parse_bulk_items(resp))
+            post(chunk)
             chunk, chunk_bytes = [], 0
         chunk.append(doc)
         chunk_bytes += size
     if chunk:
-        resp = bulk_post(endpoint, docs_to_ndjson(chunk, opts.index, opts.id_field), opts, sleep)
-        out.extend(parse_bulk_items(resp))
+        post(chunk)
     return out
 
 
@@ -337,9 +353,23 @@ def ensure_dated_index(endpoint: str, alias: str, date_str: str,
         err_type = (resp.get("error") or {}).get("type", "")
         if err_type != "resource_already_exists_exception":
             raise BulkTransportError(status, json.dumps(resp))
+    # REPOINT, not accumulate: the reference moves the alias to the new
+    # dated index (es.go:102-116); on real ES an add-only action leaves
+    # the alias on every previous day too, so swap atomically
     status, resp = _http(
         endpoint, "/_aliases", "POST",
-        {"actions": [{"add": {"index": index, "alias": alias}}]},
+        {
+            "actions": [
+                {
+                    "remove": {
+                        "index": f"{alias}_*",
+                        "alias": alias,
+                        "must_exist": False,
+                    }
+                },
+                {"add": {"index": index, "alias": alias}},
+            ]
+        },
     )
     if status >= 300:
         raise BulkTransportError(status, json.dumps(resp))
@@ -393,7 +423,13 @@ def rollover_dated_index(endpoint: str, alias: str, date_str: str,
     # add-only flip on real ES would ACCUMULATE indices under the
     # alias, so compare against the NEWEST current member and swap
     # with one atomic remove+add actions array (ES applies the array
-    # atomically; must_exist=false tolerates the first-ever flip)
+    # atomically; must_exist=false tolerates the first-ever flip).
+    # ONLY a 404 means "alias doesn't exist yet" — any other failure
+    # must raise: treating a transient 5xx as no-alias would let a
+    # late-data flush REMOVE the alias from the newest index and swap
+    # it backward, the exact breakage the monotonic check prevents.
+    if status >= 300 and status != 404:
+        raise BulkTransportError(status, json.dumps(resp))
     current = max(resp, default="") if status < 300 else ""
     if current == "" or current < index:  # YYYY-MM-DD suffixes sort
         status, resp = _http(

@@ -252,21 +252,31 @@ class _Handler(BaseHTTPRequestHandler):
 
             actions = json.loads(body).get("actions", [])
             with st.lock:
+                # ES applies the actions array ALL-OR-NOTHING: validate
+                # every action against the pre-state first, mutate only
+                # if all pass (a mid-loop 404 after an applied add would
+                # leave state real ES never produces)
+                for a in actions:
+                    rm = a.get("remove")
+                    if not rm or not rm.get("must_exist", True):
+                        continue
+                    cur = st.aliases.get(rm["alias"])
+                    if cur is None or not fnmatch.fnmatch(
+                        cur, rm["index"]
+                    ):
+                        # alias absent OR present on a non-matching
+                        # index: real ES raises either way
+                        self._reply(404, {"error": {
+                            "type": "aliases_not_found_exception"}})
+                        return
                 for a in actions:
                     rm = a.get("remove")
                     if rm:
-                        # ES semantics: remove the alias from every
-                        # index matching the (possibly wildcard) index
-                        # pattern; must_exist=false tolerates a miss
                         cur = st.aliases.get(rm["alias"])
                         if cur is not None and fnmatch.fnmatch(
                             cur, rm["index"]
                         ):
                             del st.aliases[rm["alias"]]
-                        elif cur is None and rm.get("must_exist", True):
-                            self._reply(404, {"error": {
-                                "type": "aliases_not_found_exception"}})
-                            return
                     add = a.get("add")
                     if add:
                         st.aliases[add["alias"]] = add["index"]

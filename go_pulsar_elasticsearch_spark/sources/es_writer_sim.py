@@ -112,7 +112,6 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
 
         from go_pulsar_elasticsearch_spark.sources.es_bulk import (
             BulkClientOptions,
-            BulkTransportError,
             _to_jsonable,
             bulk_index_docs,
         )
@@ -128,17 +127,10 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
 
         def flush(chunk: list[dict]) -> None:
             # chunked consumption: memory stays O(batch_entries), never
-            # O(partition), matching the module's scale claim
+            # O(partition), matching the module's scale claim.
+            # bulk_index_docs enforces the results==actions pairing.
             nonlocal n_ok, n_failed
             results = bulk_index_docs(chunk, self.endpoint, opts)
-            if len(results) != len(chunk):
-                # a truncated bulk response must fail the task loudly,
-                # never under-count (same guard as bulk_index_rows)
-                raise BulkTransportError(
-                    502,
-                    f"bulk returned {len(results)} items "
-                    f"for {len(chunk)} actions",
-                )
             by_id = {d[self.id_field]: d for d in chunk}
             for rid, status, err in results:
                 if status < 300:
@@ -187,10 +179,6 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
 
         import re
 
-        from go_pulsar_elasticsearch_spark.sources.es_bulk import (
-            BulkTransportError,
-        )
-
         pid = TaskContext.get().partitionId()
         n_ok = n_failed = 0
         spool = _DlqSpool(self.dlq_dir, pid)
@@ -207,13 +195,8 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
                 id_field=self.id_field,
                 batch_entries=self.batch_entries,
             )
+            # bulk_index_docs enforces the results==actions pairing
             results = bulk_index_docs(docs, self.endpoint, opts)
-            if len(results) != len(docs):
-                raise BulkTransportError(
-                    502,
-                    f"bulk returned {len(results)} items "
-                    f"for {len(docs)} actions",
-                )
             by_id = {d[self.id_field]: d for d in docs}
             for rid, status, err in results:
                 if status < 300:
@@ -229,8 +212,17 @@ class EsBulkStreamWriter(DataSourceStreamWriter):
                     for k, v in row.asDict(recursive=True).items()
                 }
                 # the routing value is metadata, never indexed (strict
-                # mapping); ISO timestamps truncate to their day
-                date = str(d.pop(self.rollover_date_field, ""))[:10]
+                # mapping); ISO timestamps truncate to their day.  An
+                # ABSENT field is a configuration bug (typo'd option /
+                # renamed column) and must fail the task loudly — only
+                # a present-but-invalid VALUE is a data problem that
+                # DLQs the row
+                if self.rollover_date_field not in d:
+                    raise KeyError(
+                        f"rollover_date_field {self.rollover_date_field!r}"
+                        f" missing from row columns {sorted(d)}"
+                    )
+                date = str(d.pop(self.rollover_date_field))[:10]
                 if not date_re.match(date):
                     # a NULL/garbled routing date must never mint an
                     # index (lexically 'None' sorts past every real day
@@ -331,25 +323,13 @@ class EsBulkAckStreamWriter(EsBulkStreamWriter):
 
         def flush() -> None:
             nonlocal chunk, mids
+            # strict input-order pairing: results[i] IS chunk[i] — the
+            # bulk_index_docs contract, which also RAISES on a
+            # truncated response (an unpaired tail would strand
+            # messages in flight, never acked, never nacked) — so msg
+            # ids pair positionally even when two in-flight duplicates
+            # share a uuid
             results = bulk_index_docs(chunk, self.endpoint, opts)
-            if len(results) != len(chunk):
-                # a truncated bulk response would silently strand the
-                # unpaired tail in flight (never acked, never nacked) —
-                # fail the task loudly instead, same guard as
-                # bulk_index_rows
-                from go_pulsar_elasticsearch_spark.sources.es_bulk import (
-                    BulkTransportError,
-                )
-
-                raise BulkTransportError(
-                    502,
-                    f"bulk returned {len(results)} items "
-                    f"for {len(chunk)} actions",
-                )
-            # strict input-order pairing: results[i] IS chunk[i]
-            # (es_bulk.bulk_index_docs contract), so msg ids pair
-            # positionally even when two in-flight duplicates share a
-            # uuid
             for (rid, status, _err), mid in zip(results, mids):
                 (ok_ids if status < 300 else bad_ids).append(mid)
             chunk, mids = [], []
@@ -519,11 +499,8 @@ def replay_dlq(spark, dlq_dir: str, endpoint: str, index: str = "index_data",
                     n_failed += 1
                     spool(dict(e))
             docs = [e["doc"] for e in replayable]
+            # bulk_index_docs enforces the results==actions pairing
             results = bulk_index_docs(docs, endpoint_, opts)
-            if len(results) != len(docs):
-                raise RuntimeError(
-                    f"bulk item count {len(results)} != posted {len(docs)}"
-                )
             n_replayed += len(results)
             # positional pairing: the i-th result IS the i-th posted doc
             # (an ES bulk response preserves action order), so a survivor
