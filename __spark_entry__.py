@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 7): 258 registered queries, 244 with oracles (new this
+State (round 7): 266 registered queries, 252 with oracles (new this
 round: the composed crawl->corpus FLAGSHIP `crawl_corpus_pipeline` —
 WARC ingest with mangled Target-URIs -> canonical-URL keep-best ->
 gopher gate -> MinHash near-dup drop -> duplicate-span excision ->
@@ -14,7 +14,11 @@ on the 100x-mutated corpus — its STREAMING twin `crawl_corpus_stream`
 certified by the same oracle, the crawl-frontier politeness scheduler,
 and the delivery stream rebuilt SINK-NATIVE: both channel ends are
 engine-owned DataSources with ack/nack driven by the sink's epoch
-commit over the broker wire).
+commit over the broker wire; second half: the hash-certified ES geo
+surface — Morton-coded geohash grid, bounding box, Taylor-cos
+distance — `decontam_bloom_prefilter` certified by the exact op's own
+oracle, `html_extract_main` boilerplate removal, and exact
+`adjacency_matrix_agg`/`percentile_ranks_agg`).
 The fourteen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in

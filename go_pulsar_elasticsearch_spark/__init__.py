@@ -32,6 +32,7 @@ def load_all() -> None:
         aggregates,
         es_loop,
         events_analytics,
+        geo,
         joins,
         nested,
         pandas_api,
@@ -58,6 +59,7 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.ingest import (  # noqa: F401
         crawl_pipeline,
     )
+    from go_pulsar_elasticsearch_spark.ingest import html_extract  # noqa: F401
     from go_pulsar_elasticsearch_spark.llm import (  # noqa: F401
         ann_index,
         bpe,

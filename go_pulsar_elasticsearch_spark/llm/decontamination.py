@@ -29,6 +29,8 @@ pipeline alongside llm/curation.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -268,4 +270,143 @@ def contam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe",
             F.instr(F.col("text"), F.col("probe")).cast("bigint").alias("pos"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# decontam_bloom_prefilter  (Bloom-screened exact decontamination — the
+# 100 TB execution shape of decontam_ngram_overlap)
+# --------------------------------------------------------------------------
+
+# At corpus scale the naive overlap join shuffles the full train-gram
+# vocabulary against the eval grams.  The production pattern (Dolma,
+# RefinedWeb) screens first: fold the train grams into a fixed-size
+# Bloom filter, broadcast it (megabytes regardless of corpus size),
+# drop every eval gram the filter rejects LOCALLY, and only the
+# surviving candidates — true overlaps plus a bounded false-positive
+# trickle — enter the exact verification join.  Because the verify
+# stage is exact, the final answer is IDENTICAL to the plain overlap
+# op, so this is certified by the SAME chained oracle: the fast path
+# provably computes the same result.
+#
+# Engineering split: gram hashing stays JVM-side (two independent
+# xxhash64 streams per gram); Python only does vectorized numpy bit
+# math over Arrow batches (set bits on build, gather bits on probe) —
+# never per-row work.  Partial blooms are OR-merged executor-side down
+# to ONE row; the driver holds just the final bitmap (m/8 bytes).
+
+_BLOOM_M = 1 << 23  # bits (1 MiB bitmap): ~1.6e-4 FP at 250k grams, k=4
+_BLOOM_K = 4
+
+_BLOOM_BUILD_PARTS = 8  # partial-bloom fan-in for the executor-side OR
+
+
+def _bloom_positions(h1, h2):
+    """k probe positions from two 64-bit hashes via double hashing
+    (Kirsch–Mitzenmacher): pos_i = (h1 + i*h2) mod m, numpy uint64."""
+    a = h1.to_numpy(dtype="int64").astype(np.uint64)
+    b = h2.to_numpy(dtype="int64").astype(np.uint64)
+    return [
+        ((a + np.uint64(i) * b) % np.uint64(_BLOOM_M)).astype(np.int64)
+        for i in range(_BLOOM_K)
+    ]
+
+
+@register("decontam_bloom_prefilter", _DECONTAM_ORACLE)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact decontamination: train grams fold into a
+    broadcast 1 MiB Bloom filter; eval grams probe it locally and only
+    the candidates reach the exact verify join.  Output == the plain
+    ``decontam_ngram_overlap`` (the verify join removes every false
+    positive), certified by the same oracle.
+
+    Scale: the train side is touched ONCE by a narrow hash+fold pass —
+    the gram strings never shuffle; the only exchange on the eval path
+    carries candidates, already Bloom-thinned to true-overlap volume.
+    Driver state is the single fixed-size bitmap (index-metadata sized,
+    like the IVF centroid table)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        (_md5_bucket("doc_id") < _TRAIN_LT).alias("is_train"),
+    )
+    grams = docs.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(w) - {_GRAM - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(w, i, {_GRAM})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+
+    # three consumers (bloom build, probe, verify join) share one
+    # materialization of the hashed gram set instead of re-exploding
+    # the corpus per branch
+    hashed = cache_slot(
+        "decontam_bloom_grams",
+        grams.withColumn("h1", F.xxhash64("gram")).withColumn(
+            "h2", F.xxhash64("gram", F.lit("bloom-salt-2"))
+        ),
+    )
+
+    # ---- build: per-partition partial blooms, OR-merged to one row ----
+    def _build(batches):
+        bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            for pos in _bloom_positions(pdf["h1"], pdf["h2"]):
+                # bitwise_or.at, NOT bloom[idx] |= bits: the buffered
+                # fancy-index form applies ONE write per duplicate byte
+                # index and silently drops the other bits — a false
+                # NEGATIVE, which breaks the Bloom contract
+                np.bitwise_or.at(
+                    bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bloom": [bloom.tobytes()]})
+
+    def _merge(batches):
+        bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            for buf in pdf["bloom"]:
+                bloom |= np.frombuffer(buf, dtype=np.uint8)
+        yield pd.DataFrame({"bloom": [bloom.tobytes()]})
+
+    train_hashes = (
+        hashed.filter("is_train")
+        .select("h1", "h2")
+        .repartition(_BLOOM_BUILD_PARTS)
+    )
+    partials = train_hashes.mapInPandas(_build, "bloom binary")
+    merged = partials.repartition(1).mapInPandas(_merge, "bloom binary")
+    bloom_bytes = merged.collect()[0]["bloom"]  # bounded: m/8 bytes, once
+    bloom_bc = spark.sparkContext.broadcast(bytes(bloom_bytes))
+
+    # ---- probe: Arrow-vectorized membership over eval gram hashes ----
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if h1.empty:
+            return pd.Series([], dtype=bool)
+        bloom = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        hit = np.ones(len(h1), dtype=bool)
+        for pos in _bloom_positions(h1, h2):
+            hit &= (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    candidates = (
+        hashed.filter(~F.col("is_train"))
+        .filter(_might_contain("h1", "h2"))
+        .select("doc_id", "gram")
+    )
+
+    # ---- verify: exact join on the Bloom-thinned candidate set ----
+    train_grams = hashed.filter("is_train").select("gram").distinct()
+    return (
+        candidates.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_leaked_grams"))
     )

@@ -1,0 +1,243 @@
+"""Geo-query parity operators (the Elasticsearch geo surface).
+
+Elasticsearch ships three geo primitives the reference's cluster would
+expose to any index with a ``geo_point`` mapping: the ``geo_bounding_box``
+query, the ``geo_distance`` query (+ distance sort), and the
+``geohash_grid`` aggregation.  The fixture tables carry no coordinates,
+so — exactly like the media ops synthesize payloads from ``doc_id``
+arithmetic (llm/multimodal.py) — each customer gets a deterministic
+(lat, lon) derived from md5(c_custkey) hex digits; the SAME derivation
+runs in the DuckDB oracle, so every op below is hash-certified
+end-to-end including the coordinate synthesis.
+
+Determinism rules (house style, cf. function_score's rational decay):
+no libm in the data path.  The geohash is pure integer bit-interleaving
+(the Morton code of sortlimit.py's zorder_layout, emitted as base32
+text), and the distance metric is the midpoint-latitude equirectangular
+approximation with cos() expanded as a Taylor polynomial — multiplies/
+adds/sqrt are IEEE-exact everywhere, while a live haversine would
+hash-drift by libm sin/cos ULPs.  Error vs haversine inside the
+2,000 km radius is ~0.5% (pytest-pinned at 1%); production swap-in is
+a haversine pandas_udf if exactness vs ES's own numbers matters more
+than engine determinism.
+
+Scale shape: coordinate synthesis + geohash are narrow per-row
+expressions fused into the scan (zero shuffle); the grid agg's output
+is bounded by the cell count (32^4 at precision 4), and the distance
+search is a TakeOrderedAndProject top-k — no global sort materializes.
+
+Reference parity: mapping.json defines no geo field, but es.go:160-213
+bulk-indexes into whatever mapping the template carries — geo columns
+ride the same sink; these ops are the query-side parity for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+_HEX = "0123456789abcdef"
+# geohash base32 (no a/i/l/o) — the standard alphabet
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 10  # bits per axis -> 20 bits total = precision-4 geohash
+
+
+def _u16_sql(col: str, start: int, instr_fn: str) -> str:
+    """Hex digits [start, start+3] of md5(col) as an integer 0..65535 —
+    identical text modulo the 1-based substring-search function name
+    (Spark ``instr``, DuckDB ``strpos``)."""
+    terms = []
+    for i in range(4):
+        terms.append(
+            f"(({instr_fn}('{_HEX}', substr(md5(CAST({col} AS STRING)),"
+            f" {start + i}, 1)) - 1) * {16 ** (3 - i)})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _coord_sql(col: str, instr_fn: str) -> tuple[str, str]:
+    """Deterministic (lat, lon) doubles: lat in [-60, 60), lon in
+    [-180, 180).  Same IEEE double expression both engines."""
+    # CAST to DOUBLE before dividing: Spark parses the `65536.0` literal
+    # as DECIMAL and would run exact-decimal arithmetic while DuckDB runs
+    # doubles — the cast pins both engines to IEEE double ops
+    lat = f"(CAST({_u16_sql(col, 1, instr_fn)} AS DOUBLE) / 65536.0 * 120.0 - 60.0)"
+    lon = f"(CAST({_u16_sql(col, 5, instr_fn)} AS DOUBLE) / 65536.0 * 360.0 - 180.0)"
+    return lat, lon
+
+
+def _geohash_sql(lat: str, lon: str) -> str:
+    """Precision-4 geohash string from pure integer math: quantize each
+    axis to 10 bits, interleave lon-first (geohash bit order), emit four
+    base32 chars.  The interleave is zorder_layout's Morton code
+    (sortlimit.py:66) with the geohash's MSB-first lon/lat convention."""
+    latq = f"CAST(floor(({lat} + 90.0) / 180.0 * {1 << _GH_BITS}) AS INT)"
+    lonq = f"CAST(floor(({lon} + 180.0) / 360.0 * {1 << _GH_BITS}) AS INT)"
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"((({lonq} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({latq} >> {i}) & 1) << {2 * i})")
+    code = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{_B32}', (({code} >> {shift}) & 31) + 1, 1)"
+        for shift in (15, 10, 5, 0)
+    ]
+    return "(" + " || ".join(chars) + ")"
+
+
+# --------------------------------------------------------------------------
+# geohash_grid_agg  (ES geohash_grid aggregation)
+# --------------------------------------------------------------------------
+
+_LAT_S, _LON_S = _coord_sql("c_custkey", "instr")
+_LAT_D, _LON_D = _coord_sql("c_custkey", "strpos")
+
+_GRID_ORACLE = f"""
+SELECT {_geohash_sql(_LAT_D, _LON_D)} AS geohash,
+       COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("geohash_grid_agg", _GRID_ORACLE)
+def geohash_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: bucket every point into its
+    precision-4 geohash cell, count + average per cell.
+
+    One groupBy whose key count is bounded by the 32^4 cell universe
+    regardless of corpus size — the same bounded-output argument as the
+    dow×hour heatmap.  The geohash itself is scan-fused integer bit
+    math (no UDF, no libm)."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    gh = F.expr(_geohash_sql(_LAT_S, _LON_S))
+    return (
+        cust.select(gh.alias("geohash"), "c_acctbal")
+        .groupBy("geohash")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# geo_bounding_box  (ES geo_bounding_box query)
+# --------------------------------------------------------------------------
+
+_BOX = dict(lat_lo=10.0, lat_hi=45.0, lon_lo=-30.0, lon_hi=60.0)
+
+_BOX_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, c_mktsegment,
+         {_LAT_D} AS lat, {_LON_D} AS lon
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment,
+       ROUND(lat, 6) AS lat, ROUND(lon, 6) AS lon
+FROM pts
+WHERE lat BETWEEN {_BOX['lat_lo']} AND {_BOX['lat_hi']}
+  AND lon BETWEEN {_BOX['lon_lo']} AND {_BOX['lon_hi']}
+"""
+
+
+@register("geo_bounding_box", _BOX_ORACLE)
+def geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounding_box`` query: points inside a lat/lon rectangle.
+    Pure comparisons on scan-fused expressions — at scale this is the
+    predicate a geohash- or z-order-clustered layout (zorder_layout)
+    turns into file skipping, since a box is a contiguous set of cells."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr(_LAT_S).alias("lat"),
+        F.expr(_LON_S).alias("lon"),
+    )
+    return pts.filter(
+        (F.col("lat") >= _BOX["lat_lo"])
+        & (F.col("lat") <= _BOX["lat_hi"])
+        & (F.col("lon") >= _BOX["lon_lo"])
+        & (F.col("lon") <= _BOX["lon_hi"])
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )
+
+
+# --------------------------------------------------------------------------
+# geo_distance_search  (ES geo_distance query + _geo_distance sort)
+# --------------------------------------------------------------------------
+
+_CENTER_LAT, _CENTER_LON = 48.8566, 2.3522  # Paris
+_KM_PER_DEG = 111.19492664455873  # 6371.0088 km * pi / 180
+_DEG2RAD = 0.017453292519943295
+_RADIUS_KM = 2000.0
+_TOP_K = 50
+
+
+def _dist_expr(lat: str, lon: str) -> str:
+    """Equirectangular distance with the east-west scale taken at the
+    MIDPOINT latitude, cos() expanded as its degree-6 Taylor polynomial
+    (|phi| <= 61 deg keeps the truncation under 4e-5 relative): pure
+    * / + / sqrt, all IEEE-correctly-rounded, so both engines agree
+    bit-for-bit — a live libm cos would not.  Accuracy vs haversine
+    inside the 2,000 km radius is ~0.5%; squares are spelled x*x, not
+    power(x, 2), since pow carries no cross-libm rounding guarantee."""
+    phi = f"((({lat}) + {_CENTER_LAT}) * 0.5 * {_DEG2RAD})"
+    p2 = f"({phi} * {phi})"
+    cosm = f"(1.0 - {p2} / 2.0 + {p2} * {p2} / 24.0 - {p2} * {p2} * {p2} / 720.0)"
+    dy = f"((({lat}) - {_CENTER_LAT}) * {_KM_PER_DEG})"
+    dx = f"((({lon}) - {_CENTER_LON}) * {cosm} * {_KM_PER_DEG})"
+    return f"sqrt({dy} * {dy} + {dx} * {dx})"
+
+_DIST_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_D} AS lat, {_LON_D} AS lon FROM customer
+),
+scored AS (
+  SELECT c_custkey,
+         {_dist_expr('lat', 'lon')} AS dist_km
+  FROM pts
+)
+SELECT c_custkey, ROUND(dist_km, 6) AS dist_km
+FROM scored
+WHERE dist_km <= {_RADIUS_KM}
+ORDER BY dist_km, c_custkey
+LIMIT {_TOP_K}
+"""
+
+
+@register("geo_distance_search", _DIST_ORACLE)
+def geo_distance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` query with ``_geo_distance`` sort: the nearest
+    points within 2,000 km of a fixed center, closest first.
+
+    Equirectangular metric (see module docstring) keeps the whole path
+    libm-free; the radius filter prunes before the sort and the top-k
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort) — the 100 TB plan is scan -> filter -> k-row heap merge."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey", F.expr(_LAT_S).alias("lat"), F.expr(_LON_S).alias("lon")
+    )
+    scored = pts.select(
+        "c_custkey",
+        F.expr(_dist_expr("lat", "lon")).alias("dist_km"),
+    )
+    return (
+        scored.filter(F.col("dist_km") <= _RADIUS_KM)
+        .select("c_custkey", F.round("dist_km", 6).alias("dist_km"))
+        .orderBy("dist_km", "c_custkey")
+        .limit(_TOP_K)
+    )

@@ -117,3 +117,102 @@ def nested_tags_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# adjacency_matrix_agg  (ES adjacency_matrix aggregation)
+# --------------------------------------------------------------------------
+
+# Named filters over documents; ES returns a doc count per filter and per
+# pairwise intersection (the co-occurrence "matrix" behind graph/Venn
+# dashboards).  Intersections of named predicates compile to one narrow
+# pass: each filter is a boolean column, every matrix cell a SUM of a
+# boolean product — no join, no explode, one global aggregate.
+_ADJ_FILTERS = {
+    "en": "lang = 'en'",
+    "long": "n_chars > 300",
+    "sparky": "text LIKE '%spark%'",
+}
+
+_ADJ_CELLS = []  # (key, predicate-product SQL) in ES's emission order
+for _i, (_ka, _pa) in enumerate(sorted(_ADJ_FILTERS.items())):
+    for _kb, _pb in sorted(_ADJ_FILTERS.items())[_i:]:
+        _key = _ka if _ka == _kb else f"{_ka}&{_kb}"
+        _ADJ_CELLS.append(
+            (_key, f"CAST(({_pa}) AND ({_pb}) AS INT)")
+        )
+
+_ADJ_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{k}' AS cell, CAST(SUM({expr}) AS BIGINT) AS doc_count FROM documents"
+    for k, expr in _ADJ_CELLS
+)
+
+
+@register("adjacency_matrix_agg", _ADJ_ORACLE)
+def adjacency_matrix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: doc counts for three named
+    filters and every pairwise intersection (upper triangle, ES's
+    ``a&b`` key convention).  One scan, six conditional sums, zero
+    shuffles beyond the single global aggregate — output is
+    filter-count bounded (n*(n+1)/2 cells), never data-sized."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        *[
+            F.sum(F.expr(expr)).cast("bigint").alias(f"c{i}")
+            for i, (_, expr) in enumerate(_ADJ_CELLS)
+        ]
+    )
+    # unpivot the single aggregate row into (cell, doc_count) rows
+    stack = ", ".join(
+        f"'{k}', c{i}" for i, (k, _) in enumerate(_ADJ_CELLS)
+    )
+    return agg.selectExpr(
+        f"stack({len(_ADJ_CELLS)}, {stack}) AS (cell, doc_count)"
+    )
+
+
+# --------------------------------------------------------------------------
+# percentile_ranks_agg  (ES percentile_ranks aggregation, exact)
+# --------------------------------------------------------------------------
+
+# ES's percentile_ranks asks the inverse question of percentiles: "what
+# fraction of values sit at or below v?" for caller-chosen thresholds.
+# ES approximates with t-digest; over sorted columnar data the EXACT
+# answer is one conditional-mean pass per threshold, so the engine
+# certifies exact values (the same stance as histogram_quantile_merge
+# vs percentile_approx).
+_PR_VALUES = [1000.0, 5000.0, 25000.0]
+
+_PR_TERMS_SQL = ", ".join(
+    f"ROUND(AVG(CASE WHEN o_totalprice <= {v} THEN 100.0 ELSE 0.0 END), 6)"
+    f" AS pr_{int(v)}"
+    for v in _PR_VALUES
+)
+
+_PR_ORACLE = f"""
+SELECT o_orderpriority, {_PR_TERMS_SQL}
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentile_ranks_agg", _PR_ORACLE)
+def percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentile_ranks`` over o_totalprice per order priority:
+    the percentage of orders at or below each caller threshold.  One
+    grouped aggregate with three conditional means — group-cardinality
+    output, partial aggregation map-side, no second pass."""
+    tune(spark)
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(
+                F.avg(
+                    F.when(F.col("o_totalprice") <= v, 100.0).otherwise(0.0)
+                ),
+                6,
+            ).alias(f"pr_{int(v)}")
+            for v in _PR_VALUES
+        ]
+    )

@@ -1,0 +1,122 @@
+"""Geo operator tests: the SQL geohash against an independent bisection
+encoder, box membership, and distance-metric sanity vs haversine."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.operators.geo import (
+    _B32,
+    _CENTER_LAT,
+    _CENTER_LON,
+    _RADIUS_KM,
+    geo_bounding_box,
+    geo_distance_search,
+    geohash_grid_agg,
+    _BOX,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _coords(custkey: int) -> tuple[float, float]:
+    h = hashlib.md5(str(custkey).encode()).hexdigest()
+    lat = int(h[0:4], 16) / 65536.0 * 120.0 - 60.0
+    lon = int(h[4:8], 16) / 65536.0 * 360.0 - 180.0
+    return lat, lon
+
+
+def _geohash_ref(lat: float, lon: float, precision: int = 4) -> str:
+    """Classic bisection geohash encoder — independent of the SQL
+    bit-interleave implementation under test."""
+    lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+    bits, even, out, ch = 0, True, [], 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_B32[ch])
+            bits, ch = 0, 0
+    return "".join(out)
+
+
+def _haversine_km(lat1, lon1, lat2, lon2) -> float:
+    r = 6371.0088
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = p2 - p1, math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+def test_geohash_matches_independent_encoder(spark):
+    rows = geohash_grid_agg(spark, SF).collect()
+    # rebuild the expected cell per customer with the reference encoder
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey").collect()
+    from collections import Counter
+
+    expected = Counter()
+    for r in cust:
+        lat, lon = _coords(r.c_custkey)
+        expected[_geohash_ref(lat, lon)] += 1
+    got = {r.geohash: r.n_customers for r in rows}
+    assert got == dict(expected)
+
+
+def test_bounding_box_membership(spark):
+    rows = geo_bounding_box(spark, SF).collect()
+    assert rows, "box should catch some customers"
+    for r in rows:
+        assert _BOX["lat_lo"] <= r.lat <= _BOX["lat_hi"]
+        assert _BOX["lon_lo"] <= r.lon <= _BOX["lon_hi"]
+        lat, lon = _coords(r.c_custkey)
+        assert abs(lat - r.lat) < 1e-6 and abs(lon - r.lon) < 1e-6
+    # and no in-box customer is missing
+    all_keys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey").collect()
+    ]
+    in_box = {
+        k
+        for k in all_keys
+        if _BOX["lat_lo"] <= _coords(k)[0] <= _BOX["lat_hi"]
+        and _BOX["lon_lo"] <= _coords(k)[1] <= _BOX["lon_hi"]
+    }
+    assert {r.c_custkey for r in rows} == in_box
+
+
+def test_distance_sorted_within_radius_and_near_haversine(spark):
+    rows = geo_distance_search(spark, SF).collect()
+    assert rows, "radius should catch some customers"
+    dists = [r.dist_km for r in rows]
+    assert dists == sorted(dists)
+    for r in rows:
+        assert r.dist_km <= _RADIUS_KM
+        lat, lon = _coords(r.c_custkey)
+        hav = _haversine_km(lat, lon, _CENTER_LAT, _CENTER_LON)
+        # midpoint-cos equirectangular vs haversine: <=1% inside the
+        # 2,000 km radius
+        assert abs(r.dist_km - hav) <= max(0.01 * hav, 2.0), (
+            r.c_custkey,
+            r.dist_km,
+            hav,
+        )
