@@ -312,6 +312,97 @@ def _bloom_positions(h1, h2):
     ]
 
 
+def _set_bits(bloom, pos) -> None:
+    """Set the bloom bits at numpy position array ``pos`` IN PLACE —
+    via bitwise_or.at, NOT ``bloom[idx] |= bits``: the buffered
+    fancy-index form applies ONE write per duplicate byte index and
+    silently drops the other bits — a false NEGATIVE, which breaks the
+    Bloom contract."""
+    np.bitwise_or.at(bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+
+def gram_hashes(docs: DataFrame, split: bool = True) -> DataFrame:
+    """(doc_id[, is_train], gram, h1, h2): the distinct word-5-grams of
+    a documents-shaped frame with the two xxhash64 streams the Bloom
+    uses — hashing stays JVM-side, Python only ever sees integers."""
+    cols = ["doc_id"] + (["is_train"] if split else [])
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        *(
+            [(_md5_bucket("doc_id") < _TRAIN_LT).alias("is_train")]
+            if split
+            else []
+        ),
+    )
+    grams = base.select(
+        *cols,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(w) - {_GRAM - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(w, i, {_GRAM})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    return grams.withColumn("h1", F.xxhash64("gram")).withColumn(
+        "h2", F.xxhash64("gram", F.lit("bloom-salt-2"))
+    )
+
+
+def build_bloom_df(hashes: DataFrame) -> DataFrame:
+    """ONE-row 'bloom binary' frame folding every (h1, h2) into the
+    fixed-size bitmap: per-partition partial blooms, OR-merged
+    executor-side.  OR is associative, commutative, and idempotent, so
+    ANY partitioning (and any micro-batch split of the same hashes)
+    yields byte-identical output."""
+
+    def _build(batches):
+        bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            for pos in _bloom_positions(pdf["h1"], pdf["h2"]):
+                _set_bits(bloom, pos)
+        yield pd.DataFrame({"bloom": [bloom.tobytes()]})
+
+    partials = (
+        hashes.select("h1", "h2")
+        .repartition(_BLOOM_BUILD_PARTS)
+        .mapInPandas(_build, "bloom binary")
+    )
+    return or_merge_blooms(partials)
+
+
+def or_merge_blooms(blooms: DataFrame) -> DataFrame:
+    """Fold a 'bloom binary' frame (any number of rows) into one row."""
+
+    def _merge(batches):
+        bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
+        for pdf in batches:
+            for buf in pdf["bloom"]:
+                bloom |= np.frombuffer(buf, dtype=np.uint8)
+        yield pd.DataFrame({"bloom": [bloom.tobytes()]})
+
+    return blooms.repartition(1).mapInPandas(_merge, "bloom binary")
+
+
+def might_contain_udf(spark: SparkSession, bloom_bytes: bytes):
+    """Arrow-vectorized membership probe bound to a broadcast bitmap."""
+    from pyspark.sql.functions import pandas_udf
+
+    bloom_bc = spark.sparkContext.broadcast(bytes(bloom_bytes))
+
+    @pandas_udf("boolean")
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        if h1.empty:
+            return pd.Series([], dtype=bool)
+        bloom = np.frombuffer(bloom_bc.value, dtype=np.uint8)
+        hit = np.ones(len(h1), dtype=bool)
+        for pos in _bloom_positions(h1, h2):
+            hit &= (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    return _might_contain
+
+
 @register("decontam_bloom_prefilter", _DECONTAM_ORACLE)
 def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact decontamination: train grams fold into a
@@ -326,21 +417,6 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver state is the single fixed-size bitmap (index-metadata sized,
     like the IVF centroid table)."""
     tune(spark)
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split("text", " ").alias("w"),
-        (_md5_bucket("doc_id") < _TRAIN_LT).alias("is_train"),
-    )
-    grams = docs.select(
-        "doc_id",
-        "is_train",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(w) - {_GRAM - 1}, 0)),"
-                f" i -> concat_ws(' ', slice(w, i, {_GRAM})))"
-            )
-        ).alias("gram"),
-    ).distinct()
     from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 
     # three consumers (bloom build, probe, verify join) share one
@@ -348,58 +424,15 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus per branch
     hashed = cache_slot(
         "decontam_bloom_grams",
-        grams.withColumn("h1", F.xxhash64("gram")).withColumn(
-            "h2", F.xxhash64("gram", F.lit("bloom-salt-2"))
-        ),
+        gram_hashes(t(spark, sf_dir, "documents")),
     )
 
-    # ---- build: per-partition partial blooms, OR-merged to one row ----
-    def _build(batches):
-        bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
-        for pdf in batches:
-            for pos in _bloom_positions(pdf["h1"], pdf["h2"]):
-                # bitwise_or.at, NOT bloom[idx] |= bits: the buffered
-                # fancy-index form applies ONE write per duplicate byte
-                # index and silently drops the other bits — a false
-                # NEGATIVE, which breaks the Bloom contract
-                np.bitwise_or.at(
-                    bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
-                )
-        yield pd.DataFrame({"bloom": [bloom.tobytes()]})
-
-    def _merge(batches):
-        bloom = np.zeros(_BLOOM_M // 8, dtype=np.uint8)
-        for pdf in batches:
-            for buf in pdf["bloom"]:
-                bloom |= np.frombuffer(buf, dtype=np.uint8)
-        yield pd.DataFrame({"bloom": [bloom.tobytes()]})
-
-    train_hashes = (
-        hashed.filter("is_train")
-        .select("h1", "h2")
-        .repartition(_BLOOM_BUILD_PARTS)
-    )
-    partials = train_hashes.mapInPandas(_build, "bloom binary")
-    merged = partials.repartition(1).mapInPandas(_merge, "bloom binary")
+    merged = build_bloom_df(hashed.filter("is_train"))
     bloom_bytes = merged.collect()[0]["bloom"]  # bounded: m/8 bytes, once
-    bloom_bc = spark.sparkContext.broadcast(bytes(bloom_bytes))
-
-    # ---- probe: Arrow-vectorized membership over eval gram hashes ----
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        if h1.empty:
-            return pd.Series([], dtype=bool)
-        bloom = np.frombuffer(bloom_bc.value, dtype=np.uint8)
-        hit = np.ones(len(h1), dtype=bool)
-        for pos in _bloom_positions(h1, h2):
-            hit &= (bloom[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
-        return pd.Series(hit)
 
     candidates = (
         hashed.filter(~F.col("is_train"))
-        .filter(_might_contain("h1", "h2"))
+        .filter(might_contain_udf(spark, bloom_bytes)("h1", "h2"))
         .select("doc_id", "gram")
     )
 
