@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 7): 266 registered queries, 252 with oracles (new this
+State (round 7): 266 registered queries, 253 with oracles (new this
 round: the composed crawl->corpus FLAGSHIP `crawl_corpus_pipeline` —
 WARC ingest with mangled Target-URIs -> canonical-URL keep-best ->
 gopher gate -> MinHash near-dup drop -> duplicate-span excision ->
@@ -19,11 +19,11 @@ surface — Morton-coded geohash grid, bounding box, Taylor-cos
 distance — `decontam_bloom_prefilter` certified by the exact op's own
 oracle, `html_extract_main` boilerplate removal, and exact
 `adjacency_matrix_agg`/`percentile_ranks_agg`).
-The fourteen rows-only entries are approximate/float/iterative by
+The thirteen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
-tests/test_cms.py), ``multimodal_features`` (mapInPandas byte-stub decode),
+tests/test_cms.py),
 ``similarity_topk_fast`` (numpy float64 path, validated vs the exact
 decimal twin in tests), the product-quantization family ``ann_pq`` /
 ``ann_pq_stored`` / ``ann_pq_append`` / ``ann_ivfpq`` (trained float

@@ -63,63 +63,21 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_payload(payload: bytes, mime: str, fake: bool = False) -> dict:
+def decode_payload(payload: bytes, mime: str) -> dict:
     """Decode one media payload.  Uncompressed containers (BMP, WAV/PCM)
     decode for REAL via the dependency-free parsers in media_codec.py
-    (certified by `multimodal_decode`); compressed codecs (PNG, MP4) are
-    not available in this environment — callers opt into the
-    deterministic fake for those."""
-    if not fake:
-        from go_pulsar_elasticsearch_spark.llm import media_codec
+    (certified by `multimodal_decode` and `multimodal_features`);
+    compressed codecs (PNG, MP4) need libraries this environment does
+    not ship, so they gate behind NotImplementedError."""
+    from go_pulsar_elasticsearch_spark.llm import media_codec
 
-        if mime in ("image/bmp", "image/x-ms-bmp"):
-            return media_codec.decode_bmp(payload)
-        if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
-            return media_codec.decode_wav(payload)
-        raise NotImplementedError(
-            f"no codec for {mime} (PIL/librosa/av not installed); pass "
-            "fake=True for the deterministic byte-statistics decoder"
-        )
-    n = len(payload)
-    return {
-        "byte_len": n,
-        "mean_byte": (sum(payload) / n) if n else 0.0,
-        "n_frames": (n + 255) // 256,
-        "head_hex": payload[:4].hex(),
-    }
-
-
-_FEATURE_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("mime", StringType()),
-        StructField("byte_len", LongType()),
-        StructField("mean_byte", DoubleType()),
-        StructField("n_frames", LongType()),
-        StructField("head_hex", StringType()),
-    ]
-)
-
-
-def extract_features(df: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over (payload, media_meta) — the
-    Arrow batch shape a real decoder plugs into."""
-
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = [
-                decode_payload(p, m, fake=True)
-                for p, m in zip(pdf["payload"], pdf["mime"])
-            ]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            out.insert(1, "mime", pdf["mime"].values)
-            yield out[[f.name for f in _FEATURE_SCHEMA.fields]]
-
-    flat = df.select(
-        "doc_id", F.col("media_meta.mime").alias("mime"), "payload"
+    if mime in ("image/bmp", "image/x-ms-bmp"):
+        return media_codec.decode_bmp(payload)
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return media_codec.decode_wav(payload)
+    raise NotImplementedError(
+        f"no codec for {mime} (PIL/librosa/av not installed)"
     )
-    return flat.mapInPandas(_extract, schema=_FEATURE_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -156,14 +114,136 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: blob byte math isn't SQL-friendly
+# Feature extraction over REAL decoded media (the former byte-stub,
+# replaced round 7): even doc_ids carry a real BMP, odd a real WAV —
+# the same payload synthesis multimodal_decode certifies — and the
+# features are computed from the PARSED pixel grid / sample list
+# (decode_bmp_pixels / decode_wav_samples), never from the generating
+# arithmetic.  The oracle recomputes each feature closed-form, so a
+# parser or feature bug (row order, padding, sign handling) cannot
+# hash-match.  Features are deliberately structure-sensitive:
+#   grad_sum  — BMP: sum |R(x+1,y) - R(x,y)| (horizontal gradient
+#               energy, the sharpness/complexity screen);
+#               WAV: zero-crossing count (the spectral-brightness
+#               proxy voice/music screens use)
+#   energy_sum — BMP: sum R^2; WAV: sum s^2 (RMS numerator)
+#   aspect_milli — BMP: 1000*w/h integer aspect; WAV: NULL
+_FEATURES_ORACLE = """
+WITH bmp AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), bmp_f AS (
+  SELECT doc_id, w, h,
+         SUM(CASE WHEN i % w < w - 1 THEN
+             ABS(((doc_id*7 + (i % w) + 1 + 3*(i // w)) % 256)
+               - ((doc_id*7 + (i % w) + 3*(i // w)) % 256)) ELSE 0 END)
+           AS grad_sum,
+         SUM(((doc_id*7 + (i % w) + 3*(i // w)) % 256)
+           * ((doc_id*7 + (i % w) + 3*(i // w)) % 256)) AS energy_sum
+  FROM (SELECT doc_id, w, h, unnest(range(0, w*h)) AS i FROM bmp)
+  GROUP BY 1, 2, 3
+), wav AS (
+  SELECT doc_id, 50 + doc_id % 100 AS n
+  FROM documents WHERE doc_id % 2 = 1
+), wav_f AS (
+  SELECT doc_id, n,
+         SUM(CASE WHEN i < n - 1 AND
+             (((doc_id*31 + i*17) % 4096 - 2048) < 0)
+             <> (((doc_id*31 + (i+1)*17) % 4096 - 2048) < 0)
+             THEN 1 ELSE 0 END) AS grad_sum,
+         SUM(((doc_id*31 + i*17) % 4096 - 2048)
+           * ((doc_id*31 + i*17) % 4096 - 2048)) AS energy_sum
+  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM wav)
+  GROUP BY 1, 2
+)
+SELECT doc_id, 'bmp' AS kind, CAST(w*h AS BIGINT) AS n_units,
+       CAST(grad_sum AS BIGINT) AS grad_sum,
+       CAST(energy_sum AS BIGINT) AS energy_sum,
+       CAST(w*1000//h AS BIGINT) AS aspect_milli
+FROM bmp_f
+UNION ALL
+SELECT doc_id, 'wav', CAST(n AS BIGINT),
+       CAST(grad_sum AS BIGINT), CAST(energy_sum AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM wav_f
+"""
+
+
+@register("multimodal_features", _FEATURES_ORACLE)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode-stub pipeline: payload -> mapInPandas -> per-item
-    features (deterministic fake decoder).  Rows-only certification; the
-    deterministic values themselves are asserted in tests."""
+    """Real media feature extraction: synthesize a spec-conformant BMP
+    or WAV per document, round-trip through the real encoder AND the
+    full-data parser, and compute gradient/energy/aspect features from
+    the parsed pixels/samples with numpy.  Hash-certified against the
+    closed-form oracle — the values only match if the parse recovered
+    every pixel and sample exactly.
+
+    Scale shape: scan -> mapInPandas, one Python decode per blob over
+    Arrow batches, zero shuffles (same plan class as multimodal_decode)."""
+    import numpy as np
+
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp_pixels,
+        decode_wav_samples,
+        encode_bmp,
+        encode_wav,
+    )
+
     tune(spark)
-    docs = t(spark, sf_dir, "documents")
-    return extract_features(with_payload(docs))
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = 4 + d % 13, 3 + d % 7
+                    grid = [
+                        [
+                            (
+                                (d * 7 + x + 3 * y) % 256,
+                                (d * 11 + 2 * x + y) % 256,
+                                (d * 13 + x + y) % 256,
+                            )
+                            for x in range(w)
+                        ]
+                        for y in range(h)
+                    ]
+                    parsed = decode_bmp_pixels(encode_bmp(w, h, grid))
+                    r = np.array(
+                        [[px[0] for px in row] for row in parsed["rgb_rows"]],
+                        dtype=np.int64,
+                    )
+                    grad = int(np.abs(np.diff(r, axis=1)).sum())
+                    energy = int((r * r).sum())
+                    rows.append(
+                        (d, "bmp", w * h, grad, energy, w * 1000 // h)
+                    )
+                else:
+                    n = 50 + d % 100
+                    rate = 8000 + (d % 3) * 4000
+                    samples = [
+                        (d * 31 + i * 17) % 4096 - 2048 for i in range(n)
+                    ]
+                    parsed = decode_wav_samples(encode_wav(rate, samples))
+                    s = np.array(parsed["samples"], dtype=np.int64)
+                    zc = int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+                    energy = int((s * s).sum())
+                    rows.append((d, "wav", n, zc, energy, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "n_units",
+                    "grad_sum", "energy_sum", "aspect_milli",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, kind string, n_units long, grad_sum long, "
+        "energy_sum long, aspect_milli long",
+    )
 
 
 # --------------------------------------------------------------------------

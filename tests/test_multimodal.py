@@ -1,5 +1,5 @@
-"""Multimodal column plumbing: binary payloads, typed metadata, the
-mapInPandas decode stub (SURVEY.md §2B multimodal_columns)."""
+"""Multimodal column plumbing: binary payloads, typed metadata, real
+codec-backed feature extraction (SURVEY.md §2B multimodal_columns)."""
 
 from __future__ import annotations
 
@@ -8,7 +8,7 @@ import pytest
 from go_pulsar_elasticsearch_spark.catalog import t
 from go_pulsar_elasticsearch_spark.llm.multimodal import (
     decode_payload,
-    extract_features,
+    multimodal_features,
     with_payload,
 )
 
@@ -20,32 +20,44 @@ def test_payload_schema(spark, sf_dir):
     assert kinds["media_meta"].startswith("struct<mime:string,byte_len:bigint")
 
 
-def test_decode_stub_gates_real_codecs():
+def test_compressed_codecs_gate_behind_not_implemented():
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x89PNG", "image/png")
 
 
-def test_fake_decoder_deterministic():
-    out = decode_payload(b"abcd" * 100, "image/png", fake=True)
-    assert out["byte_len"] == 400
-    assert out["n_frames"] == 2
-    assert out["head_hex"] == "61626364"
-    assert out["mean_byte"] == sum(b"abcd") / 4
-
-
-def test_extract_features_matches_local_decode(spark, sf_dir):
-    # ordered limit: the frame is executed twice (pipeline + collect),
-    # and a bare limit over the repartitioned scan picks different rows
-    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(20)
-    feats = {r["doc_id"]: r for r in extract_features(with_payload(docs)).collect()}
-    for row in docs.collect():
-        payload = row["text"].encode("utf-8")
-        expect = decode_payload(payload, "x", fake=True)
-        got = feats[row["doc_id"]]
-        assert got["byte_len"] == expect["byte_len"]
-        assert got["mean_byte"] == pytest.approx(expect["mean_byte"])
-        assert got["n_frames"] == expect["n_frames"]
-        assert got["head_hex"] == expect["head_hex"]
+def test_features_match_independent_recomputation(spark, sf_dir):
+    """Gradient / energy / zero-crossing features recomputed in plain
+    Python from the generating arithmetic must match the operator's
+    codec round-trip values."""
+    feats = {
+        r["doc_id"]: r for r in multimodal_features(spark, sf_dir).collect()
+    }
+    ids = [r.doc_id for r in t(spark, sf_dir, "documents").select("doc_id").collect()]
+    assert set(feats) == set(ids)
+    for d in sorted(ids)[:40]:
+        got = feats[d]
+        if d % 2 == 0:
+            w, h = 4 + d % 13, 3 + d % 7
+            r = [[(d * 7 + x + 3 * y) % 256 for x in range(w)] for y in range(h)]
+            grad = sum(
+                abs(r[y][x + 1] - r[y][x])
+                for y in range(h)
+                for x in range(w - 1)
+            )
+            energy = sum(v * v for row in r for v in row)
+            assert (got.kind, got.n_units) == ("bmp", w * h)
+            assert got.grad_sum == grad
+            assert got.energy_sum == energy
+            assert got.aspect_milli == w * 1000 // h
+        else:
+            n = 50 + d % 100
+            s = [(d * 31 + i * 17) % 4096 - 2048 for i in range(n)]
+            zc = sum((s[i] < 0) != (s[i + 1] < 0) for i in range(n - 1))
+            energy = sum(v * v for v in s)
+            assert (got.kind, got.n_units) == ("wav", n)
+            assert got.grad_sum == zc
+            assert got.energy_sum == energy
+            assert got.aspect_milli is None
 
 
 def test_frame_sampling_bytes(spark, sf_dir):
