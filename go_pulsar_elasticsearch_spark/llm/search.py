@@ -433,3 +433,79 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TDS_TOPK)
         .select("qid", "cid", "cosine", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# search_field_collapse  (ES `collapse` + inner_hits on _search)
+# --------------------------------------------------------------------------
+
+# ES field collapsing: the result list carries ONE hit per value of the
+# collapse field (deduplicating near-identical sources in the ranking),
+# with `inner_hits` exposing the next best docs inside each collapsed
+# group.  Relational form: rank within group, rank groups by their best
+# hit, emit the top groups' top docs flagged by their in-group position.
+_COLLAPSE_GROUPS = 5   # top collapsed groups returned
+_COLLAPSE_INNER = 3    # hits exposed per group (1 lead + 2 inner)
+
+_COLLAPSE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars AS score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+),
+heads AS (
+  SELECT source, score AS head_score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, source) AS grp_rank
+  FROM scored WHERE rn = 1
+)
+SELECT s.source, h.grp_rank, s.rn AS hit_rank, s.doc_id,
+       CAST(s.score AS BIGINT) AS score
+FROM scored s JOIN heads h ON h.source = s.source
+WHERE h.grp_rank <= {_COLLAPSE_GROUPS} AND s.rn <= {_COLLAPSE_INNER}
+"""
+
+
+@register("search_field_collapse", _COLLAPSE_ORACLE)
+def search_field_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``collapse`` with ``inner_hits``: one ranked entry per source
+    (groups ordered by their best hit's score), each exposing its top 3
+    documents.  Two window passes over the same source-partitioned
+    shuffle + a broadcast-sized join on the group heads — output is
+    bounded by groups x inner_hits regardless of corpus size."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.col("n_chars").alias("score")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        ),
+    )
+    heads = (
+        scored.filter(F.col("rn") == 1)
+        .select("source", F.col("score").alias("head_score"))
+        .withColumn(
+            "grp_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("head_score"), F.asc("source"))
+            ),
+        )
+        .filter(F.col("grp_rank") <= _COLLAPSE_GROUPS)
+    )
+    return (
+        scored.filter(F.col("rn") <= _COLLAPSE_INNER)
+        .join(F.broadcast(heads.select("source", "grp_rank")), "source")
+        .select(
+            "source",
+            "grp_rank",
+            F.col("rn").alias("hit_rank"),
+            "doc_id",
+            F.col("score").cast("bigint").alias("score"),
+        )
+    )

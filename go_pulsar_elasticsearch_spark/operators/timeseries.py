@@ -195,3 +195,109 @@ def rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(arr, int(ceil(0.9 * size(arr))))").alias("p90"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ts_znorm_subsequence_topk  (UCR-style time-series subsequence search)
+# --------------------------------------------------------------------------
+
+# The streaming-TS-similarity primitive (EDBT 2019's problem; also the
+# Matrix Profile / UCR-suite core): find the corpus windows whose SHAPE
+# best matches a query pattern, i.e. smallest z-normalized Euclidean
+# distance between length-m subsequences.  m = 8 keeps the unrolled-lag
+# form (the ewma_smooth technique) — every window is one row of 8 lag
+# columns, so the whole search is ONE window shuffle + a fixed-order
+# arithmetic expression, no self-join, no explode.
+#
+# Determinism: per-window mean/std/distance are FIXED-ORDER inline
+# expressions (never float aggregates), so both engines evaluate the
+# identical IEEE tree — the same statement text runs verbatim on Spark
+# and DuckDB, and even the double distances hash-match.
+_TS_M = 8
+_TS_TOPK = 20
+
+
+def _ts_sql() -> str:
+    m = _TS_M
+    lags = ",\n         ".join(
+        [
+            f"LAG(value, {m - 1 - j}) OVER (PARTITION BY user_id"
+            f" ORDER BY ts, event_id) AS l{j}"
+            for j in range(m - 1)
+        ]
+        + [f"value AS l{m - 1}"]
+    )
+    pat = ",\n         ".join(
+        f"MAX(CASE WHEN rn = {j + 1} THEN value END) AS q{j}"
+        for j in range(m)
+    )
+    suml = " + ".join(f"l{j}" for j in range(m))
+    sumq = " + ".join(f"q{j}" for j in range(m))
+    varl = " + ".join(f"(l{j} - ml) * (l{j} - ml)" for j in range(m))
+    varq = " + ".join(f"(q{j} - mq) * (q{j} - mq)" for j in range(m))
+    zterm = " + ".join(
+        f"((l{j} - ml) / sl - (q{j} - mq) / sq)"
+        f" * ((l{j} - ml) / sl - (q{j} - mq) / sq)"
+        for j in range(m)
+    )
+    return f"""
+WITH anchor_user AS (
+  SELECT MIN(user_id) AS au FROM events
+),
+anchor_seq AS (
+  SELECT e.value, ROW_NUMBER() OVER (ORDER BY e.ts, e.event_id) AS rn
+  FROM events e CROSS JOIN anchor_user a
+  WHERE e.user_id = a.au
+),
+pattern AS (
+  SELECT {pat}
+  FROM anchor_seq WHERE rn <= {m}
+),
+lagged AS (
+  SELECT user_id, event_id,
+         {lags}
+  FROM events
+),
+cand AS (
+  SELECT c.*, p.*
+  FROM lagged c CROSS JOIN pattern p CROSS JOIN anchor_user a
+  WHERE c.user_id <> a.au AND c.l0 IS NOT NULL
+),
+norm AS (
+  SELECT *, ({suml}) / {m}.0 AS ml, ({sumq}) / {m}.0 AS mq
+  FROM cand
+),
+sd AS (
+  SELECT *, sqrt(({varl}) / {m}.0) AS sl, sqrt(({varq}) / {m}.0) AS sq
+  FROM norm
+)
+SELECT user_id, event_id, {zterm} AS zdist
+FROM sd
+WHERE sl > 0 AND sq > 0
+ORDER BY zdist, user_id, event_id
+LIMIT {_TS_TOPK}
+"""
+
+
+_TS_SQL = _ts_sql()
+
+
+@register("ts_znorm_subsequence_topk", _TS_SQL)
+def ts_znorm_subsequence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest length-8 subsequences to the anchor user's opening
+    pattern by z-normalized Euclidean distance — shape matching, so a
+    scaled/shifted copy of the pattern still ranks first.  The IDENTICAL
+    statement runs on both engines (the oracle IS the query text).
+
+    Plan: one window shuffle builds every subsequence as a lag row,
+    the 1-row pattern broadcast-crosses in, and the top-k compiles to
+    TakeOrderedAndProject — per-partition heaps, no global sort.  At
+    100 TB: cost = the per-series window pass; for long-pattern or
+    many-query workloads the production extension is the same row shape
+    probed by an LSH/PAA prefilter, with THIS exact form as the re-rank
+    (the ann_lsh_bucketed pattern applied to subsequences)."""
+    tune(spark)
+    from go_pulsar_elasticsearch_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TS_SQL)
