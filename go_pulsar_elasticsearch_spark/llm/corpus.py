@@ -536,3 +536,204 @@ def seeded_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("shard", shard)
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
     )
+
+
+# --------------------------------------------------------------------------
+# span_corruption_prep  (T5/UL2 denoising-objective preparation)
+# --------------------------------------------------------------------------
+
+# Span corruption turns each document into an (input, target) pair:
+# deterministic spans of words are replaced by numbered sentinels in the
+# INPUT, and the TARGET lists each sentinel followed by the words it
+# hid.  T5 samples spans randomly; here span STARTS are md5-positioned
+# (bucket(doc_id:pos) < 13/256 ~ 5% of positions, span length 3 ->
+# ~15% corruption, the T5 operating point) so the pair set is
+# replay-identical with no RNG state — the same determinism stance as
+# split_train_test.  The certified hash covers the fully REASSEMBLED
+# input and target strings, not just counts.
+_SC_START_LT = 13   # span-start bucket threshold (~5% of positions)
+_SC_SPAN = 3        # words hidden per span start
+
+
+def _sc_start_sql(p: str) -> str:
+    """DuckDB: does position ``p`` start a corruption span?"""
+    s = f"md5(CAST(doc_id AS VARCHAR) || ':' || CAST({p} AS VARCHAR))"
+    return (
+        f"({p} >= 1 AND (strpos('{_HEX}', substr({s}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr({s}, 2, 1)) - 1) < {_SC_START_LT})"
+    )
+
+
+_SC_MASK_SQL = " OR ".join(_sc_start_sql(f"pos - {j}") for j in range(_SC_SPAN))
+_SC_PREV_MASK_SQL = " OR ".join(
+    _sc_start_sql(f"pos - 1 - {j}") for j in range(_SC_SPAN)
+)
+
+_SC_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, word, pos,
+         ({_SC_MASK_SQL}) AS mask,
+         ({_SC_MASK_SQL}) AND NOT ({_SC_PREV_MASK_SQL})
+           AS run_start
+  FROM words
+),
+numbered AS (
+  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS sentinel_id
+  FROM flagged
+),
+input_toks AS (
+  SELECT doc_id, pos * 2 AS k, word AS tok FROM numbered WHERE NOT mask
+  UNION ALL
+  SELECT doc_id, pos * 2 - 1,
+         '<extra_id_' || CAST(sentinel_id AS VARCHAR) || '>'
+  FROM numbered WHERE run_start
+),
+target_toks AS (
+  SELECT doc_id, pos * 2 AS k, word AS tok FROM numbered WHERE mask
+  UNION ALL
+  SELECT doc_id, pos * 2 - 1,
+         '<extra_id_' || CAST(sentinel_id AS VARCHAR) || '>'
+  FROM numbered WHERE run_start
+),
+stats AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN mask THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sentinels
+  FROM numbered GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_masked, s.n_sentinels,
+       md5(coalesce(i.txt, '')) AS input_md5,
+       md5(coalesce(tg.txt, '')) AS target_md5
+FROM stats s
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY k) AS txt
+           FROM input_toks GROUP BY doc_id) i ON i.doc_id = s.doc_id
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY k) AS txt
+           FROM target_toks GROUP BY doc_id) tg ON tg.doc_id = s.doc_id
+"""
+
+
+def _sc_start_col(p) -> F.Column:
+    s = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"), p.cast("string")
+        )
+    )
+    d1 = F.instr(F.lit(_HEX), F.substring(s, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(s, 2, 1)) - 1
+    return (p >= 1) & ((d1 * 16 + d2) < _SC_START_LT)
+
+
+@register("span_corruption_prep", _SC_ORACLE)
+def span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption with md5-positioned spans: emits per doc
+    the masked-word and sentinel counts plus md5 hashes of the fully
+    reassembled input (sentinels in place of spans) and target
+    (sentinel -> hidden words) strings.
+
+    Plan: one posexplode (narrow), every mask/run-start flag a per-row
+    expression (span membership = OR over the 3 possible starts — no
+    lag), ONE window for sentinel numbering, and the reassembly groupBys
+    reuse the same doc_id partitioning (Catalyst reuses the exchange).
+    At 100 TB the cost is two doc_id-keyed passes over the token
+    stream."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+    mask = None
+    for j in range(_SC_SPAN):
+        c = _sc_start_col(F.col("pos") - j)
+        mask = c if mask is None else (mask | c)
+    prev_mask = None
+    for j in range(_SC_SPAN):
+        c = _sc_start_col(F.col("pos") - 1 - j)
+        prev_mask = c if prev_mask is None else (prev_mask | c)
+
+    flagged = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        mask.alias("mask"),
+        (mask & ~prev_mask).alias("run_start"),
+    )
+    from pyspark.sql import Window
+
+    numbered = flagged.withColumn(
+        "sentinel_id",
+        F.sum(F.when(F.col("run_start"), 1).otherwise(0)).over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    sentinel_tok = F.concat(
+        F.lit("<extra_id_"), F.col("sentinel_id").cast("string"), F.lit(">")
+    )
+    # one token frame, flagged per destination, so counts AND both
+    # reassemblies fold in a SINGLE doc_id aggregate — no three-way
+    # self-join of the same lineage (whose "doc_id" equi-conditions
+    # Spark can mis-resolve into trivially-true self-join predicates;
+    # observed as duplicated output rows before this restructuring)
+    toks = (
+        numbered.filter(~F.col("mask"))
+        .select(
+            "doc_id",
+            (F.col("pos") * 2).alias("k"),
+            F.col("word").alias("tok"),
+            F.lit(True).alias("in_input"),
+            F.lit(False).alias("in_target"),
+            F.lit(False).alias("is_masked_word"),
+            F.lit(False).alias("is_sentinel"),
+        )
+        .unionByName(
+            numbered.filter("mask").select(
+                "doc_id",
+                (F.col("pos") * 2).alias("k"),
+                F.col("word").alias("tok"),
+                F.lit(False).alias("in_input"),
+                F.lit(True).alias("in_target"),
+                F.lit(True).alias("is_masked_word"),
+                F.lit(False).alias("is_sentinel"),
+            )
+        )
+        .unionByName(
+            numbered.filter("run_start").select(
+                "doc_id",
+                (F.col("pos") * 2 - 1).alias("k"),
+                sentinel_tok.alias("tok"),
+                F.lit(True).alias("in_input"),
+                F.lit(True).alias("in_target"),
+                F.lit(False).alias("is_masked_word"),
+                F.lit(True).alias("is_sentinel"),
+            )
+        )
+    )
+
+    def _joined(flag: str) -> F.Column:
+        return F.array_join(
+            F.expr(
+                f"transform(array_sort(collect_list("
+                f"CASE WHEN {flag} THEN struct(k, tok) END)), s -> s.tok)"
+            ),
+            " ",
+        )
+
+    return toks.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("is_masked_word"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("is_sentinel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sentinels"),
+        F.md5(_joined("in_input")).alias("input_md5"),
+        F.md5(_joined("in_target")).alias("target_md5"),
+    )

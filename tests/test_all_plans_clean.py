@@ -43,6 +43,11 @@ _GLOBAL_WINDOW_OK = {
     "cooccurrence_pmi",       # |vocab|^2-bounded pair table
     "quality_drift_monitor",  # 30-row daily rollup
     "sql_surface_lateral",    # SQL front-door demo: the statement IS the op
+    "search_field_collapse",  # group-head ranking: one row per source
+                              # (source-cardinality-bounded) after rn=1
+    "ts_znorm_subsequence_topk",  # anchor-pattern numbering: the global
+                                  # ROW_NUMBER runs on ONE user's series
+                                  # (filtered before the window)
 }
 
 

@@ -25,7 +25,7 @@ def test_oracle_keys_subset_of_queries():
     # rows-only ops must be the known exceptions, nothing silently dropped
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only == {
-        "agg_approx", "multimodal_features", "stream_ingest_e2e",
+        "agg_approx", "stream_ingest_e2e",
         "similarity_topk_fast", "near_dedup_minhash_ml", "ann_pq",
         "ann_pq_stored",  # float codebooks like ann_pq; stored==fresh pytest
         "ann_pq_append",  # frozen-codebook delta; append==one-shot pytest
