@@ -509,3 +509,58 @@ def search_field_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("score"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# rare_terms_agg  (ES rare_terms aggregation — the long tail)
+# --------------------------------------------------------------------------
+
+# terms() finds heads; rare_terms finds the tail: terms appearing in at
+# most `max_doc_count` documents (typo mining, anomaly vocabulary, PII
+# needles).  ES bounds its memory with a CuckooFilter and accepts false
+# negatives; over columnar storage the EXACT answer is one
+# doc-frequency aggregate + a threshold filter, so the engine certifies
+# exact results (same stance as percentile_ranks_agg vs t-digest).
+_RARE_MAX_DF = 5  # the unigram vocabulary is tiny and saturated, so the
+# rare tail lives in the SHINGLE terms (word bigrams) — the field a real
+# mapping would index with a shingle analyzer for this agg
+
+_RARE_ORACLE = f"""
+WITH bg AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+               unnest(range(1, len(string_split(text, ' ')))) AS i
+        FROM documents)
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS doc_count
+  FROM bg GROUP BY term
+)
+SELECT term, CAST(doc_count AS BIGINT) AS doc_count
+FROM df WHERE doc_count <= {_RARE_MAX_DF}
+"""
+
+
+@register("rare_terms_agg", _RARE_ORACLE)
+def rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rare_terms`` over the shingle (word-bigram) terms: terms in
+    at most 5 documents, exact.  Distinct (term, doc) pairs collapse
+    map-side before the vocabulary-bounded frequency aggregate; the
+    threshold filter prunes to the tail.  Output is tail-sized, never
+    corpus-sized."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            )
+        ).alias("term"),
+    ).distinct()
+    return (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= _RARE_MAX_DF)
+    )

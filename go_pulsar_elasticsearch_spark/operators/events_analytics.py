@@ -947,3 +947,58 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# event_trigram_paths  (top event-type 3-step paths)
+# --------------------------------------------------------------------------
+
+# transition_matrix models single steps; product analytics wants the
+# dominant multi-step PATHS ("view -> click -> purchase").  Per-user
+# ordered trigrams via two lags on one window shuffle, then a global
+# count — output bounded by |event_types|^3.
+_TRIGRAM_TOPK = 15
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t0,
+         LAG(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1
+  FROM events
+)
+SELECT t0 || '>' || t1 || '>' || event_type AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t0 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {_TRIGRAM_TOPK}
+"""
+
+
+@register("event_trigram_paths", _TRIGRAM_ORACLE)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 15 three-step event paths corpus-wide: two lags on the
+    per-user time order (one window shuffle), a |types|^3-bounded
+    count, and a TakeOrderedAndProject top-k.  The n-step
+    generalization of transition_matrix."""
+    tune(spark)
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("t0"),
+        F.lag("event_type", 1).over(w).alias("t1"),
+    ).filter(F.col("t0").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t0", "t1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_TRIGRAM_TOPK)
+    )

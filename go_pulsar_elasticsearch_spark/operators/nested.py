@@ -216,3 +216,52 @@ def percentile_ranks_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in _PR_VALUES
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# date_range_agg  (ES date_range aggregation)
+# --------------------------------------------------------------------------
+
+# Named, possibly-unbounded calendar buckets (ES semantics: `from`
+# inclusive, `to` exclusive) with a count and a metric per bucket —
+# the "era breakdown" dashboards ask of a dated index.  One CASE
+# expression + one grouped aggregate; bucket count is fixed by the
+# request, never data-sized.
+_DR_EDGES = ("1997-01-01", "1999-01-01")
+
+_DR_BUCKET_SQL = f"""CASE
+  WHEN o_orderdate <  DATE '{_DR_EDGES[0]}' THEN '*-{_DR_EDGES[0]}'
+  WHEN o_orderdate >= DATE '{_DR_EDGES[1]}' THEN '{_DR_EDGES[1]}-*'
+  ELSE '{_DR_EDGES[0]}-{_DR_EDGES[1]}'
+END"""
+
+_DR_ORACLE = f"""
+SELECT {_DR_BUCKET_SQL} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("date_range_agg", _DR_ORACLE)
+def date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` aggregation: three named buckets (open-ended
+    head and tail) over o_orderdate, each with a doc count and an
+    exact-decimal revenue sum.  Map-side partial aggregation into three
+    groups — the 100 TB cost is the scan."""
+    tune(spark)
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("bucket", F.expr(_DR_BUCKET_SQL))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
