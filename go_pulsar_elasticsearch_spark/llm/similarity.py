@@ -1332,3 +1332,162 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("crk") <= _PQ_RERANK)
     )
     return pq_exact_rerank(cands.select("qid", "vid"), unit, qids, qmat)
+
+
+# --------------------------------------------------------------------------
+# matryoshka_truncate_recall  (MRL prefix-truncation quality eval)
+# --------------------------------------------------------------------------
+
+# Matryoshka-style embeddings are served TRUNCATED (the first d' dims,
+# re-normalized) to cut index cost; the deployment question is how much
+# retrieval quality the truncation loses.  This op answers it exactly:
+# for each probe query, the top-5 neighbor sets under full-dim and
+# prefix-truncated cosine, their overlap, and the truncated top-1 —
+# all cosines via the module's exact-decimal dot product, so the whole
+# eval (both rankings AND the overlap count) is hash-certified.
+_MRL_DIM = 16    # prefix dims kept (of 64)
+_MRL_K = 5
+_MRL_NQ = 10     # probe queries: vec_id < 10 (similarity_topk's set)
+
+
+def _dot_prefix(a: str, b: str, d: int) -> F.Column:
+    return F.expr(
+        _DOT_EXPR.format(a=f"slice({a}, 1, {d})", b=f"slice({b}, 1, {d})")
+    )
+
+
+def _DOT_PREFIX_SQL(a: str, b: str) -> str:
+    # same decimal sum, positions restricted by the caller's range()
+    return _DOT_SQL(a, b)
+
+
+_MRL_ORACLE = f"""
+WITH nf AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+),
+nt AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_MRL_DIM + 1})) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {_MRL_NQ}),
+df AS (
+  SELECT qid, vec_id AS vid, {_DOT_SQL('qe', 'embedding')} AS dot
+  FROM (SELECT q.qid, q.qe, e.vec_id, e.embedding,
+               unnest(range(1, {_DIM + 1})) AS i
+        FROM q, embeddings e WHERE e.vec_id <> q.qid)
+  GROUP BY qid, vec_id
+),
+dt AS (
+  SELECT qid, vec_id AS vid, {_DOT_SQL('qe', 'embedding')} AS dot
+  FROM (SELECT q.qid, q.qe, e.vec_id, e.embedding,
+               unnest(range(1, {_MRL_DIM + 1})) AS i
+        FROM q, embeddings e WHERE e.vec_id <> q.qid)
+  GROUP BY qid, vec_id
+),
+ranked AS (
+  SELECT df.qid, df.vid,
+         ROW_NUMBER() OVER (PARTITION BY df.qid
+             ORDER BY df.dot / sqrt(nqf.n2 * nvf.n2) DESC, df.vid)
+           AS rank_full,
+         ROW_NUMBER() OVER (PARTITION BY df.qid
+             ORDER BY dt.dot / sqrt(nqt.n2 * nvt.n2) DESC, df.vid)
+           AS rank_trunc
+  FROM df
+  JOIN dt ON dt.qid = df.qid AND dt.vid = df.vid
+  JOIN nf nqf ON nqf.vec_id = df.qid
+  JOIN nf nvf ON nvf.vec_id = df.vid
+  JOIN nt nqt ON nqt.vec_id = df.qid
+  JOIN nt nvt ON nvt.vec_id = df.vid
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN rank_full <= {_MRL_K} AND rank_trunc <= {_MRL_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_5,
+       MAX(CASE WHEN rank_trunc = 1 THEN vid END) AS trunc_top1,
+       MAX(CASE WHEN rank_full = 1 THEN vid END) AS full_top1
+FROM ranked
+GROUP BY qid
+"""
+
+
+@register("matryoshka_truncate_recall", _MRL_ORACLE)
+def matryoshka_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per probe query: how many of the exact top-5 survive when the
+    embedding is truncated to its first 16 of 64 dims (the Matryoshka
+    serving trade-off), plus both top-1 ids.  Full- and truncated-dim
+    exact cosines ride ONE pair pass (the truncated dot is a prefix
+    slice of the same arrays), ranks are two windows over the
+    query-bounded pair set, output is |queries| rows.
+
+    At 100 TB the pair pass is the similarity_topk baseline shape —
+    the production path truncates INSIDE the stored index (ann_ivf /
+    ann_pq over sliced vectors, same plan); this op is the quality
+    gate that says whether the truncation is safe to serve."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    nf = emb.select(
+        "vec_id", _dot("embedding", "embedding").alias("n2f")
+    )
+    nt = emb.select(
+        "vec_id",
+        _dot_prefix("embedding", "embedding", _MRL_DIM).alias("n2t"),
+    )
+    q = emb.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            _dot("qe", "embedding").alias("dot_f"),
+            _dot_prefix("qe", "embedding", _MRL_DIM).alias("dot_t"),
+        )
+    )
+    scored = (
+        pairs.join(nf.withColumnRenamed("vec_id", "qid"), "qid")
+        .withColumnRenamed("n2f", "nq_f")
+        .join(nt.withColumnRenamed("vec_id", "qid"), "qid")
+        .withColumnRenamed("n2t", "nq_t")
+        .join(nf.withColumnRenamed("vec_id", "vid"), "vid")
+        .withColumnRenamed("n2f", "nv_f")
+        .join(nt.withColumnRenamed("vec_id", "vid"), "vid")
+        .withColumnRenamed("n2t", "nv_t")
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        (F.col("dot_f") / F.sqrt(F.col("nq_f") * F.col("nv_f"))).desc(),
+        F.col("vid"),
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        (F.col("dot_t") / F.sqrt(F.col("nq_t") * F.col("nv_t"))).desc(),
+        F.col("vid"),
+    )
+    ranked = scored.select(
+        "qid",
+        "vid",
+        F.row_number().over(wf).alias("rank_full"),
+        F.row_number().over(wt).alias("rank_trunc"),
+    )
+    return ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                (F.col("rank_full") <= _MRL_K)
+                & (F.col("rank_trunc") <= _MRL_K),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("overlap_at_5"),
+        F.max(F.when(F.col("rank_trunc") == 1, F.col("vid"))).alias(
+            "trunc_top1"
+        ),
+        F.max(F.when(F.col("rank_full") == 1, F.col("vid"))).alias(
+            "full_top1"
+        ),
+    )
