@@ -443,3 +443,69 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_leaked_grams"))
     )
+
+
+# --------------------------------------------------------------------------
+# decontam_bloom_stream — the Bloom screen driven as a LIVE stream, then
+# certified by the SAME oracle as the batch ops (the crawl_corpus_stream
+# pattern: stream accumulates state, finalize reruns the shared
+# downstream, the closed-form oracle hash-checks the result)
+# --------------------------------------------------------------------------
+
+_BLOOM_STREAM_STATE: dict[str, str] = {}
+
+
+def _drive_bloom_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the TRAIN split through the streaming Bloom monitor once
+    per (process, sf_dir); later invocations reuse the store."""
+    if sf_dir in _BLOOM_STREAM_STATE:
+        return _BLOOM_STREAM_STATE[sf_dir]
+    import tempfile
+
+    from go_pulsar_elasticsearch_spark.streaming import bloom_monitor as bm
+
+    base = tempfile.mkdtemp(prefix="gpe-bloomstream-")
+    src = f"{base}/src"
+    train = (
+        t(spark, sf_dir, "documents")
+        .filter(_md5_bucket("doc_id") < _TRAIN_LT)
+        .select("doc_id", "text")
+    )
+    # three uneven micro-batches; epoch boundaries cut through gram
+    # space so the merged bitmap genuinely composes across epochs
+    for m in range(3):
+        train.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    bm.run_bloom_monitor(spark, src, f"{base}/store", f"{base}/ckpt")
+    _BLOOM_STREAM_STATE[sf_dir] = f"{base}/store"
+    return _BLOOM_STREAM_STATE[sf_dir]
+
+
+@register("decontam_bloom_stream", _DECONTAM_ORACLE)
+def decontam_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination screen with its Bloom state built by a LIVE
+    StreamingQuery (per-epoch partial bitmaps under foreachBatch, an
+    idempotent-OR merge on read) instead of a batch fold — then the
+    same probe + exact-verify downstream as `decontam_bloom_prefilter`.
+    Certified by the SAME oracle as the batch op: the streamed state
+    provably converges to the batch answer, the engine-native analog of
+    crawl_corpus_stream vs crawl_corpus_pipeline."""
+    tune(spark)
+    from go_pulsar_elasticsearch_spark.streaming import bloom_monitor as bm
+
+    store = _drive_bloom_stream(spark, sf_dir)
+    bloom_bytes = bm.merged_bloom_bytes(spark, store)
+
+    hashed = gram_hashes(t(spark, sf_dir, "documents"))
+    candidates = (
+        hashed.filter(~F.col("is_train"))
+        .filter(might_contain_udf(spark, bloom_bytes)("h1", "h2"))
+        .select("doc_id", "gram")
+    )
+    train_grams = hashed.filter("is_train").select("gram").distinct()
+    return (
+        candidates.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_leaked_grams"))
+    )
