@@ -241,3 +241,109 @@ def geo_distance_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_km", "c_custkey")
         .limit(_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# geo_cell_pairs  (pairwise proximity join via cell bucketing — the
+# banding pattern applied to geography)
+# --------------------------------------------------------------------------
+
+# geo_distance_search ranks against ONE center; the pairwise question
+# ("all point pairs within r km" — store siting, contact tracing,
+# dedup of venue listings) is quadratic if joined naively.  The scale
+# shape is the same banding trick as MinHash/SimHash: quantize to grid
+# cells sized so no qualifying pair can span more than one cell step,
+# EXPLODE each point to its 3x3 cell neighborhood on one side, equi-join
+# on the cell key, then verify the exact distance on candidates only.
+# Certified against the plain all-pairs oracle, so the bucketed plan
+# provably loses no pair (lossless by construction: cell steps exceed
+# the radius in both axes).
+_PAIR_RADIUS_KM = 100.0
+_CELL_LAT = 1.0   # deg; 1.0 * 111.19 km > 100 km
+_CELL_LON = 2.0   # deg; 2.0 * 111.19 * cos(60) = 111 km > 100 km at |lat|<=60
+
+
+def _pair_dist_expr(la: str, lo: str, lb: str, lob: str) -> str:
+    """Midpoint-latitude equirectangular distance between two points,
+    cos() as the same Taylor polynomial as _dist_expr — identical IEEE
+    tree both engines."""
+    phi = f"((({la}) + ({lb})) * 0.5 * {_DEG2RAD})"
+    p2 = f"({phi} * {phi})"
+    cosm = f"(1.0 - {p2} / 2.0 + {p2} * {p2} / 24.0 - {p2} * {p2} * {p2} / 720.0)"
+    dy = f"((({la}) - ({lb})) * {_KM_PER_DEG})"
+    dx = f"((({lo}) - ({lob})) * {cosm} * {_KM_PER_DEG})"
+    return f"sqrt({dy} * {dy} + {dx} * {dx})"
+
+
+_PAIR_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, {_LAT_D} AS lat, {_LON_D} AS lon FROM customer
+)
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       ROUND({_pair_dist_expr('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6)
+         AS dist_km
+FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+WHERE {_pair_dist_expr('a.lat', 'a.lon', 'b.lat', 'b.lon')}
+      <= {_PAIR_RADIUS_KM}
+"""
+
+
+@register("geo_cell_pairs", _PAIR_ORACLE)
+def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 100 km, joined on quantized grid cells
+    (one side exploded to its 3x3 neighborhood) and verified by the
+    exact arithmetic distance — never all-pairs.  The oracle IS the
+    naive quadratic join, so the certification proves the bucketed plan
+    finds exactly the same pairs.
+
+    Scale: candidates are bounded by local density (points per ~110 km
+    cell), the join is a plain equi-join on the cell key, and skewed
+    dense cells are AQE's skew-join case — the identical posture as the
+    MinHash band join."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_LAT_S).alias("lat"),
+        F.expr(_LON_S).alias("lon"),
+    )
+    cellx = F.floor(F.col("lon") / _CELL_LON).cast("long")
+    celly = F.floor(F.col("lat") / _CELL_LAT).cast("long")
+    home = pts.select(
+        "c_custkey", "lat", "lon",
+        cellx.alias("cx"), celly.alias("cy"),
+    )
+    # left side: each point exploded to its 9 neighbor cells
+    probe = home.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("lat").alias("lat_a"),
+        F.col("lon").alias("lon_a"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select(
+        "key_a", "lat_a", "lon_a",
+        F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy"),
+    )
+    cand = probe.join(
+        home.select(
+            F.col("c_custkey").alias("key_b"),
+            F.col("lat").alias("lat_b"),
+            F.col("lon").alias("lon_b"),
+            "cx", "cy",
+        ),
+        ["cx", "cy"],
+    ).filter(F.col("key_a") < F.col("key_b"))
+    dist = F.expr(_pair_dist_expr("lat_a", "lon_a", "lat_b", "lon_b"))
+    return (
+        cand.filter(dist <= _PAIR_RADIUS_KM)
+        .select(
+            "key_a",
+            "key_b",
+            F.round(dist, 6).alias("dist_km"),
+        )
+    )

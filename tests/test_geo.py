@@ -120,3 +120,39 @@ def test_distance_sorted_within_radius_and_near_haversine(spark):
             r.dist_km,
             hav,
         )
+
+
+def test_cell_pairs_lossless_vs_bruteforce(spark):
+    """The 3x3-neighborhood cell join must find EXACTLY the brute-force
+    pair set (cell steps exceed the radius in both axes)."""
+    from go_pulsar_elasticsearch_spark.operators.geo import (
+        _PAIR_RADIUS_KM,
+        geo_cell_pairs,
+    )
+
+    # sf0.001's 150 points yield zero qualifying pairs; sf0.01's 1500
+    # give a real pair set (84) while brute force stays test-cheap
+    sf = "/root/testdata/sf0.01"
+    got = {(r.key_a, r.key_b) for r in geo_cell_pairs(spark, sf).collect()}
+    keys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{sf}/customer.parquet").collect()
+    ]
+    pts = {k: _coords(k) for k in keys}
+
+    def dist(a, b):
+        (la, lo), (lb, lob) = pts[a], pts[b]
+        phi = math.radians((la + lb) / 2)
+        cosm = 1 - phi**2 / 2 + phi**4 / 24 - phi**6 / 720
+        return math.hypot(
+            (la - lb) * 111.19492664455873,
+            (lo - lob) * cosm * 111.19492664455873,
+        )
+
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(keys))
+        for b in sorted(keys)[i + 1 :]
+        if dist(a, b) <= _PAIR_RADIUS_KM
+    }
+    assert got == want and want
