@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 7): 275 registered queries, 262 with oracles (new this
+State (round 7): 276 registered queries, 263 with oracles (new this
 round: the composed crawl->corpus FLAGSHIP `crawl_corpus_pipeline` —
 WARC ingest with mangled Target-URIs -> canonical-URL keep-best ->
 gopher gate -> MinHash near-dup drop -> duplicate-span excision ->

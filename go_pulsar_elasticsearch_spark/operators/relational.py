@@ -361,3 +361,78 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_add"),
         (divisor == 0).alias("was_div0"),
     )
+
+
+# --------------------------------------------------------------------------
+# json_permissive_dlq  (PERMISSIVE decode + corrupt-record routing)
+# --------------------------------------------------------------------------
+
+# The reference's decode stage drops malformed records into an error
+# path (R4, main.go:131-143); the JSON-domain analog is from_json's
+# PERMISSIVE mode with columnNameOfCorruptRecord: bad payloads yield a
+# null struct plus the RAW text in the corrupt column, so the DLQ
+# branch is a filter, not an exception handler.  Every 7th event's
+# props string is deterministically mangled (a leading '{', which both
+# parsers reject — Spark's Jackson tolerates TRAILING garbage) to create
+# the poison subset; the certified output pins the per-type good/bad
+# counts, the parsed-field sum over good rows, and an md5 over the
+# concatenated corrupt raws — proving the corrupt column carries the
+# ORIGINAL bytes for replay, the same contract as dlq_split.
+_JP_ORACLE = """
+WITH mangled AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS js
+  FROM events
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(js)
+              THEN CAST(json_extract_string(js, '$.k') AS BIGINT) END AS k,
+         CASE WHEN NOT json_valid(js) THEN js END AS corrupt
+  FROM mangled
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_good,
+       CAST(COUNT(corrupt) AS BIGINT) AS n_corrupt,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       md5(string_agg(corrupt, '|' ORDER BY corrupt)) AS corrupt_md5
+FROM parsed
+GROUP BY event_type
+"""
+
+
+@register("json_permissive_dlq", _JP_ORACLE)
+def json_permissive_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON decode with corrupt-record capture: good rows
+    parse to a typed struct, poison rows land their raw text in the
+    corrupt column, and both branches aggregate per event type.  One
+    narrow from_json pass + one grouped aggregate — the plan cost of
+    tolerating poison input is zero extra passes."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    mangled = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.concat(F.lit("{"), "props"))
+        .otherwise(F.col("props"))
+        .alias("js"),
+    )
+    parsed = mangled.select(
+        "event_type",
+        F.from_json(
+            "js",
+            "k bigint, _bad string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        ).alias("p"),
+    ).select(
+        "event_type",
+        F.col("p.k").alias("k"),
+        F.col("p._bad").alias("corrupt"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_good"),
+        F.count("corrupt").alias("n_corrupt"),
+        F.sum("k").alias("sum_k"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("corrupt")), "|")
+        ).alias("corrupt_md5"),
+    )
