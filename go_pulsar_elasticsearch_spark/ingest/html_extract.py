@@ -108,8 +108,9 @@ def _html_sql(dialect: str) -> str:
     return "(" + " || ".join(parts) + ")"
 
 
-def _extract_sql(html: str, dialect: str) -> str:
-    """The extraction chain over a ``html`` SQL expression."""
+def _extract_sql(html: str, dialect: str) -> tuple[str, str]:
+    """The extraction chain over a ``html`` SQL expression: returns
+    (joined_main_text_expr, lines_array_expr)."""
     g = lambda expr, pat, rep: (  # noqa: E731 — dialect-switched replace-all
         f"regexp_replace({expr}, '{pat}', '{rep}')"
         if dialect == "spark"

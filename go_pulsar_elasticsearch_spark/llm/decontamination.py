@@ -94,9 +94,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "is_train",
         F.explode(
+            # guard: sequence(1, 0) yields [1, 0] (step defaults to -1
+            # when start > stop), and slice(w, 0, k) THROWS — a <5-word
+            # doc must produce an EMPTY gram array, not a crash
             F.expr(
-                f"transform(sequence(1, greatest(size(w) - {_GRAM - 1}, 0)),"
+                f"CASE WHEN size(w) >= {_GRAM} THEN"
+                f" transform(sequence(1, size(w) - {_GRAM - 1}),"
                 f" i -> concat_ws(' ', slice(w, i, {_GRAM})))"
+                f" ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("gram"),
     ).distinct()
@@ -338,9 +343,14 @@ def gram_hashes(docs: DataFrame, split: bool = True) -> DataFrame:
     grams = base.select(
         *cols,
         F.explode(
+            # guard: sequence(1, 0) yields [1, 0] (step defaults to -1
+            # when start > stop), and slice(w, 0, k) THROWS — a <5-word
+            # doc must produce an EMPTY gram array, not a crash
             F.expr(
-                f"transform(sequence(1, greatest(size(w) - {_GRAM - 1}, 0)),"
+                f"CASE WHEN size(w) >= {_GRAM} THEN"
+                f" transform(sequence(1, size(w) - {_GRAM - 1}),"
                 f" i -> concat_ws(' ', slice(w, i, {_GRAM})))"
+                f" ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("gram"),
     ).distinct()
@@ -417,12 +427,15 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver state is the single fixed-size bitmap (index-metadata sized,
     like the IVF centroid table)."""
     tune(spark)
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
 
     # three consumers (bloom build, probe, verify join) share one
     # materialization of the hashed gram set instead of re-exploding
-    # the corpus per branch
-    hashed = cache_slot(
+    # the corpus per branch; _reuse so the streaming twin's identical
+    # lineage shares the same frame instead of evicting it
+    hashed = cache_slot_reuse(
         "decontam_bloom_grams",
         gram_hashes(t(spark, sf_dir, "documents")),
     )
@@ -497,7 +510,16 @@ def decontam_bloom_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _drive_bloom_stream(spark, sf_dir)
     bloom_bytes = bm.merged_bloom_bytes(spark, store)
 
-    hashed = gram_hashes(t(spark, sf_dir, "documents"))
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
+
+    # probe + verify share one materialization of the hashed gram set —
+    # and cache_slot_reuse makes it the SAME frame the batch op caches
+    # (identical lineage), so neither op re-explodes the corpus
+    hashed = cache_slot_reuse(
+        "decontam_bloom_grams", gram_hashes(t(spark, sf_dir, "documents"))
+    )
     candidates = (
         hashed.filter(~F.col("is_train"))
         .filter(might_contain_udf(spark, bloom_bytes)("h1", "h2"))

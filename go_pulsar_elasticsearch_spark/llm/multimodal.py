@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque BinaryType payloads
 with typed metadata, processed via Arrow-batched pandas iterators.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-`decode_payload` raises NotImplementedError for real media types unless
-`fake=True`, in which case a deterministic fake decoder (byte statistics)
-runs instead.  Everything around the stub — schema, binary handling,
-mapInPandas batch shape, partitioning — is real and tested
+Uncompressed containers (BMP, WAV/PCM) decode for REAL via the
+dependency-free parsers in media_codec.py — `multimodal_decode` and
+`multimodal_features` are both hash-certified through actual encoded
+bytes.  Compressed codecs (PNG, MP4) need libraries this container
+does not ship, so `decode_payload` gates them behind
+NotImplementedError; the schema, binary handling, mapInPandas batch
+shape, and partitioning around that gate are real and tested
 (tests/test_multimodal.py).
 
 100 TB posture: payloads dominate bytes; metadata-only queries must
@@ -25,9 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
-    DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )

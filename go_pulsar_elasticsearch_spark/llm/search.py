@@ -553,9 +553,13 @@ def rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs.select(
         "doc_id",
         F.explode(
+            # guard: sequence(1, 0) = [1, 0] and slice(..., 0, 2) throws,
+            # so a 1-word doc must yield an empty shingle array
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("term"),
     ).distinct()

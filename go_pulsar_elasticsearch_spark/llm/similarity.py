@@ -1356,11 +1356,6 @@ def _dot_prefix(a: str, b: str, d: int) -> F.Column:
     )
 
 
-def _DOT_PREFIX_SQL(a: str, b: str) -> str:
-    # same decimal sum, positions restricted by the caller's range()
-    return _DOT_SQL(a, b)
-
-
 _MRL_ORACLE = f"""
 WITH nf AS (
   SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.exact import dsum
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -99,7 +100,8 @@ _LAT_D, _LON_D = _coord_sql("c_custkey", "strpos")
 _GRID_ORACLE = f"""
 SELECT {_geohash_sql(_LAT_D, _LON_D)} AS geohash,
        COUNT(*) AS n_customers,
-       ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_acctbal
 FROM customer
 GROUP BY 1
 """
@@ -122,7 +124,12 @@ def geohash_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("geohash")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            # exact-decimal mean (house rule): AVG over a raw double is
+            # summation-order-dependent and can hash-drift by 1 ULP at a
+            # rounding boundary; decimal sums are associative
+            F.round(
+                dsum("c_acctbal", scale=2) / F.count("*"), 6
+            ).alias("avg_acctbal"),
         )
     )
 

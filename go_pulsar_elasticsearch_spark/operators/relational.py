@@ -432,7 +432,12 @@ def json_permissive_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("k").alias("n_good"),
         F.count("corrupt").alias("n_corrupt"),
         F.sum("k").alias("sum_k"),
-        F.md5(
-            F.array_join(F.array_sort(F.collect_list("corrupt")), "|")
+        # NULL (not md5('')) when the group has no corrupt rows —
+        # DuckDB's string_agg over all-NULL input is NULL
+        F.when(
+            F.count("corrupt") > 0,
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("corrupt")), "|")
+            ),
         ).alias("corrupt_md5"),
     )
