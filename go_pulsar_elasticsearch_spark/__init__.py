@@ -30,6 +30,7 @@ def load_all() -> None:
     # Imports are side-effectful: each module registers its queries.
     from go_pulsar_elasticsearch_spark.operators import (  # noqa: F401
         aggregates,
+        es_aggs,
         es_loop,
         events_analytics,
         geo,

