@@ -83,6 +83,7 @@ def load_all() -> None:
         similarity,
         text_analysis,
         udfs,
+        unigram,
     )
     from go_pulsar_elasticsearch_spark.streaming import joins as sjoins  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import stream  # noqa: F401
