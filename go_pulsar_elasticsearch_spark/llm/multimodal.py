@@ -1286,3 +1286,127 @@ def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = ids.mapInPandas(hash_words, "doc_id long, j int, word long")
     words = cache_slot("phash_words", words)
     return _word_band_pairs(words, _PHASH_RADIUS)
+
+
+# --------------------------------------------------------------------------
+# multimodal_dedup_keepbest — modality-fused dedup decision: union the
+# certified text (MinHash->exact-Jaccard) and image (aHash) near-dup
+# edges, then make the one-hop keep-best call per document.
+#
+# Real multimodal curation (image-text pair corpora) dedups on EITHER
+# modality: a re-hosted image with a rewritten caption and a re-encoded
+# image under the same caption are both duplicates.  Both edge
+# generators are independently hash-certified ops; this op certifies
+# their FUSION — the union, flag merge, and the keep-best decision
+# (keeper = max n_chars, then lowest doc_id, over each doc's
+# neighborhood including itself) — with a single chained oracle built
+# from the two stage oracles as CTEs.
+#
+# One-hop semantics by design: A may be dropped for B while B drops for
+# C on a chain — transitive closure is dedup_components' (iterative)
+# job; the one-hop rule is what stays SQL-certifiable and is the
+# standard "keep best neighbor" pass production pipelines run between
+# LSH and closure.
+# --------------------------------------------------------------------------
+
+
+def _joint_dedup_oracle() -> str:
+    from go_pulsar_elasticsearch_spark.llm.dedup import _VERIFY_ORACLE
+
+    return f"""
+WITH text_pairs AS ({_VERIFY_ORACLE}),
+img_pairs AS ({_AHASH_ORACLE}),
+edges AS (
+  SELECT doc_a, doc_b,
+         CAST(MAX(vt) AS INTEGER) AS via_text,
+         CAST(MAX(vi) AS INTEGER) AS via_image
+  FROM (
+    SELECT doc_a, doc_b, 1 AS vt, 0 AS vi FROM text_pairs
+    UNION ALL
+    SELECT doc_a, doc_b, 0 AS vt, 1 AS vi FROM img_pairs
+  ) GROUP BY doc_a, doc_b
+), sym AS (
+  SELECT doc_a AS doc_id, doc_b AS nbr FROM edges
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS nbr FROM edges
+), nbhd AS (
+  SELECT s.doc_id, s.nbr, d.n_chars AS nbr_chars
+  FROM sym s JOIN documents d ON d.doc_id = s.nbr
+  UNION ALL
+  SELECT d.doc_id, d.doc_id, d.n_chars FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM sym)
+), keep AS (
+  SELECT doc_id, nbr AS kept_by FROM (
+    SELECT doc_id, nbr,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY nbr_chars DESC, nbr ASC) AS rn
+    FROM nbhd
+  ) WHERE rn = 1
+)
+SELECT k.doc_id, k.kept_by, e.via_text, e.via_image
+FROM keep k
+JOIN edges e ON e.doc_a = LEAST(k.doc_id, k.kept_by)
+            AND e.doc_b = GREATEST(k.doc_id, k.kept_by)
+WHERE k.kept_by <> k.doc_id
+"""
+
+
+@register("multimodal_dedup_keepbest", _joint_dedup_oracle())
+def multimodal_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused multimodal dedup: text near-dup edges (MinHash LSH ->
+    exact-Jaccard verify, tau 0.5) unioned with image near-dup edges
+    (aHash, Hamming <= 3), flags merged per pair; each document with at
+    least one edge is then dropped in favor of the best document in its
+    one-hop neighborhood (max n_chars, lowest doc_id tiebreak, itself
+    included) — emitting (doc_id, kept_by, via_text, via_image).
+
+    Plan shape: both edge generators are the already-audited bucketed
+    joins (never all-pairs); the fusion adds one pair-keyed aggregate,
+    a neighbor n_chars join that partitions on doc_id, and a
+    neighborhood-sized window — all keyed exchanges proportional to
+    the EDGE set, not the corpus.  At 100 TB edges are the rare output
+    of the LSH stages, so the fusion is the cheap tail of the plan."""
+    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.llm.dedup import minhash_verify_jaccard
+
+    tune(spark)
+    text_pairs = minhash_verify_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("vt"), F.lit(0).alias("vi")
+    )
+    img_pairs = image_ahash_neardup(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("vt"), F.lit(1).alias("vi")
+    )
+    edges = cache_slot(
+        "joint_dedup_edges",
+        text_pairs.unionAll(img_pairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("vt").cast("int").alias("via_text"),
+            F.max("vi").cast("int").alias("via_image"),
+        ),
+    )
+    sym = edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nbhd = sym.join(
+        docs.select(F.col("doc_id").alias("nbr"), F.col("n_chars").alias("nbr_chars")),
+        "nbr",
+    ).select("doc_id", "nbr", "nbr_chars").unionAll(
+        docs.join(sym.select("doc_id").distinct(), "doc_id").select(
+            "doc_id", F.col("doc_id").alias("nbr"), F.col("n_chars").alias("nbr_chars")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("nbr_chars"), F.asc("nbr"))
+    keep = (
+        nbhd.select("doc_id", "nbr", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") == 1) & (F.col("nbr") != F.col("doc_id")))
+        .select("doc_id", F.col("nbr").alias("kept_by"))
+    )
+    return keep.join(
+        edges,
+        (F.col("doc_a") == F.least("doc_id", "kept_by"))
+        & (F.col("doc_b") == F.greatest("doc_id", "kept_by")),
+    ).select("doc_id", "kept_by", "via_text", "via_image")

@@ -134,3 +134,32 @@ def test_phash_separation(spark, sf_dir):
         assert 0 <= r.hamming <= 3
         # every emitted pair is a true near-dup: same base image group
         assert r.doc_a // 2 == r.doc_b // 2
+
+
+def test_multimodal_keepbest_invariants(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.llm.dedup import minhash_verify_jaccard
+    from go_pulsar_elasticsearch_spark.llm.multimodal import (
+        image_ahash_neardup,
+        multimodal_dedup_keepbest,
+    )
+
+    rows = multimodal_dedup_keepbest(spark, sf_dir).collect()
+    assert rows
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    text_edges = {
+        (r.doc_a, r.doc_b) for r in minhash_verify_jaccard(spark, sf_dir).collect()
+    }
+    img_edges = {
+        (r.doc_a, r.doc_b) for r in image_ahash_neardup(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.doc_id != r.kept_by
+        # the keeper strictly dominates under (n_chars DESC, doc_id ASC)
+        assert (-chars[r.kept_by], r.kept_by) < (-chars[r.doc_id], r.doc_id)
+        pair = (min(r.doc_id, r.kept_by), max(r.doc_id, r.kept_by))
+        assert bool(r.via_text) == (pair in text_edges)
+        assert bool(r.via_image) == (pair in img_edges)
+        assert r.via_text or r.via_image
