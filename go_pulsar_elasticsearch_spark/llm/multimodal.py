@@ -1326,28 +1326,22 @@ edges AS (
     SELECT doc_a, doc_b, 0 AS vt, 1 AS vi FROM img_pairs
   ) GROUP BY doc_a, doc_b
 ), sym AS (
-  SELECT doc_a AS doc_id, doc_b AS nbr FROM edges
+  SELECT doc_a AS doc_id, doc_b AS nbr, via_text, via_image FROM edges
   UNION ALL
-  SELECT doc_b AS doc_id, doc_a AS nbr FROM edges
+  SELECT doc_b AS doc_id, doc_a AS nbr, via_text, via_image FROM edges
 ), nbhd AS (
-  SELECT s.doc_id, s.nbr, d.n_chars AS nbr_chars
+  SELECT s.doc_id, s.nbr, s.via_text, s.via_image, d.n_chars AS nbr_chars
   FROM sym s JOIN documents d ON d.doc_id = s.nbr
   UNION ALL
-  SELECT d.doc_id, d.doc_id, d.n_chars FROM documents d
+  SELECT d.doc_id, d.doc_id, 0, 0, d.n_chars FROM documents d
   WHERE d.doc_id IN (SELECT doc_id FROM sym)
-), keep AS (
-  SELECT doc_id, nbr AS kept_by FROM (
-    SELECT doc_id, nbr,
-           ROW_NUMBER() OVER (
-             PARTITION BY doc_id ORDER BY nbr_chars DESC, nbr ASC) AS rn
-    FROM nbhd
-  ) WHERE rn = 1
 )
-SELECT k.doc_id, k.kept_by, e.via_text, e.via_image
-FROM keep k
-JOIN edges e ON e.doc_a = LEAST(k.doc_id, k.kept_by)
-            AND e.doc_b = GREATEST(k.doc_id, k.kept_by)
-WHERE k.kept_by <> k.doc_id
+SELECT doc_id, nbr AS kept_by, via_text, via_image FROM (
+  SELECT doc_id, nbr, via_text, via_image,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY nbr_chars DESC, nbr ASC) AS rn
+  FROM nbhd
+) WHERE rn = 1 AND nbr <> doc_id
 """
 
 
@@ -1385,28 +1379,42 @@ def multimodal_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vi").cast("int").alias("via_image"),
         ),
     )
-    sym = edges.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")).unionAll(
-        edges.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"))
+    # flags RIDE the symmetrized edges into the neighborhood frame so no
+    # edge re-join is needed after the keep decision — at 100x-copy scale
+    # the edge set is tens of millions of rows (quadratic in copies, the
+    # documented dedup output contract) and a post-hoc flag-lookup join
+    # invites a runtime broadcast of that whole frame (measured: driver
+    # broadcast OOM at the 100x mutated replica before this shape)
+    sym = edges.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr"),
+        "via_text", "via_image",
+    ).unionAll(
+        edges.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr"),
+            "via_text", "via_image",
+        )
     )
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     nbhd = sym.join(
         docs.select(F.col("doc_id").alias("nbr"), F.col("n_chars").alias("nbr_chars")),
         "nbr",
-    ).select("doc_id", "nbr", "nbr_chars").unionAll(
+    ).select("doc_id", "nbr", "via_text", "via_image", "nbr_chars").unionAll(
         docs.join(sym.select("doc_id").distinct(), "doc_id").select(
-            "doc_id", F.col("doc_id").alias("nbr"), F.col("n_chars").alias("nbr_chars")
+            "doc_id",
+            F.col("doc_id").alias("nbr"),
+            F.lit(0).alias("via_text"),
+            F.lit(0).alias("via_image"),
+            F.col("n_chars").alias("nbr_chars"),
         )
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("nbr_chars"), F.asc("nbr"))
-    keep = (
-        nbhd.select("doc_id", "nbr", F.row_number().over(w).alias("rn"))
+    return (
+        nbhd.select(
+            "doc_id", "nbr", "via_text", "via_image",
+            F.row_number().over(w).alias("rn"),
+        )
         .filter((F.col("rn") == 1) & (F.col("nbr") != F.col("doc_id")))
-        .select("doc_id", F.col("nbr").alias("kept_by"))
+        .select("doc_id", F.col("nbr").alias("kept_by"), "via_text", "via_image")
     )
-    return keep.join(
-        edges,
-        (F.col("doc_a") == F.least("doc_id", "kept_by"))
-        & (F.col("doc_b") == F.greatest("doc_id", "kept_by")),
-    ).select("doc_id", "kept_by", "via_text", "via_image")

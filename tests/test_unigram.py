@@ -131,3 +131,37 @@ def test_spark_ops(spark, sf_dir):
             # pieces than characters
             assert r.fertility >= 1.0
             assert r.chars_per_token >= 1.0
+
+
+def test_viterbi_property_random():
+    """Hypothesis: on random words over a random piece vocabulary,
+    Viterbi always returns a valid optimal segmentation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abc"
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        word=st.text(alphabet=alphabet, min_size=1, max_size=8),
+        extra=st.lists(
+            st.text(alphabet=alphabet, min_size=2, max_size=_MAX_PIECE_LEN),
+            max_size=6,
+        ),
+        weights=st.lists(
+            st.integers(min_value=1, max_value=50), min_size=9, max_size=9
+        ),
+    )
+    def check(word, extra, weights):
+        pieces = sorted({*alphabet, *extra})
+        counts = {p: weights[i % len(weights)] for i, p in enumerate(pieces)}
+        total = sum(counts.values())
+        lp = {p: math.log(c / total) for p, c in counts.items()}
+        seg = viterbi_segment(word, lp)
+        assert "".join(seg) == word
+        best = _brute_force_best(word, lp)
+        assert best is not None
+        got = (sum(lp[p] for p in seg), -len(seg))
+        assert got == best[0]
+
+    check()
