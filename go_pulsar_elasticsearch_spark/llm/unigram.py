@@ -103,6 +103,15 @@ def viterbi_segment(word: str, lp: dict[str, float]) -> list[str]:
     i = n
     while i > 0:
         j = dp[i][2]
+        if j < 0:
+            # a character outside ``lp`` makes the word unsegmentable;
+            # fail fast rather than return a silently non-covering
+            # segmentation (the registered ops always pass a model with
+            # the single-character floor, but external vocabularies may
+            # not)
+            raise ValueError(
+                f"word {word!r} not segmentable under the given vocabulary"
+            )
         out.append(word[j:i])
         i = j
     return out[::-1]

@@ -165,3 +165,10 @@ def test_viterbi_property_random():
         assert got == best[0]
 
     check()
+
+
+def test_viterbi_raises_on_uncovered_character():
+    import pytest
+
+    with pytest.raises(ValueError, match="not segmentable"):
+        viterbi_segment("xy", {"x": -1.0})
