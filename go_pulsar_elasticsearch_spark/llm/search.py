@@ -568,3 +568,171 @@ def rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("doc_count"))
         .filter(F.col("doc_count") <= _RARE_MAX_DF)
     )
+
+
+# --------------------------------------------------------------------------
+# search_request_e2e  (a COMPLETE ES _search request, one fused plan)
+# --------------------------------------------------------------------------
+
+# The request a reference user actually sends the index the pipeline
+# maintains: scoring match + filter context + collapse + size, in one
+# body.  Every component is an already-certified piece — the Query-DSL
+# compiler (llm/query_dsl.py) builds the filter predicate, the BM25
+# machinery above scores the match clause, search_field_collapse's
+# window pattern dedups by group — and THIS op certifies their fusion
+# as one Catalyst plan (the composition, not the parts, is where
+# semantics drift: scoring stats must come from the full index while
+# the filter prunes the scored set, exactly ES's filter-context rule).
+
+_REQ_TERMS = ("spark", "join")
+_REQ_SIZE = 10
+_SEARCH_REQUEST = {
+    "bool": {
+        "must": [{"match": {"text": " ".join(_REQ_TERMS)}}],
+        "filter": [
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 200}}},
+        ],
+    }
+}
+
+
+def _req_contrib_sql(i: int) -> str:
+    return (
+        f"CAST(CASE WHEN tf{i} > 0 THEN round("
+        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * tf{i} * ({_K1} + 1)"
+        f" / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl)), 6)"
+        f" ELSE 0 END AS DECIMAL(18,6))"
+    )
+
+
+_SEARCH_REQ_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(list_filter(w, x -> x <> '')) AS dl,
+         {", ".join(
+             f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
+             for i, t_ in enumerate(_REQ_TERMS)
+         )}
+  FROM (SELECT doc_id, source, lang, n_chars,
+               string_split(text, ' ') AS w FROM documents)
+), stats AS (
+  -- scoring statistics come from the FULL index, never the filtered
+  -- set (ES filter-context semantics: filters prune, must scores)
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(
+             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+             for i in range(len(_REQ_TERMS))
+         )}
+  FROM base
+), scored AS (
+  SELECT doc_id, source,
+         CAST({" + ".join(
+             _req_contrib_sql(i) for i in range(len(_REQ_TERMS))
+         )} AS DOUBLE) AS score
+  FROM base CROSS JOIN stats
+  WHERE lang = 'en' AND n_chars >= 200
+    AND {" AND ".join(f"tf{i} > 0" for i in range(len(_REQ_TERMS)))}
+), collapsed AS (
+  SELECT doc_id, source, score FROM (
+    SELECT doc_id, source, score,
+           row_number() OVER (
+             PARTITION BY source ORDER BY score DESC, doc_id) AS grn
+    FROM scored
+  ) WHERE grn = 1
+)
+SELECT CAST(rk AS INTEGER) AS rk, source, doc_id, score FROM (
+  SELECT doc_id, source, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM collapsed
+)
+WHERE rk <= {_REQ_SIZE}
+"""
+
+
+@register("search_request_e2e", _SEARCH_REQ_ORACLE)
+def search_request_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete ES ``_search`` request as ONE fused Catalyst plan:
+    ``bool.must match`` scored by BM25, ``bool.filter`` (term + range)
+    compiled by the certified Query-DSL compiler and pushed into the
+    scan, ``collapse`` on ``source``, ``size`` 10.
+
+    The filter predicate comes from ``compile_query`` on the literal
+    request dict — the same compiler certified by query_dsl_compile —
+    so this op proves the DSL front-end composes with scoring: the
+    match clause both FILTERS (all tokens present, our documented
+    analyzed-match dialect) and SCORES, while filter-context clauses
+    prune without touching the statistics (idf/avgdl are full-index,
+    computed before the filter — ES semantics).
+
+    Plan: one narrow pass builds (dl, tf_t) per doc; ONE scalar
+    exchange for the index statistics (broadcast back); the filter +
+    scoring pass is narrow; collapse + final rank are two windows, the
+    second over the group-collapsed (sources-sized) frame.  At 100 TB
+    the only data-sized exchange is the source-keyed collapse
+    shuffle."""
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import compile_query
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "text",
+        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
+            for i, t_ in enumerate(_REQ_TERMS)
+        ],
+    )
+    n_terms = len(_REQ_TERMS)
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(n_terms)
+        ],
+    )
+    contribs = None
+    for i in range(n_terms):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            1
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        c = F.when(
+            tf > 0,
+            F.round(
+                idf
+                * tf
+                * (_K1 + 1)
+                / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        ).otherwise(0).cast("decimal(18,6)")
+        contribs = c if contribs is None else contribs + c
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(compile_query(_SEARCH_REQUEST))
+        .select("doc_id", "source", contribs.cast("double").alias("score"))
+    )
+    gw = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    collapsed = (
+        scored.select(
+            "doc_id", "source", "score", F.row_number().over(gw).alias("grn")
+        )
+        .filter(F.col("grn") == 1)
+        .drop("grn")
+    )
+    # top-k via TakeOrderedAndProject over the group-collapsed frame
+    # (the bm25_search pattern: no global-order window over the corpus;
+    # the ranking window sees only the k retained rows)
+    top = collapsed.orderBy(F.desc("score"), F.asc("doc_id")).limit(_REQ_SIZE)
+    rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return top.select(rk.alias("rk"), "source", "doc_id", "score")

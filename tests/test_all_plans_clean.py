@@ -35,6 +35,8 @@ _SHRINKING = "currentrow$(),unboundedfollowing$()"
 # Every other query must keep windows partitioned.
 _GLOBAL_WINDOW_OK = {
     "bm25_search",            # rank over the post-limit top-k rows only
+    "search_request_e2e",     # rank over the post-limit top-k rows only
+                              # (TakeOrderedAndProject feeds the window)
     "rrf_hybrid_search",      # both rank windows run after .limit(k)
     "more_like_this",         # top-idf term table: vocab-bounded
     "significant_terms",      # vocab-bounded term table

@@ -163,3 +163,31 @@ def test_multimodal_keepbest_invariants(spark, sf_dir):
         assert bool(r.via_text) == (pair in text_edges)
         assert bool(r.via_image) == (pair in img_edges)
         assert r.via_text or r.via_image
+
+
+def test_search_request_e2e_semantics(spark, sf_dir):
+    """Filter context prunes without touching scoring stats; collapse
+    keeps one hit per source; ranks are dense from 1 in score order."""
+    from go_pulsar_elasticsearch_spark.llm.search import (
+        _REQ_SIZE,
+        search_request_e2e,
+    )
+
+    rows = sorted(search_request_e2e(spark, sf_dir).collect(), key=lambda r: r.rk)
+    assert rows
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= _REQ_SIZE
+    assert len({r.source for r in rows}) == len(rows)  # collapsed
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = {
+        r.doc_id: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        d = docs[r.doc_id]
+        # every hit satisfies the full bool query: match + filters
+        words = set(d.text.split())
+        assert {"spark", "join"} <= words
+        assert d.lang == "en" and d.n_chars >= 200
+        assert r.score > 0
