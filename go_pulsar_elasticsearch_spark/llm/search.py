@@ -51,6 +51,22 @@ def _contrib_sql(i: int) -> str:
     )
 
 
+def _bm25_contrib(i: int) -> "F.Column":
+    """Column twin of _contrib_sql — the ONE Spark-side source of the
+    per-term BM25 contribution, shared by every op that scores with it
+    (bm25_search, search_request_e2e) so the certified formula cannot
+    drift between them."""
+    tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+    raw = (
+        F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        * tf * (_K1 + 1)
+        / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+    )
+    return F.when(tf > 0, F.round(raw, 6)).otherwise(F.lit(0)).cast(
+        "decimal(18,6)"
+    )
+
+
 _BM25_ORACLE = f"""
 WITH base AS (
   SELECT doc_id,
@@ -131,20 +147,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    def contrib(i: int) -> F.Column:
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        raw = (
-            F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
-            * tf * (_K1 + 1)
-            / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
-        )
-        return F.when(tf > 0, F.round(raw, 6)).otherwise(F.lit(0)).cast(
-            "decimal(18,6)"
-        )
-
-    score = contrib(0)
+    score = _bm25_contrib(0)
     for i in range(1, n_terms):
-        score = score + contrib(i)
+        score = score + _bm25_contrib(i)
     scored = (
         base.crossJoin(F.broadcast(stats))
         .filter(" OR ".join(f"tf{i} > 0" for i in range(n_terms)))
@@ -597,16 +602,6 @@ _SEARCH_REQUEST = {
 }
 
 
-def _req_contrib_sql(i: int) -> str:
-    return (
-        f"CAST(CASE WHEN tf{i} > 0 THEN round("
-        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
-        f" * tf{i} * ({_K1} + 1)"
-        f" / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl)), 6)"
-        f" ELSE 0 END AS DECIMAL(18,6))"
-    )
-
-
 _SEARCH_REQ_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, source, lang, n_chars,
@@ -630,7 +625,7 @@ WITH base AS (
 ), scored AS (
   SELECT doc_id, source,
          CAST({" + ".join(
-             _req_contrib_sql(i) for i in range(len(_REQ_TERMS))
+             _contrib_sql(i) for i in range(len(_REQ_TERMS))
          )} AS DOUBLE) AS score
   FROM base CROSS JOIN stats
   WHERE lang = 'en' AND n_chars >= 200
@@ -699,24 +694,9 @@ def search_request_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(n_terms)
         ],
     )
-    contribs = None
-    for i in range(n_terms):
-        tf = F.col(f"tf{i}")
-        idf = F.log(
-            1
-            + (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
-        )
-        c = F.when(
-            tf > 0,
-            F.round(
-                idf
-                * tf
-                * (_K1 + 1)
-                / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))),
-                6,
-            ),
-        ).otherwise(0).cast("decimal(18,6)")
-        contribs = c if contribs is None else contribs + c
+    contribs = _bm25_contrib(0)
+    for i in range(1, n_terms):
+        contribs = contribs + _bm25_contrib(i)
     scored = (
         base.crossJoin(F.broadcast(stats))
         .filter(compile_query(_SEARCH_REQUEST))
