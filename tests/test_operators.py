@@ -32,6 +32,8 @@ def test_oracle_keys_subset_of_queries():
         "ann_ivfpq",  # IVF lists + PQ ADC; recall-vs-IVF/exact pytest
         "quality_classifier_lr", "embedding_pca_project", "bpe_encode",
         "sketch_union_hll", "agg_count_min",
+        "unigram_tokenizer_train",   # iterative Viterbi-EM, like bpe_encode
+        "unigram_encode_fertility",  # encodes with the EM-trained model
     }
 
 
