@@ -716,3 +716,69 @@ def search_request_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = collapsed.orderBy(F.desc("score"), F.asc("doc_id")).limit(_REQ_SIZE)
     rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
     return top.select(rk.alias("rk"), "source", "doc_id", "score")
+
+
+# --------------------------------------------------------------------------
+# search_request_aggs  (the same _search request's aggregations section)
+# --------------------------------------------------------------------------
+
+# An ES _search response carries hits AND aggregations; the two sections
+# have different shapes, so the engine certifies them as a registered
+# pair over the SAME request body: search_request_e2e returns the ranked
+# hits, this op the aggregations — a terms bucket on source with a
+# doc_count, an exact sum metric, and the derived avg, over the
+# FILTER-CONTEXT doc set (aggregations see filtered docs; ES computes
+# them post-filter, pre-collapse — collapse affects hits only).
+
+_SEARCH_AGGS_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+FROM (SELECT source, n_chars, lang,
+             string_split(text, ' ') AS w FROM documents)
+WHERE lang = 'en' AND n_chars >= 200
+  AND {" AND ".join(f"list_contains(w, '{t_}')" for t_ in _REQ_TERMS)}
+GROUP BY source
+ORDER BY doc_count DESC, source
+LIMIT {_REQ_SIZE}
+"""
+
+
+@register("search_request_aggs", _SEARCH_AGGS_ORACLE)
+def search_request_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregations section of the same ``_search`` request
+    search_request_e2e serves the hits for: a ``terms`` bucket agg on
+    ``source`` (doc_count order, size-capped) with an exact sum metric
+    and the derived average, computed over the FILTER-CONTEXT document
+    set — the identical `compile_query(_SEARCH_REQUEST)` predicate, so
+    the hits/aggs pair provably describes one result set.  Collapse
+    touches hits only (ES semantics), hence no group-head dedup here.
+
+    Plan: pushed-filter scan -> ONE map-side-combined aggregate on
+    source -> TakeOrderedAndProject for the size cap.  avg derives from
+    the exact integer sum and count (identical int division semantics
+    on both engines), so the double hashes bit-exact without decimal
+    carriers."""
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import compile_query
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(compile_query(_SEARCH_REQUEST))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .select(
+            "source",
+            "doc_count",
+            "sum_chars",
+            (F.col("sum_chars") / F.col("doc_count").cast("double")).alias(
+                "avg_chars"
+            ),
+        )
+        .orderBy(F.desc("doc_count"), "source")
+        .limit(_REQ_SIZE)
+    )

@@ -191,3 +191,25 @@ def test_search_request_e2e_semantics(spark, sf_dir):
         assert {"spark", "join"} <= words
         assert d.lang == "en" and d.n_chars >= 200
         assert r.score > 0
+
+
+def test_search_request_aggs_consistency(spark, sf_dir):
+    """The aggs section describes the SAME filtered doc set as the hits
+    section's pre-collapse input: bucket doc_counts sum to the filtered
+    count, and every bucket's metric is internally consistent."""
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import compile_query
+    from go_pulsar_elasticsearch_spark.llm.search import (
+        _SEARCH_REQUEST,
+        search_request_aggs,
+    )
+
+    rows = search_request_aggs(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    filtered = docs.filter(compile_query(_SEARCH_REQUEST))
+    n_sources = filtered.select("source").distinct().count()
+    if n_sources <= 10:  # cap not hit: buckets partition the filtered set
+        assert sum(r.doc_count for r in rows) == filtered.count()
+    for r in rows:
+        assert r.avg_chars == r.sum_chars / r.doc_count
+        assert r.doc_count > 0
