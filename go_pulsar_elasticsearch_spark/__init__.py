@@ -31,7 +31,10 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.operators import (  # noqa: F401
         aggregates,
         es_aggs,
+        es_bucket_aggs,
         es_loop,
+        es_metric_aggs,
+        es_pipeline_aggs,
         events_analytics,
         geo,
         joins,
@@ -80,6 +83,7 @@ def load_all() -> None:
         query_dsl,
         sampling,
         search,
+        search_ext,
         similarity,
         text_analysis,
         udfs,

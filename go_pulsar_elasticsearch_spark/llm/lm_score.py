@@ -420,3 +420,126 @@ def weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(_WSAMPLE_K)
     )
+
+
+# --------------------------------------------------------------------------
+# lm_kn_perplexity  (interpolated Kneser-Ney bigram LM — the KenLM family)
+# --------------------------------------------------------------------------
+
+# Interpolated Kneser-Ney with the standard fixed discount d=0.75:
+#
+#   p(w2|w1) = (max(c(w1,w2) - d, 0) + d * T(w1) * Pc(w2)) / c(w1,.)
+#   Pc(w2)   = N1+(., w2) / N1+(., .)       (continuation probability)
+#   T(w1)    = |{w2 : c(w1,w2) > 0}|        (distinct continuations)
+#
+# Over the full vocabulary the distribution sums to EXACTLY 1 (the
+# discounted mass d*T(w1) is exactly what the continuation term
+# redistributes) — pytest-pinned per context.  Every ingredient is an
+# integer count; the probability is one fixed-shape IEEE double chain
+# shared textually with the oracle, and the per-doc sum rides the
+# round-6 ln + exact-decimal recipe, so the whole op is hash-certified.
+_KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH arr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), big AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM arr WHERE len(w) >= 2)
+), cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+), cf AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS t1
+  FROM cb GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_end FROM cb GROUP BY w2
+), bt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM cb
+), lp AS (
+  SELECT cb.w1, cb.w2,
+         round(ln((greatest(CAST(cb.c2 AS DOUBLE) - {_KN_D}, 0.0)
+                   + {_KN_D} * cf.t1
+                     * (CAST(cont.n_end AS DOUBLE) / bt.n_types))
+                  / cf.c1), 6) AS logp
+  FROM cb
+  JOIN cf ON cf.w1 = cb.w1
+  JOIN cont ON cont.w2 = cb.w2
+  CROSS JOIN bt
+)
+SELECT big.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       -{SUMD('lp.logp', 6, 18, 6)} / COUNT(*) AS ce_kn
+FROM big JOIN lp ON lp.w1 = big.w1 AND lp.w2 = big.w2
+GROUP BY big.doc_id
+"""
+
+
+@register("lm_kn_perplexity", _KN_ORACLE)
+def lm_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated KNESER-NEY bigram LM
+    (fixed discount 0.75) — the smoothing family production LM filters
+    (KenLM / CCNet's actual scorer) use, upgrading add-one's systematic
+    over-penalty of unseen-but-plausible continuations: probability
+    mass is discounted from observed bigrams and redistributed by HOW
+    MANY CONTEXTS a word completes (its continuation count), not raw
+    frequency.
+
+    Plan shape: identical skeleton to lm_bigram_perplexity (in-row
+    bigram build; the only data-sized shuffles are the (w1,w2) count
+    and the per-doc regroup).  The KN extras — continuation counts and
+    the bigram-type total — are vocabulary-sized aggregates of the
+    ALREADY-counted cb frame (no second corpus pass), joined onto the
+    vocabulary-sized LM frame, broadcast-scale at any corpus size."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w"),
+    )
+    big = (
+        arr.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cf = cb.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count("*").alias("t1")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("n_end"))
+    bt = cb.agg(F.count("*").alias("n_types"))
+    p = (
+        F.greatest(F.col("c2").cast("double") - F.lit(_KN_D), F.lit(0.0))
+        + F.lit(_KN_D)
+        * F.col("t1")
+        * (F.col("n_end").cast("double") / F.col("n_types"))
+    ) / F.col("c1")
+    lp = (
+        cb.join(cf, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select("w1", "w2", F.round(F.log(p), 6).alias("logp"))
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            dsum("logp", 6, 18, out_scale=6).alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (-F.col("_slp") / F.col("n_bigrams")).alias("ce_kn"),
+        )
+    )

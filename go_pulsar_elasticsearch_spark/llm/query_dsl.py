@@ -11,10 +11,16 @@ Supported leaves (filter context):
   wildcard {"wildcard": {"field": "a*b?c"}}     * / ? translated to LIKE
   match    {"match": {"field": "w1 w2"}}        analyzed: ALL tokens
                                                 appear as whole words
+  regexp   {"regexp": {"field": "pat"}}         ANCHORED whole-term match
+                                                (Lucene regexp semantics)
+  ids      {"ids": {"values": [..]}}            primary-key membership
+                                                (_id -> doc_id by default)
 Compound:
   bool with must / filter / must_not / should — ES filter-context
   semantics: should is optional when must/filter exist, otherwise at
-  least one should-clause must match (minimum_should_match = 1).
+  least one should-clause must match; an EXPLICIT
+  minimum_should_match counts satisfied should clauses and is
+  enforced even when must/filter are present.
 
 Everything compiles to built-in Column expressions (zero UDFs), so a
 compiled query is indistinguishable from a hand-written filter to
@@ -95,6 +101,17 @@ def compile_query(q: dict[str, Any]) -> Column:
     if kind == "match":
         (field, text), = body.items()
         return _match_tokens(field, text)
+    if kind == "regexp":
+        (field, pat), = body.items()
+        # ES regexp queries are ANCHORED (Lucene regexp semantics: the
+        # pattern must match the ENTIRE term), unlike rlike's substring
+        # search — the non-capturing wrap preserves alternations
+        return F.col(field).rlike(f"^(?:{pat})$")
+    if kind == "ids":
+        # ES `ids` addresses the _id metadata field; on a DataFrame the
+        # primary-key column stands in (default doc_id, the documents
+        # table's key — callers on other frames name theirs via `field`)
+        return F.col(body.get("field", "doc_id")).isin(list(body["values"]))
     raise ValueError(f"unsupported query kind: {kind!r}")
 
 
@@ -111,15 +128,24 @@ def _compile_bool(body: dict[str, Any]) -> Column:
     for c in clauses("must_not"):
         out = out & ~F.coalesce(c, F.lit(False))
     should = clauses("should")
+    msm = body.get("minimum_should_match")
     if should:
-        any_should = should[0]
-        for c in should[1:]:
-            any_should = any_should | c
-        if body.get("must") or body.get("filter"):
+        if msm is not None:
+            # explicit minimum_should_match is ALWAYS enforced, even
+            # with must/filter present (ES semantics): count satisfied
+            # should clauses as exact ints (null -> unsatisfied)
+            n_sat = F.when(should[0], 1).otherwise(0)
+            for c in should[1:]:
+                n_sat = n_sat + F.when(c, 1).otherwise(0)
+            out = out & (n_sat >= F.lit(int(msm)))
+        elif body.get("must") or body.get("filter"):
             # filter-context ES: should is optional when must/filter
             # exist (it only affects scoring, which filter context drops)
             pass
         else:
+            any_should = should[0]
+            for c in should[1:]:
+                any_should = any_should | c
             out = out & any_should
     return out
 
@@ -295,3 +321,53 @@ def query_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     ev = t(spark, sf_dir, "events")
     return es_search(ev, _SEARCH_BODY)
+
+
+# --------------------------------------------------------------------------
+# certified example 3: regexp + ids + explicit minimum_should_match
+# --------------------------------------------------------------------------
+
+_DSL_MSM = {
+    "bool": {
+        "filter": [{"regexp": {"source": "src[0-4]"}}],
+        "must_not": [{"ids": {"values": [0, 1, 2]}}],
+        "should": [
+            {"match": {"text": "spark"}},
+            {"match": {"text": "window"}},
+            {"term": {"lang": "en"}},
+            {"range": {"n_chars": {"gte": 500}}},
+        ],
+        "minimum_should_match": 2,
+    }
+}
+
+_DSL_MSM_ORACLE = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE regexp_full_match(source, 'src[0-4]')
+  AND NOT COALESCE(doc_id IN (0, 1, 2), FALSE)
+  AND (CASE WHEN list_contains(string_split(text, ' '), 'spark')
+            THEN 1 ELSE 0 END
+     + CASE WHEN list_contains(string_split(text, ' '), 'window')
+            THEN 1 ELSE 0 END
+     + CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+     + CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) >= 2
+"""
+
+
+@register("query_dsl_minimum_should", _DSL_MSM_ORACLE)
+def query_dsl_minimum_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three term-level clauses that completed the compiler —
+    ``regexp`` (ANCHORED, Lucene's whole-term match, not rlike's
+    substring search), ``ids`` (primary-key membership, the _id
+    metadata query), and explicit ``minimum_should_match`` (satisfied-
+    clause COUNTING, enforced even in filter context where the default
+    should rule is scoring-only) — exercised together through
+    compile_query and certified against the hand-written twin.
+
+    Plan shape: one narrow scan-fused predicate; the regexp and the key
+    IN-list are pushable, the should-counter is a codegen int sum —
+    zero shuffles, zero Python."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    return search(docs, _DSL_MSM).select("doc_id", "source", "lang", "n_chars")

@@ -1,0 +1,392 @@
+"""ES search-surface parity, part 2: term suggester (did-you-mean),
+query rescoring, and search_after keyset pagination.
+
+The reference maintains a text index (mapping.json:24-31 dual-indexes
+`name` as text+keyword) whose users run the full _search feature set
+against it; these close three features the engine had not yet named:
+
+  suggest_term_spellcheck — ES `term` suggester: for each input term
+                            absent from the index, candidate vocabulary
+                            terms within max_edits=2 (prefix_length=1),
+                            ranked by (edit distance, doc frequency).
+  search_rescore          — ES `rescore`: re-rank only the top
+                            `window_size` BM25 hits with a secondary
+                            score, blended as query_weight * bm25 +
+                            rescore_query_weight * secondary.
+  search_after_page       — ES `search_after`: stateless deep
+                            pagination by keyset predicate instead of
+                            from+size skip.
+
+100 TB posture: the suggester's candidate join is vocabulary x query
+(the corpus never re-scans per term — the vocab frame is Heaps-bounded
+and the query set is a broadcast literal); rescore touches exactly
+window_size rows past the base top-k (TakeOrderedAndProject, no global
+sort); search_after's keyset predicate is sargable — with a client-held
+cursor literal it pushes into the scan, which is the entire point of
+search_after over from+size (ES refuses from+size past 10k for the same
+reason a 100 TB scan-and-skip is wrong).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.llm.search import (
+    _bm25_contrib,
+    _contrib_sql,
+    _eq_term,
+    _QUERY_TERMS,
+)
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# suggest_term_spellcheck  (ES term suggester: did-you-mean candidates)
+# --------------------------------------------------------------------------
+
+# ES term-suggester defaults mirrored here: max_edits=2, prefix_length=1
+# (candidates must share the first character — the trie walk ES does),
+# size=3 per input term, candidates ranked by ascending edit distance
+# then descending document frequency (suggest_mode=missing: the inputs
+# are typos absent from the index).
+_SUGGEST_INPUTS = ("sprak", "windoo", "tabel")
+_SUGGEST_MAX_EDITS = 2
+_SUGGEST_SIZE = 3
+
+_SUGGEST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks WHERE tok <> '' GROUP BY 1
+), q AS (
+  SELECT unnest({list(_SUGGEST_INPUTS)}) AS input_term
+), cand AS (
+  SELECT input_term, tok AS suggestion,
+         CAST(levenshtein(input_term, tok) AS INTEGER) AS dist, df
+  FROM q CROSS JOIN vocab
+  WHERE substr(tok, 1, 1) = substr(input_term, 1, 1)
+    AND levenshtein(input_term, tok) <= {_SUGGEST_MAX_EDITS}
+)
+SELECT input_term, suggestion, dist, df, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY input_term ORDER BY dist, df DESC, suggestion) AS rk
+  FROM cand
+)
+WHERE rk <= {_SUGGEST_SIZE}
+"""
+
+
+@register("suggest_term_spellcheck", _SUGGEST_ORACLE)
+def suggest_term_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``term`` suggester: for each misspelled input term, the top-3
+    vocabulary terms within edit distance 2 that share its first
+    character (prefix_length=1), ranked by distance then document
+    frequency — the did-you-mean box over the index the reference
+    feeds.
+
+    Plan: the (token, df) vocabulary is ONE exploded aggregate whose
+    output is Heaps-bounded (vocabulary-sized, not corpus-sized); the
+    candidate generation is vocab x broadcast-literal query terms with
+    the prefix gate pruning before the Levenshtein evaluation; the
+    per-term top-3 window partitions on the query term (Q partitions of
+    candidate-sized rows).  The corpus is scanned exactly once."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    q = spark.createDataFrame(
+        [(s,) for s in _SUGGEST_INPUTS], "input_term string"
+    )
+    dist = F.levenshtein("input_term", "tok")
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .filter(
+            (F.substring("tok", 1, 1) == F.substring("input_term", 1, 1))
+            & (dist <= _SUGGEST_MAX_EDITS)
+        )
+        .select(
+            "input_term",
+            F.col("tok").alias("suggestion"),
+            dist.cast("int").alias("dist"),
+            "df",
+        )
+    )
+    w = Window.partitionBy("input_term").orderBy(
+        "dist", F.desc("df"), "suggestion"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SUGGEST_SIZE)
+    )
+
+
+# --------------------------------------------------------------------------
+# search_rescore  (ES rescore: window-bounded secondary re-ranking)
+# --------------------------------------------------------------------------
+
+# ES rescore semantics: only the top `window_size` hits of the base
+# query are re-scored; final = query_weight * base + rescore_query_weight
+# * secondary.  The secondary here is term coverage (how many distinct
+# query terms the doc contains) — the cheap proxy for the expensive
+# phrase/proximity rescorers ES users attach.
+_RESCORE_WINDOW = 50
+_RESCORE_QW = 1.0
+_RESCORE_RW = 0.25
+_RESCORE_SIZE = 10
+
+_RESCORE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(w, x -> x <> '')) AS dl,
+         {", ".join(
+             f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
+             for i, t_ in enumerate(_QUERY_TERMS)
+         )}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(
+             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+             for i in range(len(_QUERY_TERMS))
+         )}
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         CAST({" + ".join(
+             _contrib_sql(i) for i in range(len(_QUERY_TERMS))
+         )} AS DOUBLE) AS bm25,
+         CAST({" + ".join(
+             f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+             for i in range(len(_QUERY_TERMS))
+         )} AS INTEGER) AS n_matched
+  FROM base CROSS JOIN stats
+  WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_QUERY_TERMS)))}
+), windowed AS (
+  SELECT doc_id, bm25, n_matched
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS wrk
+    FROM scored
+  )
+  WHERE wrk <= {_RESCORE_WINDOW}
+)
+SELECT doc_id, bm25, n_matched, score, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, bm25, n_matched,
+         {_RESCORE_QW} * bm25 + {_RESCORE_RW} * n_matched AS score,
+         row_number() OVER (
+           ORDER BY {_RESCORE_QW} * bm25 + {_RESCORE_RW} * n_matched DESC,
+                    doc_id) AS rk
+  FROM windowed
+)
+WHERE rk <= {_RESCORE_SIZE}
+"""
+
+
+@register("search_rescore", _RESCORE_ORACLE)
+def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``: the top-50 BM25 window re-ranked by the blended
+    score query_weight*bm25 + rescore_query_weight*coverage, returning
+    the top-10.  Docs outside the window are never re-scored — ES's
+    contract, and the scale contract too: the expensive secondary
+    scorer touches exactly window_size rows.
+
+    The BM25 side reuses the single-sourced contribution formula
+    (search._bm25_contrib — the certified bm25_search recipe verbatim),
+    so base scores cannot drift from the certified op.  Both rank cuts
+    are orderBy().limit() = TakeOrderedAndProject; the blend arithmetic
+    is one multiply-add on doubles (0.25 * int is exact), bit-identical
+    cross-engine."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_terms = len(_QUERY_TERMS)
+    base = docs.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
+            for i, t_ in enumerate(_QUERY_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(n_terms)
+        ],
+    )
+    bm25 = _bm25_contrib(0)
+    for i in range(1, n_terms):
+        bm25 = bm25 + _bm25_contrib(i)
+    coverage = F.when(F.col("tf0") > 0, 1).otherwise(0)
+    for i in range(1, n_terms):
+        coverage = coverage + F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(" OR ".join(f"tf{i} > 0" for i in range(n_terms)))
+        .select(
+            "doc_id",
+            bm25.cast("double").alias("bm25"),
+            coverage.cast("int").alias("n_matched"),
+        )
+    )
+    windowed = scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(
+        _RESCORE_WINDOW
+    )
+    blended = F.lit(_RESCORE_QW) * F.col("bm25") + F.lit(_RESCORE_RW) * F.col(
+        "n_matched"
+    )
+    topk = (
+        windowed.select("doc_id", "bm25", "n_matched", blended.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RESCORE_SIZE)
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk.select("doc_id", "bm25", "n_matched", "score", rk.alias("rk"))
+
+
+# --------------------------------------------------------------------------
+# search_after_page  (ES search_after: stateless keyset deep pagination)
+# --------------------------------------------------------------------------
+
+# Page 3 of a (n_chars DESC, doc_id ASC)-sorted listing, page size 10:
+# the cursor is the sort key of the last hit of page 2 (global rank
+# 20), and the page is the first 10 rows strictly AFTER the cursor in
+# sort order — the keyset predicate ES's search_after evaluates instead
+# of scanning-and-skipping `from` rows.
+_SA_CURSOR_RANK = 20
+_SA_PAGE = 10
+
+_SEARCH_AFTER_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+), cur AS (
+  SELECT n_chars AS c_chars, doc_id AS c_doc
+  FROM ranked WHERE rk = {_SA_CURSOR_RANK}
+)
+SELECT doc_id, n_chars
+FROM documents CROSS JOIN cur
+WHERE n_chars < c_chars OR (n_chars = c_chars AND doc_id > c_doc)
+ORDER BY n_chars DESC, doc_id
+LIMIT {_SA_PAGE}
+"""
+
+
+@register("search_after_page", _SEARCH_AFTER_ORACLE)
+def search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after``: page 3 (size 10) of the corpus sorted by
+    (n_chars DESC, doc_id) — fetched by keyset predicate from the last
+    hit of page 2, never by from+size skip.
+
+    The cursor here is derived in-plan (rank-20 row via two nested
+    TakeOrderedAndProject cuts over a 20-row frame) so the op is
+    self-contained and certifiable; a real client holds the cursor as a
+    LITERAL from the previous page's response, making the keyset
+    predicate sargable — it pushes into the parquet scan and the page
+    costs top-k over the surviving rows.  That is why ES caps from+size
+    at 10k and offers search_after instead, and why scan-and-skip is
+    wrong at 100 TB."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    top = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_SA_CURSOR_RANK)
+    )
+    # the LAST row of the cursor page = first row under the reversed sort
+    cursor = (
+        top.orderBy(F.asc("n_chars"), F.desc("doc_id"))
+        .limit(1)
+        .select(
+            F.col("n_chars").alias("c_chars"), F.col("doc_id").alias("c_doc")
+        )
+    )
+    after = (F.col("n_chars") < F.col("c_chars")) | (
+        (F.col("n_chars") == F.col("c_chars"))
+        & (F.col("doc_id") > F.col("c_doc"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(cursor))
+        .filter(after)
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_SA_PAGE)
+    )
+
+
+# --------------------------------------------------------------------------
+# span_near_query  (Lucene span_near: proximity with slop, unordered)
+# --------------------------------------------------------------------------
+
+# span_near semantics (in_order=false): the two terms co-occur with at
+# most `slop` intervening tokens — |pos_a - pos_b| - 1 <= slop.  The
+# ordered variant would constrain (pos_b - pos_a - 1) in [0, slop].
+_SPAN_TERMS = ("data", "column")
+_SPAN_SLOP = 3
+
+_SPAN_NEAR_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         list_filter(range(1, len(w) + 1),
+                     j -> w[j] = '{_SPAN_TERMS[0]}') AS p1,
+         list_filter(range(1, len(w) + 1),
+                     j -> w[j] = '{_SPAN_TERMS[1]}') AS p2
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT doc_id, n_pairs FROM (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(p1,
+           x -> len(list_filter(p2, y -> abs(x - y) - 1 <= {_SPAN_SLOP})))),
+           0) AS BIGINT) AS n_pairs
+  FROM p
+) WHERE n_pairs > 0
+"""
+
+
+@register("span_near_query", _SPAN_NEAR_ORACLE)
+def span_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``span_near`` (in_order=false, slop=3): documents where
+    the two terms co-occur within 3 intervening tokens, with the
+    matching position-pair count — the proximity query between
+    ``match`` (bag of words) and ``match_phrase`` (exact adjacency,
+    cf. phrase_match).
+
+    Zero shuffle: per-row position arrays come from one
+    filter(sequence) pass and the pair count is a nested
+    aggregate/filter over those arrays, all inside whole-stage codegen
+    — position postings never leave their row, which is exactly how a
+    100 TB proximity scan should behave (Lucene walks the same
+    postings per segment)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(sequence(1, size(split(text, ' '))),"
+            f" j -> element_at(split(text, ' '), j) = '{_SPAN_TERMS[0]}')"
+        ).alias("p1"),
+        F.expr(
+            "filter(sequence(1, size(split(text, ' '))),"
+            f" j -> element_at(split(text, ' '), j) = '{_SPAN_TERMS[1]}')"
+        ).alias("p2"),
+    )
+    n_pairs = F.expr(
+        "aggregate(p1, 0L, (acc, x) -> acc + size(filter(p2,"
+        f" y -> abs(x - y) - 1 <= {_SPAN_SLOP})))"
+    )
+    return (
+        pos.select("doc_id", n_pairs.alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )

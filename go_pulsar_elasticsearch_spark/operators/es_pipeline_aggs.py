@@ -1,0 +1,247 @@
+"""ES pipeline-aggregation parity, part 2: moving_fn / serial_diff,
+bucket_script / bucket_selector / bucket_sort, and auto_date_histogram.
+
+`pipeline_agg_derivative` (events_analytics.py) covers the derivative +
+cumulative_sum pair; these three close the rest of the pipeline-agg
+surface ES dashboards run against the index the reference maintains
+(pkg/es/es.go:102-116 — the dated `events-YYYY.MM.DD` layout exists for
+exactly these date_histogram dashboards):
+
+  pipeline_agg_moving_fn     — `moving_fn` (unweightedAvg, window=3,
+                               shift=0: the 3 buckets BEFORE current)
+                               + `serial_diff` (lag=7, the weekly
+                               seasonality remover) over a per-series
+                               date_histogram.
+  pipeline_agg_bucket_script — `bucket_script` (per-bucket error rate
+                               from two sibling metrics), `bucket_selector`
+                               (keep buckets above the rate threshold)
+                               and `bucket_sort` (rate DESC, size cap).
+  auto_date_histogram        — ES's span-adaptive histogram: the engine
+                               picks the smallest interval from the
+                               rounding ladder that keeps the bucket
+                               count under the target, from the data's
+                               own [min, max] span.
+
+100 TB posture: every op is one map-side-combined histogram aggregate
+whose output is bucket-count-sized; the pipeline columns ride window
+sorts partitioned by series (bucket rows, never raw rows), the selector
+/ sort run on the bucket frame, and auto_date_histogram's span probe is
+a 1-row min/max aggregate broadcast back into the bucketing expression
+— the raw scan is always exactly one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.registry import register
+from go_pulsar_elasticsearch_spark.session import tune
+
+# --------------------------------------------------------------------------
+# pipeline_agg_moving_fn  (ES moving_fn + serial_diff over date_histogram)
+# --------------------------------------------------------------------------
+
+# ES moving_fn semantics: window=N, shift=0 places the frame over the N
+# buckets strictly BEFORE the current one (the current bucket is never
+# part of its own smoothing window), and a frame with no buckets yields
+# null.  serial_diff(lag=7) is the weekly-seasonality remover: value
+# minus the bucket 7 positions earlier, null while no such bucket.
+_MF_WINDOW = 3
+_MF_LAG = 7
+
+_MOVING_FN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+  CAST(SUM(n) OVER w{_MF_WINDOW} AS DOUBLE) / COUNT(n) OVER w{_MF_WINDOW}
+    AS mavg{_MF_WINDOW},
+  CAST(n - lag(n, {_MF_LAG}) OVER wo AS BIGINT) AS sdiff{_MF_LAG}
+FROM daily
+WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+       w{_MF_WINDOW} AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN {_MF_WINDOW} PRECEDING AND 1 PRECEDING)
+"""
+
+
+@register("pipeline_agg_moving_fn", _MOVING_FN_ORACLE)
+def pipeline_agg_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_fn`` (unweightedAvg, window=3, shift=0) and
+    ``serial_diff`` (lag=7) pipeline aggs over a per-event_type daily
+    date_histogram.  The moving frame covers the 3 buckets BEFORE the
+    current one (ES shift=0), so the first bucket of every series gets
+    null — same on both engines (empty-frame SUM is null).
+
+    Plan: one shuffle for the histogram; both pipeline columns ride a
+    single (event_type, day) window sort over bucket rows.  The average
+    is written CAST(SUM AS DOUBLE)/COUNT so the integer sum stays exact
+    and the one double division is correctly rounded on both engines."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wf = wo.rowsBetween(-_MF_WINDOW, -1)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        (F.sum("n").over(wf).cast("double") / F.count("n").over(wf)).alias(
+            f"mavg{_MF_WINDOW}"
+        ),
+        (F.col("n") - F.lag("n", _MF_LAG).over(wo)).alias(f"sdiff{_MF_LAG}"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pipeline_agg_bucket_script  (bucket_script + bucket_selector + bucket_sort)
+# --------------------------------------------------------------------------
+
+# bucket_script: err_rate = n_error / n_total from two sibling metrics;
+# bucket_selector: keep buckets with err_rate > threshold (5 uniform
+# event types -> the expected rate is 0.2, so the threshold keeps the
+# above-average days at every sf); bucket_sort: rate DESC, size cap.
+_BS_THRESHOLD = 0.2
+_BS_SIZE = 10
+
+_BUCKET_SCRIPT_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_error
+  FROM events GROUP BY 1
+)
+SELECT day, n_total, n_error,
+       CAST(n_error AS DOUBLE) / n_total AS err_rate
+FROM daily
+WHERE CAST(n_error AS DOUBLE) / n_total > {_BS_THRESHOLD}
+ORDER BY err_rate DESC, day
+LIMIT {_BS_SIZE}
+"""
+
+
+@register("pipeline_agg_bucket_script", _BUCKET_SCRIPT_ORACLE)
+def pipeline_agg_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``bucket_script`` + ``bucket_selector`` + ``bucket_sort`` over a
+    daily date_histogram: per-bucket error rate from two sibling metrics
+    (one conditional aggregate — no second scan), selector keeps buckets
+    above the 0.2 expected rate, bucket_sort caps to the 10 worst days.
+
+    Plan: ONE map-side-combined aggregate to bucket rows, then the
+    script/selector/sort all run on the bucket-count-sized frame; the
+    cap is orderBy().limit() = TakeOrderedAndProject.  The rate is a
+    single division of two exact integers — bit-identical everywhere.
+    The (err_rate DESC, day) order is total, so the selected set is
+    deterministic."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_error"),
+    )
+    rate = F.col("n_error").cast("double") / F.col("n_total")
+    return (
+        daily.select("day", "n_total", "n_error", rate.alias("err_rate"))
+        .filter(F.col("err_rate") > _BS_THRESHOLD)
+        .orderBy(F.desc("err_rate"), "day")
+        .limit(_BS_SIZE)
+    )
+
+
+# --------------------------------------------------------------------------
+# auto_date_histogram  (span-adaptive interval from the rounding ladder)
+# --------------------------------------------------------------------------
+
+# ES auto_date_histogram: the caller names a target bucket count; the
+# engine walks its rounding ladder (1m, 5m, 30m, 1h, 3h, 12h, 1d, 7d)
+# and picks the smallest interval that keeps the realized bucket count
+# at or under the target.  Buckets are epoch-floored at the chosen
+# width; the chosen width is reported alongside the buckets.
+_ADH_TARGET = 20
+_ADH_LADDER = (60, 300, 1800, 3600, 10800, 43200, 86400, 604800)
+
+
+def _adh_case_sql() -> str:
+    """The ladder walk as one CASE over the 1-row span frame: bucket
+    count at width w is (smax // w - smin // w + 1) — exact under the
+    epoch-floor bucketing used below."""
+    arms = " ".join(
+        f"WHEN smax // {w} - smin // {w} + 1 <= {_ADH_TARGET} THEN {w}"
+        for w in _ADH_LADDER[:-1]
+    )
+    return f"CASE {arms} ELSE {_ADH_LADDER[-1]} END"
+
+
+_AUTO_DATE_HISTOGRAM_ORACLE = f"""
+WITH span AS (
+  SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS smin,
+         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS smax
+  FROM events
+), params AS (
+  SELECT CAST({_adh_case_sql()} AS BIGINT) AS interval_s FROM span
+)
+SELECT interval_s,
+       CAST((CAST(floor(epoch(ts)) AS BIGINT) // interval_s) * interval_s
+            AS BIGINT) AS bucket_s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events CROSS JOIN params
+GROUP BY 1, 2
+"""
+
+
+@register("auto_date_histogram", _AUTO_DATE_HISTOGRAM_ORACLE)
+def auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``auto_date_histogram`` (target 20 buckets): probe the data's
+    [min, max] epoch span with a 1-row aggregate, walk the rounding
+    ladder to the smallest interval whose realized bucket count fits the
+    target, then histogram on that width.  Buckets are epoch-floored
+    longs (`bucket_s`) with the chosen `interval_s` carried alongside —
+    integer arithmetic end to end, so the adaptive choice itself is
+    hash-certified.
+
+    Plan: the span probe is a 1-row min/max aggregate broadcast back
+    into the bucketing expression (a literal-sized cross join, exactly
+    the matrix_stats moments pattern); the histogram is ONE map-side-
+    combined aggregate.  Two passes over the scan total — the same two
+    passes ES spends (its first pass is the shard-level round-down)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    span = ev.agg(
+        F.min(sec).alias("smin"), F.max(sec).alias("smax")
+    )
+    interval = None
+    for w in _ADH_LADDER[:-1]:
+        fits = (
+            F.expr(f"smax div {w}") - F.expr(f"smin div {w}") + 1
+        ) <= _ADH_TARGET
+        interval = (
+            F.when(fits, F.lit(w)) if interval is None
+            else interval.when(fits, F.lit(w))
+        )
+    params = span.select(
+        interval.otherwise(F.lit(_ADH_LADDER[-1]))
+        .cast("bigint")
+        .alias("interval_s")
+    )
+    return (
+        ev.crossJoin(F.broadcast(params))
+        .groupBy(
+            "interval_s",
+            (
+                F.call_function("div", sec, F.col("interval_s"))
+                * F.col("interval_s")
+            )
+            .cast("bigint")
+            .alias("bucket_s"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

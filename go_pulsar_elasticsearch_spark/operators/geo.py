@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.exact import dsum
+from go_pulsar_elasticsearch_spark.functions.exact import SUMD, dsum
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -353,4 +353,144 @@ def geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_b",
             F.round(dist, 6).alias("dist_km"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# geo_centroid_agg  (ES geo_centroid: per-bucket mean point)
+# --------------------------------------------------------------------------
+
+# The mean rides the INTEGER domain (sum the u16 axis words, exact
+# BIGINTs) and the affine coordinate map is applied to the mean — valid
+# because the map is affine (mean(a*u+b) == a*mean(u)+b), and the house
+# integer-domain rule for a reason: the coordinate doubles land close
+# enough to 1e-6 half-boundaries that the engines' double->decimal
+# casts disagree on a handful of rows (observed on centroid_lon at
+# sf0.01), while integer sums cannot drift anywhere.
+_CENTROID_MEAN_LAT = (
+    "(CAST({s} AS DOUBLE) / {n} / 65536.0 * 120.0 - 60.0)"
+)
+_CENTROID_MEAN_LON = (
+    "(CAST({s} AS DOUBLE) / {n} / 65536.0 * 360.0 - 180.0)"
+)
+
+_CENTROID_ORACLE = f"""
+WITH pts AS (
+  SELECT c_mktsegment,
+         {_u16_sql('c_custkey', 1, 'strpos')} AS u_lat,
+         {_u16_sql('c_custkey', 5, 'strpos')} AS u_lon
+  FROM customer
+), m AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS point_count,
+         SUM(u_lat) AS sl, SUM(u_lon) AS so
+  FROM pts GROUP BY 1
+)
+SELECT c_mktsegment, point_count,
+       {_CENTROID_MEAN_LAT.format(s='sl', n='point_count')} AS centroid_lat,
+       {_CENTROID_MEAN_LON.format(s='so', n='point_count')} AS centroid_lon
+FROM m
+"""
+
+
+@register("geo_centroid_agg", _CENTROID_ORACLE)
+def geo_centroid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: the arithmetic mean point of
+    every bucket's geo_points (per market segment), plus the point
+    count ES reports alongside.
+
+    ES accumulates a running lat/lon mean per shard and merges — the
+    same partial-aggregate shape as this ONE map-side-combined groupBy.
+    The mean is computed on the exact integer axis words and the affine
+    coordinate map applied AFTER (equal by affinity, and immune to the
+    double->decimal cast divergence float-domain sums hit); the closing
+    double chain is textually shared with the oracle.  Flat-earth
+    caveat: like ES, this is the planar mean — fine for clustered
+    points, meaningless across the antimeridian."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_mktsegment",
+        F.expr(_u16_sql("c_custkey", 1, "instr")).alias("u_lat"),
+        F.expr(_u16_sql("c_custkey", 5, "instr")).alias("u_lon"),
+    )
+    m = pts.groupBy("c_mktsegment").agg(
+        F.count("*").alias("point_count"),
+        F.sum("u_lat").alias("sl"),
+        F.sum("u_lon").alias("so"),
+    )
+    return m.select(
+        "c_mktsegment",
+        "point_count",
+        F.expr(
+            _CENTROID_MEAN_LAT.format(s="sl", n="point_count")
+        ).alias("centroid_lat"),
+        F.expr(
+            _CENTROID_MEAN_LON.format(s="so", n="point_count")
+        ).alias("centroid_lon"),
+    )
+
+
+# --------------------------------------------------------------------------
+# geo_distance_rings_agg  (ES geo_distance aggregation: ring buckets)
+# --------------------------------------------------------------------------
+
+# ES geo_distance AGGREGATION (distinct from the query): concentric
+# ring buckets around an origin — from-inclusive / to-exclusive, with
+# the open outer ring, exactly date_range_agg's edge semantics applied
+# to distance.  Ring keys follow ES's "from-to" naming.
+_RINGS = (0.0, 500.0, 1000.0, 2000.0)  # km edges; last ring is open
+
+
+def _ring_case(d: str) -> str:
+    arms = []
+    for i, lo in enumerate(_RINGS):
+        if i + 1 < len(_RINGS):
+            hi = _RINGS[i + 1]
+            arms.append(
+                f"WHEN {d} < {hi} THEN '{lo:g}-{hi:g}'"
+            )
+        else:
+            arms.append(f"ELSE '{lo:g}-*'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+_RINGS_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey, c_acctbal, {_LAT_D} AS lat, {_LON_D} AS lon
+  FROM customer
+), d AS (
+  SELECT c_custkey, c_acctbal,
+         {_dist_expr('lat', 'lon')} AS dist FROM pts
+)
+SELECT {_ring_case('dist')} AS ring,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       {SUMD('c_acctbal', 2)} / COUNT(*) AS avg_acctbal
+FROM d GROUP BY 1
+"""
+
+
+@register("geo_distance_rings_agg", _RINGS_ORACLE)
+def geo_distance_rings_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` AGGREGATION: concentric ring buckets
+    (0-500 / 500-1000 / 1000-2000 / 2000-* km) around the fixed origin,
+    from-inclusive / to-exclusive with the open outer ring, carrying
+    doc_count and an exact-decimal balance mean per ring.
+
+    The ring assignment is a CASE over the same libm-free Taylor-cos
+    equirectangular distance geo_distance_search certifies (identical
+    IEEE tree both engines, so even the bucket EDGES agree bit-for-bit);
+    one map-side-combined aggregate, output = ring-count rows."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    d = cust.select(
+        "c_acctbal",
+        F.expr(
+            _dist_expr(_LAT_S, _LON_S)
+        ).alias("dist"),
+    )
+    return d.groupBy(
+        F.expr(_ring_case("dist")).alias("ring")
+    ).agg(
+        F.count("*").alias("doc_count"),
+        (dsum("c_acctbal", 2) / F.count("*")).alias("avg_acctbal"),
     )

