@@ -91,6 +91,7 @@ def load_all() -> None:
     )
     from go_pulsar_elasticsearch_spark.streaming import joins as sjoins  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import stream  # noqa: F401
+    from go_pulsar_elasticsearch_spark.streaming import url_dedup  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import windows as swindows  # noqa: F401
 
     _LOADED = True

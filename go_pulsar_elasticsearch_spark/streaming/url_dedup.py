@@ -156,3 +156,75 @@ def finalize_crawl_corpus(
         F.col("kept_doc_id").alias("doc_id")
     )
     return curated_manifest(corpus.join(kept_ids, "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# registered certification: the incremental store vs the batch oracle
+# --------------------------------------------------------------------------
+
+# drained state per (process, sf_dir): the drain runs once; later
+# invocations re-read the accumulated store (train-once/probe-many,
+# the crawl_corpus_stream pattern)
+_URL_STREAM_STATE: dict[str, str] = {}
+
+
+def _drive_url_stream(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    if sf_dir in _URL_STREAM_STATE:
+        return _URL_STREAM_STATE[sf_dir]
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.ingest.urlnorm import _mangled
+
+    base = tempfile.mkdtemp(prefix="gpe-urlstream-")
+    src = os.path.join(base, "src")
+    m = _mangled(t(spark, sf_dir, "documents"))
+    # three uneven micro-batches with the boundary mid-URL-group, so
+    # keep-best decisions genuinely span epochs (a later epoch carries
+    # a lower doc_id for an already-seen canonical URL)
+    for lo, hi in ((0, 40), (40, 41), (41, 1 << 62)):
+        m.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long, raw_url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = os.path.join(base, "store")
+    q = run_incremental_url_dedup(stream, store, os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    _URL_STREAM_STATE[sf_dir] = store
+    return store
+
+
+def _register() -> None:
+    from go_pulsar_elasticsearch_spark.ingest.urlnorm import _DEDUP_ORACLE
+    from go_pulsar_elasticsearch_spark.registry import register
+    from go_pulsar_elasticsearch_spark.session import tune
+
+    @register("url_canonical_dedup_stream", _DEDUP_ORACLE)
+    def url_canonical_dedup_stream(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """`url_canonical_dedup`'s STREAMING twin, hash-certified by the
+        SAME oracle: the mangled URLs arrive in three uneven
+        micro-batches through a live StreamingQuery (foreachBatch ->
+        epoch-keyed associative partials, checkpoint + availableNow
+        drain), and the merged store view is returned — converging
+        bit-for-bit to the one-shot batch aggregate, the
+        crawl_corpus_stream certification pattern applied to the
+        standalone URL store (the crawl frontier's seen-URL table).
+
+        Scale shape: per-epoch work is one partial aggregate of that
+        epoch's rows; the store grows by |distinct canonical URLs per
+        epoch| rows, and the merged view is an associative
+        re-aggregation — no read-modify-write on prior state, so a
+        1000-executor frontier compacts the same way."""
+        tune(spark)
+        store = _drive_url_stream(spark, sf_dir)
+        return read_url_store(spark, store)
+
+
+_register()

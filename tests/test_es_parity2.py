@@ -487,3 +487,22 @@ def test_terms_order_by_subagg_exact(spark, sf_dir):
         key=lambda t: (-t[0], t[1]),
     )[: len(rows)]
     assert [b[1] for b in best] == [r.source for r in rows]
+
+
+def test_url_dedup_stream_converges_to_batch(spark, sf_dir):
+    """The registered streaming twin returns exactly the batch keep-best
+    rows, and a second invocation reuses the drained store (no second
+    StreamingQuery)."""
+    import go_pulsar_elasticsearch_spark.streaming.url_dedup as ud
+    from go_pulsar_elasticsearch_spark.ingest.urlnorm import (
+        url_canonical_dedup,
+    )
+    from go_pulsar_elasticsearch_spark.registry import QUERIES
+
+    fn = QUERIES["url_canonical_dedup_stream"]
+    got = {tuple(r) for r in fn(spark, sf_dir).collect()}
+    want = {tuple(r) for r in url_canonical_dedup(spark, sf_dir).collect()}
+    assert got == want
+    store_before = dict(ud._URL_STREAM_STATE)
+    fn(spark, sf_dir).collect()
+    assert ud._URL_STREAM_STATE == store_before  # drained once, reused
