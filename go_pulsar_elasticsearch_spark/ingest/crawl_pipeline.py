@@ -302,9 +302,12 @@ def _drive_crawl_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     base = tempfile.mkdtemp(prefix="gpe-crawlstream-")
     src = os.path.join(base, "src")
     corpus = warc_corpus(spark, sf_dir)
-    # three uneven micro-batches (boundary mid-URL-group, so keep-best
-    # decisions genuinely span epochs)
-    for lo, hi in ((0, 40), (40, 41), (41, 1 << 62)):
+    # three uneven micro-batches, boundary mid-URL-group and the low
+    # doc_ids delivered LAST, so keep-best decisions genuinely span
+    # epochs AND flip: the final epoch carries a lower doc_id for
+    # already-seen canonical URLs, forcing min(kept_doc_id) to change
+    # at merge time rather than being settled by the earliest epoch
+    for lo, hi in ((40, 41), (41, 1 << 62), (0, 40)):
         corpus.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).coalesce(1).write.mode("append").parquet(src)

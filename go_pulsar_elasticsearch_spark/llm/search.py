@@ -67,26 +67,101 @@ def _bm25_contrib(i: int) -> "F.Column":
     )
 
 
+def _eq_term(term: str):
+    # single-arg lambda factory: F.filter gives a 2-arg lambda the array
+    # INDEX as its second argument, so the term must be a closure, not a
+    # default parameter
+    return lambda x: x == term
+
+
+# ---- single-sourced BM25 scaffolding (shared by bm25_search,
+# search_request_e2e, and search_ext.search_rescore): the per-term
+# contribution formula was single-sourced first (_bm25_contrib /
+# _contrib_sql); these extend that to the (dl, tf_i) base frame and the
+# (n_docs, avgdl, df_i) index-statistics frame so tokenization or a df
+# definition can never drift between the certified scorers either.
+
+
+def bm25_base_frame(docs: DataFrame, terms, extra_cols=()) -> DataFrame:
+    """The (doc_id, [extra_cols], dl, tf_i) frame every BM25 scorer
+    starts from — one narrow pass, per-row array filters, no explode."""
+    w = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        *extra_cols,
+        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
+            for i, t_ in enumerate(terms)
+        ],
+    )
+
+
+def bm25_stats_frame(base: DataFrame, n_terms: int) -> DataFrame:
+    """The 1-row index statistics (always over the FULL base frame —
+    ES filter-context rule: filters prune the scored set, never the
+    statistics)."""
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(n_terms)
+        ],
+    )
+
+
+def bm25_score_col(n_terms: int) -> "F.Column":
+    """The summed per-term contribution chain (fixed left association)."""
+    score = _bm25_contrib(0)
+    for i in range(1, n_terms):
+        score = score + _bm25_contrib(i)
+    return score
+
+
+def bm25_base_sql(terms, extra_cols=()) -> str:
+    """Oracle twin of bm25_base_frame (the `base` CTE body)."""
+    xc = "".join(f"{c}, " for c in extra_cols)
+    tfs = ", ".join(
+        f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
+        for i, t_ in enumerate(terms)
+    )
+    return (
+        f"SELECT doc_id, {xc}\n"
+        f"         len(list_filter(w, x -> x <> '')) AS dl,\n"
+        f"         {tfs}\n"
+        f"  FROM (SELECT doc_id, {xc}string_split(text, ' ') AS w"
+        f" FROM documents)"
+    )
+
+
+def bm25_stats_sql(n_terms: int) -> str:
+    """Oracle twin of bm25_stats_frame (the `stats` CTE body)."""
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(n_terms)
+    )
+    return (
+        "SELECT COUNT(*) AS n_docs,\n"
+        "         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,\n"
+        f"         {dfs}\n"
+        "  FROM base"
+    )
+
+
+def bm25_score_sql(n_terms: int) -> str:
+    """Oracle twin of bm25_score_col."""
+    return " + ".join(_contrib_sql(i) for i in range(n_terms))
+
+
 _BM25_ORACLE = f"""
 WITH base AS (
-  SELECT doc_id,
-         len(list_filter(w, x -> x <> '')) AS dl,
-         {", ".join(
-             f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
-             for i, t_ in enumerate(_QUERY_TERMS)
-         )}
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  {bm25_base_sql(_QUERY_TERMS)}
 ), stats AS (
-  SELECT COUNT(*) AS n_docs,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-         {", ".join(
-             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-             for i in range(len(_QUERY_TERMS))
-         )}
-  FROM base
+  {bm25_stats_sql(len(_QUERY_TERMS))}
 ), scored AS (
   SELECT doc_id,
-         CAST({" + ".join(_contrib_sql(i) for i in range(len(_QUERY_TERMS)))}
+         CAST({bm25_score_sql(len(_QUERY_TERMS))}
            AS DOUBLE) AS score
   FROM base CROSS JOIN stats
   WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_QUERY_TERMS)))}
@@ -99,13 +174,6 @@ FROM (
 )
 WHERE rk <= {_TOPN}
 """
-
-
-def _eq_term(term: str):
-    # single-arg lambda factory: F.filter gives a 2-arg lambda the array
-    # INDEX as its second argument, so the term must be a closure, not a
-    # default parameter
-    return lambda x: x == term
 
 
 @register("bm25_search", _BM25_ORACLE)
@@ -128,32 +196,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for that shape."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    base = docs.select(
-        "doc_id",
-        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
-            for i, t_ in enumerate(_QUERY_TERMS)
-        ],
-    )
     n_terms = len(_QUERY_TERMS)
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(n_terms)
-        ],
-    )
-
-    score = _bm25_contrib(0)
-    for i in range(1, n_terms):
-        score = score + _bm25_contrib(i)
+    base = bm25_base_frame(docs, _QUERY_TERMS)
+    stats = bm25_stats_frame(base, n_terms)
     scored = (
         base.crossJoin(F.broadcast(stats))
         .filter(" OR ".join(f"tf{i} > 0" for i in range(n_terms)))
-        .select("doc_id", score.cast("double").alias("score"))
+        .select(
+            "doc_id", bm25_score_col(n_terms).cast("double").alias("score")
+        )
     )
     # top-k via TakeOrderedAndProject (no global sort, no
     # single-partition window over the corpus), then rank the k rows
@@ -604,29 +655,14 @@ _SEARCH_REQUEST = {
 
 _SEARCH_REQ_ORACLE = f"""
 WITH base AS (
-  SELECT doc_id, source, lang, n_chars,
-         len(list_filter(w, x -> x <> '')) AS dl,
-         {", ".join(
-             f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
-             for i, t_ in enumerate(_REQ_TERMS)
-         )}
-  FROM (SELECT doc_id, source, lang, n_chars,
-               string_split(text, ' ') AS w FROM documents)
+  {bm25_base_sql(_REQ_TERMS, extra_cols=("source", "lang", "n_chars"))}
 ), stats AS (
   -- scoring statistics come from the FULL index, never the filtered
   -- set (ES filter-context semantics: filters prune, must scores)
-  SELECT COUNT(*) AS n_docs,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-         {", ".join(
-             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-             for i in range(len(_REQ_TERMS))
-         )}
-  FROM base
+  {bm25_stats_sql(len(_REQ_TERMS))}
 ), scored AS (
   SELECT doc_id, source,
-         CAST({" + ".join(
-             _contrib_sql(i) for i in range(len(_REQ_TERMS))
-         )} AS DOUBLE) AS score
+         CAST({bm25_score_sql(len(_REQ_TERMS))} AS DOUBLE) AS score
   FROM base CROSS JOIN stats
   WHERE lang = 'en' AND n_chars >= 200
     AND {" AND ".join(f"tf{i} > 0" for i in range(len(_REQ_TERMS)))}
@@ -672,35 +708,21 @@ def search_request_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    base = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "text",
-        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
-            for i, t_ in enumerate(_REQ_TERMS)
-        ],
-    )
     n_terms = len(_REQ_TERMS)
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(n_terms)
-        ],
+    # `text` stays in the base frame because compile_query's match
+    # clause filters on it; the oracle's filter inlines tf_i > 0 instead
+    base = bm25_base_frame(
+        docs, _REQ_TERMS, extra_cols=("source", "lang", "n_chars", "text")
     )
-    contribs = _bm25_contrib(0)
-    for i in range(1, n_terms):
-        contribs = contribs + _bm25_contrib(i)
+    stats = bm25_stats_frame(base, n_terms)
     scored = (
         base.crossJoin(F.broadcast(stats))
         .filter(compile_query(_SEARCH_REQUEST))
-        .select("doc_id", "source", contribs.cast("double").alias("score"))
+        .select(
+            "doc_id",
+            "source",
+            bm25_score_col(n_terms).cast("double").alias("score"),
+        )
     )
     gw = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
     collapsed = (

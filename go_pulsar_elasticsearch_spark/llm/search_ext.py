@@ -34,10 +34,13 @@ from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
 from go_pulsar_elasticsearch_spark.llm.search import (
-    _bm25_contrib,
-    _contrib_sql,
-    _eq_term,
     _QUERY_TERMS,
+    bm25_base_frame,
+    bm25_base_sql,
+    bm25_score_col,
+    bm25_score_sql,
+    bm25_stats_frame,
+    bm25_stats_sql,
 )
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -144,26 +147,12 @@ _RESCORE_SIZE = 10
 
 _RESCORE_ORACLE = f"""
 WITH base AS (
-  SELECT doc_id,
-         len(list_filter(w, x -> x <> '')) AS dl,
-         {", ".join(
-             f"len(list_filter(w, x -> x = '{t_}')) AS tf{i}"
-             for i, t_ in enumerate(_QUERY_TERMS)
-         )}
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  {bm25_base_sql(_QUERY_TERMS)}
 ), stats AS (
-  SELECT COUNT(*) AS n_docs,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-         {", ".join(
-             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-             for i in range(len(_QUERY_TERMS))
-         )}
-  FROM base
+  {bm25_stats_sql(len(_QUERY_TERMS))}
 ), scored AS (
   SELECT doc_id,
-         CAST({" + ".join(
-             _contrib_sql(i) for i in range(len(_QUERY_TERMS))
-         )} AS DOUBLE) AS bm25,
+         CAST({bm25_score_sql(len(_QUERY_TERMS))} AS DOUBLE) AS bm25,
          CAST({" + ".join(
              f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
              for i in range(len(_QUERY_TERMS))
@@ -207,27 +196,10 @@ def search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
     n_terms = len(_QUERY_TERMS)
-    base = docs.select(
-        "doc_id",
-        F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter(w, _eq_term(t_))).alias(f"tf{i}")
-            for i, t_ in enumerate(_QUERY_TERMS)
-        ],
-    )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
-            for i in range(n_terms)
-        ],
-    )
-    bm25 = _bm25_contrib(0)
-    for i in range(1, n_terms):
-        bm25 = bm25 + _bm25_contrib(i)
+    base = bm25_base_frame(docs, _QUERY_TERMS)
+    stats = bm25_stats_frame(base, n_terms)
+    bm25 = bm25_score_col(n_terms)
     coverage = F.when(F.col("tf0") > 0, 1).otherwise(0)
     for i in range(1, n_terms):
         coverage = coverage + F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)
@@ -371,15 +343,21 @@ def span_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings per segment)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
+    # project the token array ONCE: referencing split() inside the
+    # higher-order lambdas would re-split the text per position index
+    # (no codegen subexpression elimination inside lambdas — measured
+    # quadratic in tokens)
     pos = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
         F.expr(
-            "filter(sequence(1, size(split(text, ' '))),"
-            f" j -> element_at(split(text, ' '), j) = '{_SPAN_TERMS[0]}')"
+            "filter(sequence(1, size(w)),"
+            f" j -> element_at(w, j) = '{_SPAN_TERMS[0]}')"
         ).alias("p1"),
         F.expr(
-            "filter(sequence(1, size(split(text, ' '))),"
-            f" j -> element_at(split(text, ' '), j) = '{_SPAN_TERMS[1]}')"
+            "filter(sequence(1, size(w)),"
+            f" j -> element_at(w, j) = '{_SPAN_TERMS[1]}')"
         ).alias("p2"),
     )
     n_pairs = F.expr(

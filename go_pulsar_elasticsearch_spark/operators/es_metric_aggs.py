@@ -179,9 +179,13 @@ def t_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
         dsum(F.when(is_a, v), 2).alias("sa"),
-        dsum(F.when(is_a, v * v), 4, 18, 4).alias("sqa"),
+        # sums of squares take the widened-decimal accumulator
+        # (dsum's own documented rule): the scale-4 long fast path has
+        # only ~13x headroom at the 100x replica and would silently
+        # wrap on a wider value distribution
+        dsum(F.when(is_a, v * v), 4, 18, 4, wide=True).alias("sqa"),
         dsum(F.when(is_b, v), 2).alias("sb"),
-        dsum(F.when(is_b, v * v), 4, 18, 4).alias("sqb"),
+        dsum(F.when(is_b, v * v), 4, 18, 4, wide=True).alias("sqb"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     sa, sqa = F.col("sa"), F.col("sqa")

@@ -180,10 +180,12 @@ def _drive_url_stream(spark: SparkSession, sf_dir: str) -> str:
     base = tempfile.mkdtemp(prefix="gpe-urlstream-")
     src = os.path.join(base, "src")
     m = _mangled(t(spark, sf_dir, "documents"))
-    # three uneven micro-batches with the boundary mid-URL-group, so
-    # keep-best decisions genuinely span epochs (a later epoch carries
-    # a lower doc_id for an already-seen canonical URL)
-    for lo, hi in ((0, 40), (40, 41), (41, 1 << 62)):
+    # three uneven micro-batches with the boundary mid-URL-group AND
+    # the low doc_ids delivered LAST: the final epoch carries a lower
+    # doc_id for already-seen canonical URLs, so min(kept_doc_id) must
+    # genuinely FLIP at merge time (a merge that kept first-seen
+    # winners instead of re-aggregating would fail the hash)
+    for lo, hi in ((40, 41), (41, 1 << 62), (0, 40)):
         m.filter(
             (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
         ).coalesce(1).write.mode("append").parquet(src)

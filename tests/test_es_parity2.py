@@ -190,20 +190,60 @@ def test_suggester_contract(spark, sf_dir):
     assert firsts.get("tabel") == "table"
 
 
-def test_rescore_window_contract(spark, sf_dir):
+def test_rescore_window_contract(spark, sf_dir, monkeypatch):
     res = search_rescore(spark, sf_dir).collect()
     assert 0 < len(res) <= _RESCORE_SIZE
-    # every rescored hit comes from the base-BM25 top-window, and the
-    # blend is exactly qw*bm25 + rw*coverage
-    base = bm25_search(spark, sf_dir)  # top-10 certified base ranking
+    # the blend is exactly qw*bm25 + rw*coverage, ranked descending
     for r in res:
         assert math.isclose(
             r.score, _RESCORE_QW * r.bm25 + _RESCORE_RW * r.n_matched
         )
     scores = [r.score for r in res]
     assert scores == sorted(scores, reverse=True)
-    assert len(res) <= _RESCORE_WINDOW
-    del base
+    # the rescored hits' base scores agree with the certified base
+    # ranking where they overlap (formula shared, not re-derived)
+    base = {r.doc_id: r.score for r in bm25_search(spark, sf_dir).collect()}
+    for r in res:
+        if r.doc_id in base:
+            assert math.isclose(r.bm25, base[r.doc_id])
+    # WINDOW contract, made non-vacuous by shrinking the window below
+    # the matched-doc count: only the base top-w may be rescored, so
+    # with w=3 the result is exactly 3 rows and every returned doc's
+    # base score is >= the highest base score EXCLUDED by the window
+    import go_pulsar_elasticsearch_spark.llm.search_ext as se
+
+    monkeypatch.setattr(se, "_RESCORE_WINDOW", 3)
+    small = search_rescore(spark, sf_dir).collect()
+    assert len(small) == 3
+    small_ids = {r.doc_id for r in small}
+    # expected window = base top-3 by (bm25 DESC, doc_id), built from
+    # the same single-sourced scaffolding the op certifies with — this
+    # pins the WINDOW WIRING (the oracle already pins the formula)
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.llm.search import (
+        _QUERY_TERMS,
+        bm25_base_frame,
+        bm25_score_col,
+        bm25_stats_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = bm25_base_frame(docs, _QUERY_TERMS)
+    stats = bm25_stats_frame(base, len(_QUERY_TERMS))
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(" OR ".join(f"tf{i} > 0" for i in range(len(_QUERY_TERMS))))
+        .select(
+            "doc_id",
+            bm25_score_col(len(_QUERY_TERMS)).cast("double").alias("b"),
+        )
+    )
+    want_ids = {
+        r.doc_id
+        for r in scored.orderBy(F.desc("b"), F.asc("doc_id")).limit(3).collect()
+    }
+    assert small_ids == want_ids
 
 
 def test_search_after_equals_offset_page(spark, sf_dir):
