@@ -179,12 +179,17 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
+    # token array projected ONCE: a split() reference inside the
+    # transform lambda would re-split the text per segment index
+    # (quadratic — the span_near_query lesson)
     segs = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, int(ceil(size(split(text, ' '))/{_SEG_WORDS}.0)) - 1),"
-                f" j -> concat_ws(' ', slice(split(text, ' '), j*{_SEG_WORDS}+1, {_SEG_WORDS})))"
+                f"transform(sequence(0, int(ceil(size(w)/{_SEG_WORDS}.0)) - 1),"
+                f" j -> concat_ws(' ', slice(w, j*{_SEG_WORDS}+1, {_SEG_WORDS})))"
             )
         ).alias("j", "seg"),
     )

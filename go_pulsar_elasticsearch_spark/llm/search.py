@@ -606,15 +606,20 @@ def rare_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
+    # token array projected ONCE: a split() reference inside the
+    # transform lambda would re-split the text per shingle index
+    # (quadratic — the span_near_query lesson)
     pairs = docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
         "doc_id",
         F.explode(
             # guard: sequence(1, 0) = [1, 0] and slice(..., 0, 2) throws,
             # so a 1-word doc must yield an empty shingle array
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN"
-                " transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> concat_ws(' ', slice(w, i, 2)))"
                 " ELSE CAST(array() AS ARRAY<STRING>) END"
             )
         ).alias("term"),
