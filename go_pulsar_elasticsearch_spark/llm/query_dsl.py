@@ -371,3 +371,85 @@ def query_dsl_minimum_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     return search(docs, _DSL_MSM).select("doc_id", "source", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# msearch_fused  (ES _msearch: N request bodies, ONE shared base pass)
+# --------------------------------------------------------------------------
+
+# ES `_msearch` bundles N request bodies into one HTTP call but still
+# executes N independent searches over the index.  The engine can do
+# better: both requests below consume ONE slot-cached columnar
+# projection of the corpus — scan once, run N bucket aggregates over
+# the cached frame — which is the N-dashboards-one-scan pattern that
+# matters at 100 TB (on a cluster the slot is a shared cached
+# projection / materialized view; the second request's marginal cost is
+# its aggregate, never a second scan).
+_MSEARCH_BODIES = {
+    "r1": {
+        "query": {"term": {"lang": "en"}},
+        "bucket": "source",
+    },
+    "r2": {
+        "query": {"range": {"n_chars": {"gte": 500}}},
+        "bucket": "lang",
+    },
+}
+
+_MSEARCH_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, lang, n_chars FROM documents
+)
+SELECT 'r1' AS request, source AS key,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM base WHERE lang = 'en' GROUP BY source
+UNION ALL
+SELECT 'r2', lang,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+FROM base WHERE n_chars >= 500 GROUP BY lang
+"""
+
+
+@register("msearch_fused", _MSEARCH_ORACLE)
+def msearch_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_msearch``: two tagged request bodies (different filters,
+    different bucket keys) answered as ONE plan over ONE shared base
+    pass — the slot-cached (doc_id, source, lang, n_chars) projection
+    is materialized once and both requests' filter + aggregate branches
+    read it, so the corpus is scanned once however many requests the
+    batch carries.  Filters compile through the certified Query-DSL
+    compiler; each section is a map-side-combined aggregate whose
+    output is bucket-count-sized, and the union is row-count-bounded by
+    the two bucket vocabularies."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    base = cache_slot_reuse(
+        "msearch_base",
+        docs.select("doc_id", "source", "lang", "n_chars"),
+    )
+    sections = []
+    for tag, body in _MSEARCH_BODIES.items():
+        key = body["bucket"]
+        sections.append(
+            base.filter(compile_query(body["query"]))
+            .groupBy(F.col(key).alias("key"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                (F.sum("n_chars").cast("double") / F.count("*")).alias(
+                    "avg_chars"
+                ),
+            )
+            .select(
+                F.lit(tag).alias("request"), "key", "doc_count", "avg_chars"
+            )
+        )
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionAll(s)
+    return out

@@ -546,3 +546,30 @@ def test_url_dedup_stream_converges_to_batch(spark, sf_dir):
     store_before = dict(ud._URL_STREAM_STATE)
     fn(spark, sf_dir).collect()
     assert ud._URL_STREAM_STATE == store_before  # drained once, reused
+
+
+def test_msearch_shares_one_base_pass(spark, sf_dir):
+    """Both _msearch sections read the slot-cached base projection
+    (InMemoryTableScan in both branches), and each section equals its
+    standalone recompute."""
+    from go_pulsar_elasticsearch_spark.llm.query_dsl import msearch_fused
+    from go_pulsar_elasticsearch_spark.plans.inspect import formatted_plan
+
+    df = msearch_fused(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    rows = df.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r1 = {
+        (r.source, r.cnt)
+        for r in docs.filter("lang = 'en'")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    got_r1 = {(r.key, r.doc_count) for r in rows if r.request == "r1"}
+    assert got_r1 == r1
+    assert all(
+        r.avg_chars > 0 and r.doc_count > 0 for r in rows
+    )
