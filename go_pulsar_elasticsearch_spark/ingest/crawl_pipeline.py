@@ -307,10 +307,12 @@ def _drive_crawl_stream(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # epochs AND flip: the final epoch carries a lower doc_id for
     # already-seen canonical URLs, forcing min(kept_doc_id) to change
     # at merge time rather than being settled by the earliest epoch
-    for lo, hi in ((40, 41), (41, 1 << 62), (0, 40)):
-        corpus.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").parquet(src)
+    # (mtime-stamped so FileStreamSource delivers in write order)
+    from go_pulsar_elasticsearch_spark.streaming.url_dedup import (
+        _write_ordered_batches,
+    )
+
+    _write_ordered_batches(corpus, src, ((40, 41), (41, 1 << 62), (0, 40)))
     stream = (
         spark.readStream.schema("doc_id long, raw_url string, text string")
         .option("maxFilesPerTrigger", 1)

@@ -437,7 +437,7 @@ def msearch_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tag, body in _MSEARCH_BODIES.items():
         key = body["bucket"]
         sections.append(
-            base.filter(compile_query(body["query"]))
+            search(base, body["query"])
             .groupBy(F.col(key).alias("key"))
             .agg(
                 F.count("*").alias("doc_count"),

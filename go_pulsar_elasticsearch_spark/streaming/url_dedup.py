@@ -162,6 +162,29 @@ def finalize_crawl_corpus(
 # registered certification: the incremental store vs the batch oracle
 # --------------------------------------------------------------------------
 
+def _write_ordered_batches(df: DataFrame, src: str, ranges) -> None:
+    """Write one parquet file per doc_id range and stamp STRICTLY
+    INCREASING mtimes so FileStreamSource (which orders pending files
+    by (mtime, path)) is guaranteed to deliver the micro-batches in
+    write order — the epoch-flip coverage depends on it."""
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as _F
+
+    stamped: set[str] = set()
+    t0 = time.time()
+    for i, (lo, hi) in enumerate(ranges):
+        df.filter(
+            (_F.col("doc_id") >= lo) & (_F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            if f not in stamped:
+                os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+                stamped.add(f)
+
+
 # drained state per (process, sf_dir): the drain runs once; later
 # invocations re-read the accumulated store (train-once/probe-many,
 # the crawl_corpus_stream pattern)
@@ -184,11 +207,11 @@ def _drive_url_stream(spark: SparkSession, sf_dir: str) -> str:
     # the low doc_ids delivered LAST: the final epoch carries a lower
     # doc_id for already-seen canonical URLs, so min(kept_doc_id) must
     # genuinely FLIP at merge time (a merge that kept first-seen
-    # winners instead of re-aggregating would fail the hash)
-    for lo, hi in ((40, 41), (41, 1 << 62), (0, 40)):
-        m.filter(
-            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").parquet(src)
+    # winners instead of re-aggregating would fail the hash).
+    # FileStreamSource orders pending files by (mtime, path) — the
+    # explicit utime stamping below pins delivery to write order even
+    # if two sequential writes land in one timestamp tick.
+    _write_ordered_batches(m, src, ((40, 41), (41, 1 << 62), (0, 40)))
     stream = (
         spark.readStream.schema("doc_id long, n_chars long, raw_url string")
         .option("maxFilesPerTrigger", 1)

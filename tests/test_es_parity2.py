@@ -546,6 +546,31 @@ def test_url_dedup_stream_converges_to_batch(spark, sf_dir):
     store_before = dict(ud._URL_STREAM_STATE)
     fn(spark, sf_dir).collect()
     assert ud._URL_STREAM_STATE == store_before  # drained once, reused
+    # the epoch FLIP the drivers are engineered for actually happened:
+    # some canonical URL's winning (minimum) kept_doc_id lives in a
+    # LATER epoch partial than the URL's first appearance — so the
+    # merge genuinely re-decides winners instead of keeping first-seen
+    import glob
+    import os
+    import re
+
+    store = store_before[sf_dir]
+    by_url: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(glob.glob(os.path.join(store, "epoch=*"))):
+        epoch = int(re.search(r"epoch=(\d+)", d).group(1))
+        for r in spark.read.parquet(d).collect():
+            by_url.setdefault(r.canonical_url, []).append(
+                (epoch, r.kept_doc_id)
+            )
+    flips = 0
+    for entries in by_url.values():
+        if len(entries) < 2:
+            continue
+        first_epoch = min(e for e, _ in entries)
+        win_epoch = min(entries, key=lambda t: t[1])[0]
+        if win_epoch > first_epoch:
+            flips += 1
+    assert flips > 0, "no cross-epoch keep-best flip was exercised"
 
 
 def test_msearch_shares_one_base_pass(spark, sf_dir):
@@ -557,7 +582,10 @@ def test_msearch_shares_one_base_pass(spark, sf_dir):
 
     df = msearch_fused(spark, sf_dir)
     plan = formatted_plan(df)
-    assert plan.count("InMemoryTableScan") >= 2
+    # formatted explain prints every operator TWICE (tree node +
+    # details header), so one cached branch = 2 occurrences; BOTH
+    # branches reading the cache = 4
+    assert plan.count("InMemoryTableScan") >= 4
     rows = df.collect()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     r1 = {
@@ -570,6 +598,14 @@ def test_msearch_shares_one_base_pass(spark, sf_dir):
     }
     got_r1 = {(r.key, r.doc_count) for r in rows if r.request == "r1"}
     assert got_r1 == r1
-    assert all(
-        r.avg_chars > 0 and r.doc_count > 0 for r in rows
-    )
+    r2 = {
+        (r.lang, r.cnt)
+        for r in docs.filter("n_chars >= 500")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    got_r2 = {(r.key, r.doc_count) for r in rows if r.request == "r2"}
+    assert got_r2 == r2
+    assert all(r.avg_chars > 0 and r.doc_count > 0 for r in rows)
