@@ -368,3 +368,89 @@ def span_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.select("doc_id", n_pairs.alias("n_pairs"))
         .filter(F.col("n_pairs") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# termvectors_doc  (ES _termvectors: per-doc term stats + corpus stats)
+# --------------------------------------------------------------------------
+
+# ES `_termvectors` for a document returns, per term: term frequency,
+# the token positions, and (with term_statistics=true) the corpus-wide
+# document frequency and total term frequency.  Positions are emitted
+# as a comma-joined string (deterministic, hash-friendly — ES returns
+# an ordered array).
+_TV_DOC_IDS = (1, 2, 3)
+
+_TERMVECTORS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, tok, CAST(i AS INTEGER) AS pos
+  FROM (
+    SELECT doc_id, w[i] AS tok, i
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         unnest(range(1, len(w) + 1)) AS t(i)
+  )
+  WHERE tok <> ''
+), corpus AS (
+  SELECT tok,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(COUNT(*) AS BIGINT) AS ttf
+  FROM toks GROUP BY tok
+)
+SELECT t.doc_id, t.tok AS term,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       string_agg(CAST(t.pos AS VARCHAR), ',' ORDER BY t.pos) AS positions,
+       ANY_VALUE(c.doc_freq) AS doc_freq,
+       ANY_VALUE(c.ttf) AS ttf
+FROM toks t JOIN corpus c ON c.tok = t.tok
+WHERE t.doc_id IN {tuple(_TV_DOC_IDS)}
+GROUP BY t.doc_id, t.tok
+"""
+
+
+@register("termvectors_doc", _TERMVECTORS_ORACLE)
+def termvectors_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` (term_statistics=true) for a 3-doc id set:
+    per (doc, term) the term frequency and ordered token positions,
+    plus the corpus-wide document frequency and total term frequency —
+    the per-document debugging/relevance API over the index the
+    reference maintains.
+
+    Plan: the requested docs' postings come from a PRUNED scan (the id
+    IN-list pushes down — tf/positions never touch the rest of the
+    corpus); only the corpus statistics take a full pass, and that
+    aggregate is vocabulary-sized and map-side combined, then joined
+    onto the requested docs' term set (broadcast-scale: |terms in 3
+    docs|).  ES computes df the same way — from the whole shard,
+    whatever doc you ask about."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("doc_id", "tok", (F.col("pos0") + 1).cast("int").alias("pos"))
+    )
+    corpus = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("ttf"),
+    )
+    mine = toks.filter(F.col("doc_id").isin(list(_TV_DOC_IDS)))
+    tv = mine.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf"),
+        F.array_join(F.sort_array(F.collect_list("pos")), ",").alias(
+            "positions"
+        ),
+    )
+    return (
+        tv.join(corpus, "tok")
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "positions",
+            "doc_freq",
+            "ttf",
+        )
+    )

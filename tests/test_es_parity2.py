@@ -609,3 +609,34 @@ def test_msearch_shares_one_base_pass(spark, sf_dir):
     got_r2 = {(r.key, r.doc_count) for r in rows if r.request == "r2"}
     assert got_r2 == r2
     assert all(r.avg_chars > 0 and r.doc_count > 0 for r in rows)
+
+
+def test_termvectors_python_recount(spark, sf_dir):
+    """tf / positions / corpus df recounted in Python for every
+    returned (doc, term) row."""
+    from collections import Counter
+
+    from go_pulsar_elasticsearch_spark.llm.search_ext import (
+        _TV_DOC_IDS,
+        termvectors_doc,
+    )
+
+    rows = termvectors_doc(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    df_counter: Counter = Counter()
+    ttf_counter: Counter = Counter()
+    toks_by_doc = {}
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t]
+        toks_by_doc[d.doc_id] = toks
+        ttf_counter.update(toks)
+        df_counter.update(set(toks))
+    assert {r.doc_id for r in rows} <= set(_TV_DOC_IDS)
+    for r in rows:
+        toks = toks_by_doc[r.doc_id]
+        want_pos = [str(i + 1) for i, t in enumerate(toks) if t == r.term]
+        assert r.tf == len(want_pos) > 0
+        assert r.positions == ",".join(want_pos)
+        assert r.doc_freq == df_counter[r.term]
+        assert r.ttf == ttf_counter[r.term]
