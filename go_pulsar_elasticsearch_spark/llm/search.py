@@ -246,17 +246,23 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional index would only beat it for highly selective phrases)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # staged projections: the token array AND the hit-position array
+    # each materialize once — inlining `w` into the lambda would
+    # re-split the text per position index, and `hits` is consumed by
+    # two expressions (size + min), which would double the whole scan
+    # (multi-referenced aliases block CollapseProject, so this is real)
+    w_frame = docs.select("doc_id", F.split("text", " ").alias("w"))
     hits = F.filter(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: (F.element_at(w, i) == _PHRASE[0])
-        & (F.element_at(w, i + 1) == _PHRASE[1]),
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: (F.element_at(F.col("w"), i) == _PHRASE[0])
+        & (F.element_at(F.col("w"), i + 1) == _PHRASE[1]),
     )
     return (
-        docs.select(
+        w_frame.select("doc_id", hits.alias("hits"))
+        .select(
             "doc_id",
-            F.size(hits).cast("bigint").alias("n_hits"),
-            F.array_min(hits).cast("bigint").alias("first_pos"),
+            F.size("hits").cast("bigint").alias("n_hits"),
+            F.array_min("hits").cast("bigint").alias("first_pos"),
         )
         .filter(F.col("n_hits") > 0)
     )
