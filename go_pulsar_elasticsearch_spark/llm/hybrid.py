@@ -431,13 +431,19 @@ def wildcard_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     on adjacent filters is the 100 TB-friendly form."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    matched = F.filter(w, lambda x: x.like(f"%{_WILDCARD_SUFFIX}"))
+    # stage the matched-term array once: it feeds two consumers (size +
+    # distinct-size), which would otherwise each re-split and re-filter
+    matched = F.filter(
+        F.split("text", " "), lambda x: x.like(f"%{_WILDCARD_SUFFIX}")
+    )
     return (
-        docs.select(
+        docs.select("doc_id", matched.alias("m"))
+        .select(
             "doc_id",
-            F.size(matched).cast("bigint").alias("n_hits"),
-            F.size(F.array_distinct(matched)).cast("bigint").alias("n_distinct_terms"),
+            F.size("m").cast("bigint").alias("n_hits"),
+            F.size(F.array_distinct("m")).cast("bigint").alias(
+                "n_distinct_terms"
+            ),
         )
         .filter(F.col("n_hits") > 0)
     )

@@ -84,9 +84,15 @@ def _eq_term(term: str):
 
 def bm25_base_frame(docs: DataFrame, terms, extra_cols=()) -> DataFrame:
     """The (doc_id, [extra_cols], dl, tf_i) frame every BM25 scorer
-    starts from — one narrow pass, per-row array filters, no explode."""
-    w = F.split("text", " ")
-    return docs.select(
+    starts from — one narrow pass, per-row array filters, no explode.
+    The token array is STAGED once (multi-referenced aliases block
+    CollapseProject): inlining the split would tokenize the text
+    n_terms+1 times per row."""
+    staged = docs.select(
+        "doc_id", *extra_cols, F.split("text", " ").alias("_w")
+    )
+    w = F.col("_w")
+    return staged.select(
         "doc_id",
         *extra_cols,
         F.size(F.filter(w, lambda x: x != "")).cast("bigint").alias("dl"),

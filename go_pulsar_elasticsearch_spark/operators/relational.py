@@ -278,14 +278,21 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all JVM higher-order array ops, no Python."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # stage the token array once — five consumers would otherwise each
+    # re-split the text (constant-factor, but free to avoid)
     return docs.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).select(
         "doc_id",
-        F.size(words).cast("bigint").alias("n_words"),
-        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_words"),
-        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("vocab"),
-        F.array_contains(words, "spark").alias("has_spark"),
-        F.element_at(words, 1).alias("first_token"),
+        F.size("words").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("bigint").alias(
+            "n_distinct_words"
+        ),
+        F.array_join(F.array_sort(F.array_distinct("words")), ",").alias(
+            "vocab"
+        ),
+        F.array_contains("words", "spark").alias("has_spark"),
+        F.element_at("words", 1).alias("first_token"),
     )
 
 
