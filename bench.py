@@ -189,27 +189,46 @@ def main() -> None:
     # Per query: first run pays whole-stage-codegen compilation (~1-2 s
     # of Janino per distinct plan — a fixed driver-side cost with zero
     # dependence on data volume); later runs are the steady state a
-    # cluster actually sustains.  Best-of-3 because this host's CPU is
-    # shared/noisy (same query fluctuates ±50% run-to-run); report the
-    # steady state per query and the cold total alongside so nothing is
-    # hidden.
-    cold_total = 0.0
-    for name in HEADLINE:
-        print(f"BENCH headline {name}", file=sys.stderr)
-        reps = []
-        for rep in range(3):
+    # cluster actually sustains.  MEDIAN-of-3 (round-7 VERDICT #1):
+    # this host's CPU is shared/noisy — the same query fluctuates
+    # ±50% run-to-run and single readings of heavy queries have
+    # diverged up to 5x between back-to-back bench runs (span_near
+    # 4 s vs 21 s on identical code).  The median is robust to one
+    # contended rep in either direction; min/median/max per query is
+    # recorded in `stats` so nothing is hidden.
+    import statistics
+
+    stats: dict[str, list[float]] = {}
+
+    def run_reps(name: str, n_reps: int, first: float | None = None) -> float:
+        reps = [] if first is None else [first]
+        while len(reps) < n_reps:
             t0 = time.time()
             materialize(QUERIES[name](spark, sf_dir))
             reps.append(time.time() - t0)
-        timings[name] = round(min(reps), 3)
-        cold_total += reps[0]
+        stats[name] = [round(min(reps), 3),
+                       round(statistics.median(reps), 3),
+                       round(max(reps), 3)]
+        return stats[name][1]
 
-    # Full registered set, one run each (cold, includes codegen): the
-    # regression tripwire the headline set can't be — a per-query diff
-    # of BENCH_r{N} catches a slowdown in ANY registered operator, not
-    # just the headline subset.  Headline stays best-of-3 (steady-state
-    # comparability across rounds); full-set numbers are single-run and
-    # therefore noisier — compare trends, not ±30% wiggles.
+    cold_total = 0.0
+    for name in HEADLINE:
+        print(f"BENCH headline {name}", file=sys.stderr)
+        t0 = time.time()
+        materialize(QUERIES[name](spark, sf_dir))
+        first = time.time() - t0
+        cold_total += first
+        timings[name] = run_reps(name, 3, first)
+
+    # Full registered set: one run each for cheap queries (cold,
+    # includes codegen — the regression tripwire the headline set
+    # can't be), but any query whose first reading exceeds 2 s is
+    # escalated to median-of-3 (round-7 VERDICT #1: single readings of
+    # the heavy tail have swung 5x between runs of identical code —
+    # span_near_query 4 s vs 21 s — purely from host contention; the
+    # median makes the heavy tail reproducible within ~1.5x while
+    # sub-2 s queries stay single-run, where absolute noise is small).
+    HEAVY_S = 2.0
     full: dict[str, float] = {}
     skip = {"stream_ingest_e2e"}  # starts a real streaming job; measured
     # separately as stream_ingest_rows_per_s
@@ -223,7 +242,11 @@ def main() -> None:
         t0 = time.time()
         try:
             materialize(QUERIES[name](spark, sf_dir))
-            full[name] = round(time.time() - t0, 3)
+            first = time.time() - t0
+            if first > HEAVY_S:
+                full[name] = run_reps(name, 3, first)
+            else:
+                full[name] = round(first, 3)
         except Exception as exc:  # never let one op sink the whole bench
             full[name] = -1.0
             print(f"BENCH ERROR {name}: {type(exc).__name__}: {exc}",
@@ -237,12 +260,15 @@ def main() -> None:
     # The baselines are sf0.1 timings — at any other SF the ratio would
     # measure data volume, not host speed, so normalization is only
     # applied at the pinned scale (ratio 1.0 elsewhere, flagged).
-    import statistics
-
+    # The pinned baselines were min-of-3 readings (rounds 5-6), so the
+    # ratio uses each canary's MIN rep (stats[c][0]) — primary per-query
+    # numbers switched to median in round 8, but mixing median readings
+    # against min baselines would bake a systematic ~1.1x into the
+    # normalization.
     ratios = sorted(
-        timings[c] / CANARY_BASELINE_S[c]
+        stats[c][0] / CANARY_BASELINE_S[c]
         for c in CANARY_BASELINE_S
-        if c in timings
+        if c in stats
     )
     at_pinned_sf = sf == "0.1"
     canary_ratio = (
@@ -259,6 +285,12 @@ def main() -> None:
         "stream_ingest_rows_per_s": round(stream_rps, 1),
         "warmup_s": warmup_s,
         "cold_first_run_total_s": round(cold_total, 3),
+        # per-query [min, median, max] over 3 reps for every headline
+        # query and every full-set query whose first reading was >2 s
+        # (round-7 VERDICT #1); the primary number reported in
+        # `queries`/`full_queries` is the MEDIAN for these
+        "stats_min_med_max": stats,
+        "heavy_rep_threshold_s": HEAVY_S,
         "full_queries": full,
         "full_total_s": round(sum(v for v in full.values() if v > 0), 3),
         # Host speed swings ±40% between sessions.  tpch_q5/q6/q18 have

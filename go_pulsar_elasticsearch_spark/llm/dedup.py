@@ -1501,3 +1501,200 @@ def dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_dup_span_remove.py."""
     tune(spark)
     return dup_span_remove_df(t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# dup_span_remove_maximal  (variable-length upgrade of dup_span_remove:
+# MAXIMAL duplicated substrings, Lee et al. ACL 2022 semantics via
+# gram-anchored extend-and-merge instead of a distributed suffix array
+# — round-7 VERDICT #4)
+# --------------------------------------------------------------------------
+
+# dup_span_remove excises EVERY position covered by a duplicated
+# 10-gram — including short incidental collisions.  Lee et al.'s
+# suffix-array method instead removes only LONG maximal duplicated
+# substrings (50+ tokens in the paper).  The gram-anchored analog:
+# seed on the certified duplicate 10-gram start positions, merge
+# starts whose covered intervals [i, i+n-1] touch (i_next <= i + n)
+# into maximal runs, and excise only runs of at least _MAXSPAN_MIN
+# words.  Each excised region is ONE coherent span (start-end), not a
+# scatter of gram fragments — the structure the paper's method yields,
+# without the suffix array, and with the SAME uniform gram-hash shuffle
+# as dup_span_fraction (the only wide state).
+_MAXSPAN_MIN = 20  # minimum maximal-span length in words (paper: 50;
+                   # 20 keeps the synthetic fixture's span census rich)
+
+_MAXSPAN_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         md5(list_aggr(w[i:i+{_SPAN_N - 1}], 'string_agg', ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS i
+    FROM words WHERE len(w) >= {_SPAN_N}
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM grams GROUP BY h
+), dups AS (
+  SELECT doc_id, i FROM grams JOIN freq USING (h) WHERE n > 1
+), isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                    + {_SPAN_N}
+              THEN 1 ELSE 0 END AS brk
+  FROM dups
+), grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(i) AS s, MAX(i) + {_SPAN_N - 1} AS e
+  FROM grp GROUP BY doc_id, g
+  HAVING MAX(i) + {_SPAN_N - 1} - MIN(i) + 1 >= {_MAXSPAN_MIN}
+), agg_spans AS (
+  SELECT doc_id,
+         COUNT(*) AS n_spans,
+         SUM(e - s + 1) AS n_removed,
+         string_agg(s || '-' || e, ',' ORDER BY s) AS spans
+  FROM spans GROUP BY doc_id
+), positions AS (
+  SELECT doc_id, p, w[p] AS word
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM words)
+), kept AS (
+  SELECT pos.doc_id,
+         string_agg(pos.word, ' ' ORDER BY pos.p) AS cleaned_text
+  FROM positions pos
+  LEFT JOIN spans sp
+    ON sp.doc_id = pos.doc_id AND pos.p BETWEEN sp.s AND sp.e
+  WHERE sp.s IS NULL
+  GROUP BY pos.doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.spans, '') AS spans,
+       COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM words w
+LEFT JOIN agg_spans a ON a.doc_id = w.doc_id
+LEFT JOIN kept k ON k.doc_id = w.doc_id
+"""
+
+
+def dup_span_remove_maximal_df(
+    docs: DataFrame, n: int = _SPAN_N, min_len: int = _MAXSPAN_MIN
+) -> DataFrame:
+    """Maximal-substring dedup: excise only MAXIMAL duplicated spans of
+    at least ``min_len`` words, each reported as one coherent
+    (start, end) interval.
+
+    Distribution shape — identical wide state to dup_span_remove (the
+    gram-hash frequency shuffle; span text never leaves its row, md5
+    stands in), plus one bounded per-doc fold:
+      1. positioned duplicate gram starts exactly as dup_span_remove
+         (count window over the gram hash — uniform keys);
+      2. starts fold back per doc as ONE sorted bounded array
+         (array_sort(collect_list), <= doc length ints);
+      3. extend-and-merge is a row-local aggregate() over that array:
+         a start whose covered interval [x, x+n-1] touches the open
+         span (x <= span.e + 1) extends it, otherwise opens a new one
+         — maximal intervals in one pass because starts are sorted;
+      4. short spans drop (filter >= min_len), the excision is the
+         same order-preserving row-local array math as
+         dup_span_remove, and the span census (count, removed words,
+         's-e' list) rides along so the certified hash pins the SPAN
+         STRUCTURE, not just the surviving text.
+    At 100 TB nothing here adds shuffle over dup_span_fraction: the
+    merge state is one struct array bounded by doc length."""
+    from pyspark.sql import Window
+
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot_reuse,
+    )
+
+    w = F.split("text", " ")
+    based = cache_slot_reuse(
+        "span_based",
+        docs.select("doc_id", w.alias("w")).withColumn("L", F.size("w")),
+    )
+    grams = based.filter(F.col("L") >= n).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, L - {n - 1}), i -> named_struct("
+                f"'i', i, 'h', md5(concat_ws(' ', slice(w, i, {n})))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h"))
+    starts = (
+        grams.withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("i")).alias("starts"))
+    )
+    # row-local extend-and-merge: sorted starts -> maximal covered
+    # intervals; each new start either extends the open span (covered
+    # intervals touch) or opens the next one
+    merged = F.expr(
+        f"""aggregate(
+          coalesce(starts, array()),
+          cast(array() as array<struct<s:int,e:int>>),
+          (acc, x) -> case
+            when size(acc) > 0 and x <= element_at(acc, -1).e + 1
+            then concat(
+              slice(acc, 1, size(acc) - 1),
+              array(named_struct(
+                's', element_at(acc, -1).s,
+                'e', greatest(element_at(acc, -1).e, x + {n - 1}))))
+            else concat(acc,
+                        array(named_struct('s', x, 'e', x + {n - 1})))
+          end)"""
+    )
+    spans_arr = F.expr(
+        f"filter(merged, sp -> sp.e - sp.s + 1 >= {min_len})"
+    )
+    kept = F.expr(
+        "filter(sequence(1, L),"
+        " p -> NOT exists(spans_arr, sp -> p >= sp.s AND p <= sp.e))"
+    )
+    return (
+        based.join(starts, "doc_id", "left")
+        .withColumn("merged", merged)
+        .withColumn("spans_arr", spans_arr)
+        .select(
+            "doc_id",
+            F.col("L").cast("long").alias("n_words"),
+            F.size("spans_arr").cast("long").alias("n_spans"),
+            F.expr(
+                "aggregate(spans_arr, 0, (a, sp) -> a + sp.e - sp.s + 1)"
+            ).cast("long").alias("n_removed"),
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(spans_arr,"
+                    " sp -> concat(cast(sp.s as string), '-',"
+                    " cast(sp.e as string)))"
+                ),
+            ).alias("spans"),
+            F.concat_ws(
+                " ",
+                F.transform(kept, lambda p: F.element_at(F.col("w"), p)),
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+@register("dup_span_remove_maximal", _MAXSPAN_ORACLE)
+def dup_span_remove_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length maximal-substring dedup (Lee et al. semantics by
+    gram-anchored extend-and-merge), hash-certified end to end: the
+    span census (count, interval list) AND the reassembled text are in
+    the hash.  The doc-in-doc case — a 50-token duplicated block
+    excised as ONE span, not five gram fragments — is pinned in
+    tests/test_dup_span_remove.py."""
+    tune(spark)
+    return dup_span_remove_maximal_df(t(spark, sf_dir, "documents"))

@@ -237,6 +237,138 @@ def significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# significant_text  (free-text significant terms with duplicate-text
+# filtering — the significant_terms sibling for unindexed body fields)
+# --------------------------------------------------------------------------
+
+# ES `significant_text` differs from `significant_terms` in two ways it
+# documents explicitly: it re-analyzes free text per hit (no keyword
+# field needed), and `filter_duplicate_text` strips near-duplicated
+# sections (boilerplate, quoted chains) BEFORE counting so one viral
+# paragraph can't mint fake significance.  The dedup here is the
+# certified dup_span machinery: every token position covered by a
+# corpus-duplicated 10-gram is excised (dup_span_remove's covered set),
+# and term statistics run over the SURVIVING text only.  Foreground =
+# docs matching the query term in their ORIGINAL text (query context,
+# as in ES where significant_text runs under a search), background =
+# the whole corpus; scoring = the same JLH heuristic as
+# significant_terms.
+_SIGTEXT_TERM = "spark"
+_SIGTEXT_MIN_DF = 5
+_SIGTEXT_TOPN = 15
+
+_SIGTEXT_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         md5(list_aggr(w[i:i+9], 'string_agg', ' ')) AS h
+  FROM (
+    SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+    FROM words WHERE len(w) >= 10
+  )
+), freq AS (
+  SELECT h, COUNT(*) AS n FROM grams GROUP BY h
+), dups AS (
+  SELECT doc_id, i FROM grams JOIN freq USING (h) WHERE n > 1
+), covered AS (
+  SELECT DISTINCT doc_id, i + d AS p
+  FROM dups CROSS JOIN range(0, 10) t(d)
+), positions AS (
+  SELECT doc_id, p, w[p] AS word
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM words)
+), toks AS (
+  SELECT DISTINCT pos.doc_id, pos.word AS term
+  FROM positions pos
+  LEFT JOIN covered c ON c.doc_id = pos.doc_id AND c.p = pos.p
+  WHERE c.p IS NULL AND pos.word <> ''
+), fg AS (
+  SELECT doc_id, list_contains(w, '{_SIGTEXT_TERM}') AS is_fg FROM words
+), per_term AS (
+  SELECT t.term,
+         CAST(SUM(CASE WHEN f.is_fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+         CAST(COUNT(*) AS BIGINT) AS bg_df
+  FROM toks t JOIN fg f ON f.doc_id = t.doc_id
+  GROUP BY t.term
+), stats AS (
+  SELECT SUM(CASE WHEN is_fg THEN 1 ELSE 0 END) AS fg_n,
+         COUNT(*) AS bg_n
+  FROM fg
+), scored AS (
+  SELECT term, fg_df, bg_df,
+         round((CAST(fg_df AS DOUBLE) / fg_n - CAST(bg_df AS DOUBLE) / bg_n)
+               * ((CAST(fg_df AS DOUBLE) / fg_n)
+                  / (CAST(bg_df AS DOUBLE) / bg_n)),
+               6) AS jlh
+  FROM per_term CROSS JOIN stats
+  WHERE fg_df >= {_SIGTEXT_MIN_DF}
+    AND CAST(fg_df AS DOUBLE) / fg_n > CAST(bg_df AS DOUBLE) / bg_n
+)
+SELECT term, fg_df, bg_df, jlh, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY jlh DESC, term) AS rk FROM scored)
+WHERE rk <= {_SIGTEXT_TOPN}
+"""
+
+
+@register("significant_text", _SIGTEXT_ORACLE)
+def significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``significant_text`` (filter_duplicate_text=true): JLH-scored
+    over-representation of free-text terms in the docs matching the
+    query term, with corpus-duplicated spans excised before counting —
+    the certified dup_span_remove transform feeds the term statistics,
+    so boilerplate that appears across documents cannot inflate either
+    frequency side.
+
+    Plan: the dedup stage is dup_span_remove's (gram-hash shuffle, the
+    word frame slot-cached); term stats are one distinct-exploded
+    aggregate keyed on term (vocabulary-sized output); the (fg_n, bg_n)
+    scalar pair broadcasts.  The foreground flag joins on doc_id —
+    co-partitioned with the dedup output, no extra wide state."""
+    from go_pulsar_elasticsearch_spark.llm.dedup import dup_span_remove_df
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    cleaned = dup_span_remove_df(docs).select("doc_id", "cleaned_text")
+    fg = docs.select(
+        "doc_id",
+        F.array_contains(F.split("text", " "), _SIGTEXT_TERM).alias("is_fg"),
+    )
+    toks = (
+        cleaned.join(fg, "doc_id")
+        .select(
+            "doc_id",
+            "is_fg",
+            F.explode(F.split("cleaned_text", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_fg"), 1).otherwise(0)).alias("fg_df"),
+        F.count("*").alias("bg_df"),
+    )
+    stats = fg.agg(
+        F.sum(F.when(F.col("is_fg"), 1).otherwise(0)).alias("fg_n"),
+        F.count("*").alias("bg_n"),
+    )
+    fgp = F.col("fg_df").cast("double") / F.col("fg_n")
+    bgp = F.col("bg_df").cast("double") / F.col("bg_n")
+    scored = (
+        per_term.crossJoin(F.broadcast(stats))
+        .filter((F.col("fg_df") >= _SIGTEXT_MIN_DF) & (fgp > bgp))
+        .select(
+            "term",
+            "fg_df",
+            "bg_df",
+            F.round((fgp - bgp) * (fgp / bgp), 6).alias("jlh"),
+        )
+    )
+    top = scored.orderBy(F.desc("jlh"), F.asc("term")).limit(_SIGTEXT_TOPN)
+    rk = F.row_number().over(Window.orderBy(F.desc("jlh"), F.asc("term")))
+    return top.select("term", "fg_df", "bg_df", "jlh", rk.alias("rk"))
+
+
+# --------------------------------------------------------------------------
 # more_like_this
 # --------------------------------------------------------------------------
 

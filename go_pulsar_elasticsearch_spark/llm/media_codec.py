@@ -1,24 +1,28 @@
-"""Dependency-free media codecs for uncompressed formats: BMP (24-bit
-BITMAPINFOHEADER) and WAV (RIFF/PCM 16-bit).
+"""Dependency-free media codecs: BMP (24-bit BITMAPINFOHEADER), WAV
+(RIFF/PCM 16-bit), and PNG (8-bit RGB/RGBA, stdlib zlib inflate +
+per-scanline unfilter).
 
-These replace the multimodal decode stub for the two container formats
-that need no codec library — pure struct parsing over the public file
-formats (BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER; WAV: RIFF
-chunks + PCM fmt).  `multimodal_decode` (llm/multimodal.py) certifies
-both against a DuckDB oracle computing the same channel/sample
-statistics from the generating arithmetic — a broken parser (wrong
-offset, missed row padding, bad chunk walk) cannot hash-match because
-every output value passes through real encoded bytes.
+These replace the multimodal decode stub for the container formats
+that need no external codec library — pure struct parsing over the
+public file formats (BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER;
+WAV: RIFF chunks + PCM fmt; PNG: RFC 2083 chunk stream, DEFLATE via
+stdlib zlib, filter types 0-4).  `multimodal_decode`
+(llm/multimodal.py) certifies all three against a DuckDB oracle
+computing the same channel/sample statistics from the generating
+arithmetic — a broken parser (wrong offset, missed row padding, bad
+chunk walk, wrong unfilter) cannot hash-match because every output
+value passes through real encoded bytes.
 
-Encoders exist so tests and the certified query can synthesize
+Encoders exist so tests and the certified queries can synthesize
 spec-conformant payloads; golden byte fixtures in
-tests/test_multimodal.py pin both codecs to the published layouts so an
-encoder/decoder bug pair cannot cancel out.
+tests/test_multimodal.py and tests/test_png_codec.py pin the codecs to
+the published layouts so an encoder/decoder bug pair cannot cancel out.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 
 class MediaFormatError(ValueError):
@@ -214,6 +218,237 @@ def decode_bmp_pixels(data: bytes) -> dict:
     if not top_down:
         rows.reverse()  # bottom-up on disk -> top-row-first grid
     return {"width": width, "height": height, "rgb_rows": rows}
+
+
+# --------------------------------------------------------------------------
+# PNG — RFC 2083: 8-byte signature, length/type/data/CRC chunks, IHDR,
+# one-or-more IDAT carrying a zlib stream of filtered scanlines, IEND.
+# Supported: bit depth 8, color type 2 (RGB) or 6 (RGBA), no interlace.
+# Filter types 0-4 (None/Sub/Up/Average/Paeth) both encode and decode —
+# the real codec surface a crawl corpus exercises.  Everything here is
+# stdlib: struct for chunk framing, zlib for DEFLATE and CRC-32.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body)) + ctype + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG filter type 4): the neighbor (left/up/
+    up-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(ftype: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (encoder side)."""
+    n = len(raw)
+    if ftype == 0:
+        return bytes(raw)
+    if ftype == 1:  # Sub
+        return bytes(
+            (raw[i] - (raw[i - bpp] if i >= bpp else 0)) & 0xFF
+            for i in range(n)
+        )
+    if ftype == 2:  # Up
+        return bytes((raw[i] - prev[i]) & 0xFF for i in range(n))
+    if ftype == 3:  # Average
+        return bytes(
+            (raw[i] - ((raw[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+            & 0xFF
+            for i in range(n)
+        )
+    if ftype == 4:  # Paeth
+        return bytes(
+            (raw[i] - _paeth(raw[i - bpp] if i >= bpp else 0, prev[i],
+                             prev[i - bpp] if i >= bpp else 0)) & 0xFF
+            for i in range(n)
+        )
+    raise ValueError(f"invalid PNG filter type {ftype}")
+
+
+def _unfilter_scanline(ftype: int, line: bytearray, prev: bytes, bpp: int) -> None:
+    """Reverse PNG filter ``ftype`` over one scanline IN PLACE (decoder
+    side — reconstruction is sequential because Sub/Average/Paeth read
+    already-reconstructed bytes of the same line)."""
+    n = len(line)
+    if ftype == 0:
+        return
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+        return
+    if ftype == 2:  # Up
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+        return
+    if ftype == 3:  # Average
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        return
+    if ftype == 4:  # Paeth
+        for i in range(n):
+            left = line[i - bpp] if i >= bpp else 0
+            ul = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        return
+    raise MediaFormatError(f"invalid PNG filter type {ftype}")
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb_rows: list[list[tuple[int, ...]]],
+    filter_types: list[int] | None = None,
+) -> bytes:
+    """8-bit PNG from rgb_rows[y][x] = (r, g, b) or (r, g, b, a) with
+    y=0 the TOP row.  ``filter_types`` (one per row, 0-4) lets tests
+    and the certified corpus exercise every unfilter path; default is
+    all-0 (None).  Pixel tuples must be uniformly 3- or 4-wide."""
+    if len(rgb_rows) != height or any(len(r) != width for r in rgb_rows):
+        raise ValueError("pixel grid does not match width/height")
+    n_ch = len(rgb_rows[0][0]) if height and width else 3
+    if n_ch not in (3, 4):
+        raise ValueError("pixels must be RGB or RGBA tuples")
+    color_type = 2 if n_ch == 3 else 6
+    if filter_types is None:
+        filter_types = [0] * height
+    if len(filter_types) != height:
+        raise ValueError("need one filter type per row")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * n_ch)
+    for y in range(height):
+        line = bytes(v & 0xFF for px in rgb_rows[y] for v in px)
+        ft = filter_types[y]
+        raw.append(ft)
+        raw += _filter_scanline(ft, line, prev, n_ch)
+        prev = line
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_walk(data: bytes) -> tuple[tuple[int, int, int, int], bytes]:
+    """Shared chunk walk for the PNG decoders: validates the signature,
+    CRC-checks every chunk, enforces the supported subset (bit depth 8,
+    color type 2/6, compression 0, filter method 0, no interlace), and
+    returns ((width, height, color_type, n_channels), inflated raw
+    filtered scanlines)."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise MediaFormatError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise MediaFormatError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise MediaFormatError(f"bad CRC on {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped, per spec
+        pos += 12 + length
+    if ihdr is None or not idat or not seen_iend:
+        raise MediaFormatError("missing IHDR, IDAT, or IEND chunk")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (2, 6):
+        raise MediaFormatError(
+            f"only 8-bit RGB/RGBA PNG supported (depth={depth}, "
+            f"color_type={color_type})"
+        )
+    if comp != 0 or filt != 0:
+        raise MediaFormatError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise MediaFormatError("Adam7 interlace not supported")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaFormatError(f"bad IDAT zlib stream: {exc}") from exc
+    n_ch = 3 if color_type == 2 else 4
+    if len(raw) != height * (1 + width * n_ch):
+        raise MediaFormatError(
+            f"IDAT decodes to {len(raw)} bytes, expected "
+            f"{height * (1 + width * n_ch)}"
+        )
+    return (width, height, color_type, n_ch), raw
+
+
+def _png_scanlines(data: bytes) -> tuple[int, int, int, int, list[bytearray]]:
+    """Decode to reconstructed (unfiltered) scanlines."""
+    (width, height, color_type, n_ch), raw = _png_walk(data)
+    stride = width * n_ch
+    rows: list[bytearray] = []
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        _unfilter_scanline(ftype, line, prev, n_ch)
+        rows.append(line)
+        prev = bytes(line)
+    return width, height, color_type, n_ch, rows
+
+
+def decode_png(data: bytes) -> dict:
+    """Parse an 8-bit RGB/RGBA PNG; returns width, height, n_pixels,
+    n_channels and EXACT per-channel byte sums (sum_r/g/b, plus sum_a
+    for RGBA) — the same integer-fact surface as decode_bmp, so one
+    oracle shape certifies both codecs."""
+    width, height, color_type, n_ch, rows = _png_scanlines(data)
+    sums = [0, 0, 0, 0]
+    for line in rows:
+        for c in range(n_ch):
+            sums[c] += sum(line[c::n_ch])
+    out = {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "n_channels": n_ch,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
+    }
+    if n_ch == 4:
+        out["sum_a"] = sums[3]
+    return out
+
+
+def decode_png_pixels(data: bytes) -> dict:
+    """Parse an 8-bit RGB/RGBA PNG into the full pixel grid:
+    rgb_rows[y][x] = (r, g, b) with y=0 the TOP row (alpha dropped for
+    RGBA — the perceptual-hash operators consume luma only, matching
+    decode_bmp_pixels' surface)."""
+    width, height, _color_type, n_ch, rows = _png_scanlines(data)
+    grid = [
+        [tuple(line[x * n_ch:x * n_ch + 3]) for x in range(width)]
+        for line in rows
+    ]
+    return {"width": width, "height": height, "rgb_rows": grid}
 
 
 def decode_wav_samples(data: bytes) -> dict:

@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque BinaryType payloads
 with typed metadata, processed via Arrow-batched pandas iterators.
 
-Uncompressed containers (BMP, WAV/PCM) decode for REAL via the
-dependency-free parsers in media_codec.py — `multimodal_decode` and
-`multimodal_features` are both hash-certified through actual encoded
-bytes.  Compressed codecs (PNG, MP4) need libraries this container
+BMP, WAV/PCM, and PNG decode for REAL via the dependency-free parsers
+in media_codec.py (PNG: stdlib zlib inflate + scanline unfilter, round
+8) — `multimodal_decode`, `multimodal_decode_png`, and
+`multimodal_features` are hash-certified through actual encoded bytes,
+and `image_phash_dct_neardup` certifies BMP and PNG pixel recovery in
+one pass (each near-dup pair crosses the codec boundary).  The
+remaining compressed codecs (JPEG, MP4) need libraries this container
 does not ship, so `decode_payload` gates them behind
 NotImplementedError; the schema, binary handling, mapInPandas batch
 shape, and partitioning around that gate are real and tested
-(tests/test_multimodal.py).
+(tests/test_multimodal.py, tests/test_png_codec.py).
 
 100 TB posture: payloads dominate bytes; metadata-only queries must
 never deserialize them (columnar parquet gives that for free — the
@@ -64,15 +67,19 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_payload(payload: bytes, mime: str) -> dict:
-    """Decode one media payload.  Uncompressed containers (BMP, WAV/PCM)
-    decode for REAL via the dependency-free parsers in media_codec.py
-    (certified by `multimodal_decode` and `multimodal_features`);
-    compressed codecs (PNG, MP4) need libraries this environment does
+    """Decode one media payload.  BMP, WAV/PCM, and (since round 8) PNG
+    decode for REAL via the dependency-free parsers in media_codec.py —
+    PNG is stdlib zlib inflate + per-scanline unfilter, no external
+    codec library (certified by `multimodal_decode` /
+    `multimodal_features` / `multimodal_decode_png`); the remaining
+    compressed codecs (JPEG, MP4) need libraries this environment does
     not ship, so they gate behind NotImplementedError."""
     from go_pulsar_elasticsearch_spark.llm import media_codec
 
     if mime in ("image/bmp", "image/x-ms-bmp"):
         return media_codec.decode_bmp(payload)
+    if mime == "image/png":
+        return media_codec.decode_png(payload)
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return media_codec.decode_wav(payload)
     raise NotImplementedError(
@@ -528,6 +535,107 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, kind string, width long, height long, n_units long, "
         "sample_rate long, sum_values long, mean_value double, peak_abs long",
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_decode_png — REAL compressed-image decode (PNG), the round-8
+# closure of the codec gate: stdlib zlib inflate + per-scanline unfilter
+# (media_codec.encode_png/decode_png), no external library.  The corpus
+# deliberately exercises the whole decoder surface: filter type (d+y)%5
+# covers None/Sub/Up/Average/Paeth on every image taller than 4 rows,
+# and every 4th doc is RGBA (color type 6) while the rest are RGB
+# (color type 2).  The oracle recomputes the per-channel sums from the
+# generating arithmetic without ever seeing bytes — a DEFLATE, chunk
+# walk, CRC, or unfilter bug cannot hash-match.
+# --------------------------------------------------------------------------
+
+_DECODE_PNG_ORACLE = """
+WITH png AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS nch
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, nch,
+         SUM((doc_id*5  + 2*(i % w) + (i // w)) % 256) AS sum_r,
+         SUM((doc_id*9  + (i % w) + 2*(i // w)) % 256) AS sum_g,
+         SUM((doc_id*17 + 3*(i % w) + (i // w)) % 256) AS sum_b,
+         SUM((doc_id*23 + (i % w) + (i // w)) % 256) AS sum_a
+  FROM (SELECT doc_id, w, h, nch, unnest(range(0, w*h)) AS i FROM png)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       CAST(nch AS INTEGER) AS n_channels,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w*h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b,
+       CASE WHEN nch = 4 THEN CAST(sum_a AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS sum_a
+FROM px
+"""
+
+
+@register("multimodal_decode_png", _DECODE_PNG_ORACLE)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode over BinaryType payloads: each doc synthesizes an
+    8-bit PNG (RGBA every 4th doc, RGB otherwise; scanline filter type
+    (doc_id + y) % 5, so all five unfilter paths run on real bytes),
+    round-trips it through the real encoder AND parser (stdlib-zlib
+    DEFLATE, chunk CRCs), and emits ONLY parsed values: dimensions from
+    IHDR, exact per-channel byte sums from the reconstructed scanlines.
+
+    At 100 TB this is the production shape for a crawl-image corpus:
+    scan -> mapInPandas, payload bytes stream through Arrow batches,
+    one Python decode per blob, no shuffle at all."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                nch = 4 if d % 4 == 0 else 3
+                grid = [
+                    [
+                        (
+                            (d * 5 + 2 * x + y) % 256,
+                            (d * 9 + x + 2 * y) % 256,
+                            (d * 17 + 3 * x + y) % 256,
+                            (d * 23 + x + y) % 256,
+                        )[:nch]
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                fts = [(d + y) % 5 for y in range(h)]
+                parsed = decode_png(encode_png(w, h, grid, fts))
+                rows.append((
+                    d, parsed["n_channels"], parsed["width"],
+                    parsed["height"], parsed["n_pixels"],
+                    parsed["sum_r"], parsed["sum_g"], parsed["sum_b"],
+                    parsed.get("sum_a"),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_channels", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "sum_a",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, n_channels int, width long, height long, "
+        "n_pixels long, sum_r long, sum_g long, sum_b long, sum_a long",
     )
 
 
@@ -1205,12 +1313,19 @@ SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= {_PHASH_RADIUS}
 @register("image_phash_dct_neardup", _PHASH_ORACLE)
 def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCT perceptual-hash (pHash) image near-dup: synthesize each doc's
-    BMP, round-trip it through the real encoder+parser (media_codec),
-    resample the PARSED pixels to 16x16 grayscale, apply an integer-basis
-    2-D DCT, threshold the 63 AC coefficients of the 8x8 low-frequency
-    block against their median (the 32nd-smallest value — a tie-break-
+    image, round-trip it through a REAL encoder+parser — even doc_ids
+    as 24-bit BMP, odd doc_ids as zlib-compressed PNG with scanline
+    filter (doc_id + y) % 5 (media_codec; round 8) — resample the
+    PARSED pixels to 16x16 grayscale, apply an integer-basis 2-D DCT,
+    threshold the 63 AC coefficients of the 8x8 low-frequency block
+    against their median (the 32nd-smallest value — a tie-break-
     invariant rank statistic), and emit pairs within Hamming distance 3
     via the shared 4x16-bit interleaved band equi-join (never all-pairs).
+
+    The near-dup pairs are (2g, 2g+1), so every certified pair CROSSES
+    the codec boundary: the oracle sees only pixel arithmetic, and the
+    hash matches only if BMP and PNG decoding both recover every pixel
+    exactly — one certification, two codecs.
 
     Catches what aHash misses: the +1-brightness near-dups perturb cell
     means but barely move AC frequency structure, so ~78% land at
@@ -1222,7 +1337,9 @@ def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
     from go_pulsar_elasticsearch_spark.llm.media_codec import (
         decode_bmp_pixels,
+        decode_png_pixels,
         encode_bmp,
+        encode_png,
     )
 
     tune(spark)
@@ -1248,7 +1365,11 @@ def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     for y in range(h)
                 ]
-                parsed = decode_bmp_pixels(encode_bmp(w, h, grid))
+                if d % 2 == 0:
+                    parsed = decode_bmp_pixels(encode_bmp(w, h, grid))
+                else:
+                    fts = [(d + y) % 5 for y in range(h)]
+                    parsed = decode_png_pixels(encode_png(w, h, grid, fts))
                 rows = parsed["rgb_rows"]
                 G = np.empty((n_grid, n_grid), dtype=np.int64)  # G[y][x]
                 for y in range(n_grid):

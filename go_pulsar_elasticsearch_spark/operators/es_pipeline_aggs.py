@@ -245,3 +245,87 @@ def auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# percentiles_bucket  (exact percentiles over sibling-aggregation buckets)
+# --------------------------------------------------------------------------
+
+# ES `percentiles_bucket` is the sibling pipeline agg that summarizes a
+# histogram's bucket VALUES (not raw docs): "what does a p95 day look
+# like".  ES computes it exactly over the materialized bucket list (no
+# TDigest — the bucket frame is small by construction).  Cross-engine
+# determinism: nearest-rank percentiles (value at 1-indexed rank
+# ceil(p*n/100) of the sorted bucket values) — the selected value is an
+# ACTUAL bucket value, so the output stays exact integers; the ceil is
+# integer arithmetic ((p*n + 99) div 100), no float anywhere.
+_PB_PERCENTS = (25, 50, 75, 95, 99)
+
+_PERCENTILES_BUCKET_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM daily
+), pcts AS (
+  SELECT unnest(ARRAY{list(_PB_PERCENTS)}) AS percent
+)
+SELECT event_type, CAST(percent AS INTEGER) AS percent,
+       CAST(cnt AS BIGINT) AS n_buckets,
+       CAST(n AS BIGINT) AS value
+FROM ranked JOIN pcts ON rk = (percent * cnt + 99) // 100
+"""
+
+
+@register("percentiles_bucket", _PERCENTILES_BUCKET_ORACLE)
+def percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``percentiles_bucket`` over a per-event_type daily
+    date_histogram: exact nearest-rank percentiles (25/50/75/95/99) of
+    the daily bucket counts, one row per (event_type, percent), with
+    the bucket census (`n_buckets`) alongside.
+
+    Plan: ONE map-side-combined aggregate to bucket rows, one
+    (event_type) window sort over the bucket-count-sized frame for
+    rank + census, then a row-local explode of the 5 percents and a
+    rank-match filter — no second shuffle, no join.  The percentile
+    value is an actual bucket value selected by integer rank, so the
+    whole op is exact integer arithmetic (hash-certified, unlike
+    interpolated percentiles which would need the float-trap
+    treatment)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "n",
+        F.row_number().over(wp.orderBy("n", "day")).alias("rk"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    return (
+        ranked.select(
+            "event_type",
+            "n",
+            "rk",
+            "cnt",
+            F.explode(
+                F.array(*[F.lit(p) for p in _PB_PERCENTS])
+            ).alias("percent"),
+        )
+        .filter(
+            F.col("rk")
+            == F.expr("(percent * cnt + 99) div 100")
+        )
+        .select(
+            "event_type",
+            F.col("percent").cast("int").alias("percent"),
+            F.col("cnt").cast("long").alias("n_buckets"),
+            F.col("n").cast("long").alias("value"),
+        )
+    )

@@ -123,7 +123,13 @@ def test_terms_set_threshold(spark, sf_dir):
 
 def test_phash_separation(spark, sf_dir):
     """Near-dup pairs (consecutive even/odd doc_ids sharing a base image)
-    dominate the output; unrelated images never collide at radius 3."""
+    dominate the output; unrelated images never collide at radius 3.
+
+    Since round 8 every pair also CROSSES the codec boundary (even
+    doc = BMP round-trip, odd doc = PNG round-trip with all five
+    scanline filters in rotation), so this separation property holding
+    re-pins pHash on PNG inputs: a PNG unfilter/inflate bug would shift
+    the odd side's pixels and break the <=3 Hamming pairing."""
     from go_pulsar_elasticsearch_spark.llm.multimodal import (
         image_phash_dct_neardup,
     )
@@ -132,8 +138,10 @@ def test_phash_separation(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r.hamming <= 3
-        # every emitted pair is a true near-dup: same base image group
+        # every emitted pair is a true near-dup: same base image group,
+        # and (doc_a even, doc_b odd) means one BMP + one PNG member
         assert r.doc_a // 2 == r.doc_b // 2
+        assert r.doc_a % 2 == 0 and r.doc_b % 2 == 1
 
 
 def test_multimodal_keepbest_invariants(spark, sf_dir):

@@ -640,3 +640,41 @@ def test_termvectors_python_recount(spark, sf_dir):
         assert r.positions == ",".join(want_pos)
         assert r.doc_freq == df_counter[r.term]
         assert r.ttf == ttf_counter[r.term]
+
+
+def test_percentiles_bucket_recount(spark, sf_dir):
+    """Recompute the daily histogram independently and check every
+    emitted percentile is the nearest-rank (ceil) order statistic of
+    that series' bucket values, with the census matching."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.operators.es_pipeline_aggs import (
+        _PB_PERCENTS,
+        percentiles_bucket,
+    )
+
+    rows = percentiles_bucket(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list[int]] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append(r["count"])
+    got: dict[tuple, int] = {}
+    for r in rows:
+        assert r.percent in _PB_PERCENTS
+        assert r.n_buckets == len(series[r.event_type])
+        got[(r.event_type, r.percent)] = r.value
+    # every (series, percent) pair is present exactly once, and the
+    # value is sorted_values[ceil(p*n/100) - 1]
+    for et, vals in series.items():
+        vals.sort()
+        n = len(vals)
+        for p in _PB_PERCENTS:
+            rank = (p * n + 99) // 100
+            assert got[(et, p)] == vals[rank - 1], (et, p)
+    assert len(got) == len(series) * len(_PB_PERCENTS) == len(rows)

@@ -21,8 +21,12 @@ def test_payload_schema(spark, sf_dir):
 
 
 def test_compressed_codecs_gate_behind_not_implemented():
+    # PNG decodes for real since round 8; the remaining compressed
+    # codecs (JPEG, MP4) still gate
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\x89PNG", "image/png")
+        decode_payload(b"\xff\xd8\xff\xe0", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_features_match_independent_recomputation(spark, sf_dir):
@@ -174,11 +178,19 @@ def test_wav_rejects_non_pcm_and_garbage():
 def test_decode_payload_routes_real_codecs():
     from go_pulsar_elasticsearch_spark.llm.multimodal import decode_payload
 
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        MediaFormatError,
+        encode_png,
+    )
+
     bmp = encode_bmp(2, 1, [[(9, 9, 9), (1, 1, 1)]])
     assert decode_payload(bmp, "image/bmp")["sum_r"] == 10
     wav = encode_wav(16000, [5, -5])
     assert decode_payload(wav, "audio/wav")["sum_abs"] == 10
-    with pytest.raises(NotImplementedError):
+    png = encode_png(2, 1, [[(9, 9, 9), (1, 1, 1)]])
+    assert decode_payload(png, "image/png")["sum_r"] == 10
+    # a truncated PNG is a format error now, not a missing codec
+    with pytest.raises(MediaFormatError):
         decode_payload(b"\x89PNG", "image/png")
 
 
