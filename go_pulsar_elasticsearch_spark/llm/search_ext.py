@@ -132,6 +132,163 @@ def suggest_term_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# suggest_phrase  (ES phrase suggester: bigram-LM re-ranked corrections)
+# --------------------------------------------------------------------------
+
+# The `phrase` suggester is the term suggester's whole-query upgrade:
+# per-position candidates come from the same edit-distance generator,
+# but the RANKING is a language model over the index's own bigrams —
+# "sprak tabel" should correct to "spark table" not "spark tale"
+# because the corpus says so.  ES's default smoothing is Stupid Backoff
+# (alpha = 0.4): S(w2|w1) = count(w1 w2)/count(w1) when the bigram is
+# attested, else 0.4 * count(w2)/N — no discounting, which is exactly
+# what makes it exact-arithmetic certifiable here (the shipped KN op,
+# llm/lm_score.py, carries the discounted variant for scoring).  Each
+# ln() is rounded to 6 before the sum, the round-6 recipe every LM op
+# in this repo uses for cross-engine determinism.
+# both positions are genuinely ambiguous over the fixture vocabulary
+# ('sar' -> spark/sort/scan, 'sot' -> sort/slow), so the bigram LM — not
+# the edit distance — decides the ranking across the 6 phrase candidates
+_PHRASE_INPUT = ("sar", "sot")
+_PHRASE_SIZE = 5
+_SB_ALPHA = 0.4
+
+_SUGGEST_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+), uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks
+), arr AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(range(1, len(w))) AS i
+          FROM arr WHERE len(w) >= 2)
+  ) GROUP BY w1, w2
+), cand1 AS (
+  SELECT tok AS t1, CAST(levenshtein('{_PHRASE_INPUT[0]}', tok) AS INTEGER)
+           AS d1, c AS c1
+  FROM uni
+  WHERE substr(tok, 1, 1) = substr('{_PHRASE_INPUT[0]}', 1, 1)
+    AND levenshtein('{_PHRASE_INPUT[0]}', tok) <= {_SUGGEST_MAX_EDITS}
+), cand2 AS (
+  SELECT tok AS t2, CAST(levenshtein('{_PHRASE_INPUT[1]}', tok) AS INTEGER)
+           AS d2, c AS cu2
+  FROM uni
+  WHERE substr(tok, 1, 1) = substr('{_PHRASE_INPUT[1]}', 1, 1)
+    AND levenshtein('{_PHRASE_INPUT[1]}', tok) <= {_SUGGEST_MAX_EDITS}
+), scored AS (
+  SELECT t1 || ' ' || t2 AS suggestion, d1 + d2 AS dist,
+         round(ln(CAST(c1 AS DOUBLE) / n_tok), 6)
+         + round(ln(CASE WHEN bi.c2 IS NOT NULL
+                         THEN CAST(bi.c2 AS DOUBLE) / c1
+                         ELSE {_SB_ALPHA} * CAST(cu2 AS DOUBLE) / n_tok
+                    END), 6) AS score
+  FROM cand1 CROSS JOIN cand2 CROSS JOIN n
+  LEFT JOIN bi ON bi.w1 = t1 AND bi.w2 = t2
+)
+SELECT suggestion, CAST(dist AS INTEGER) AS dist, score,
+       CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, suggestion) AS rk
+      FROM scored)
+WHERE rk <= {_PHRASE_SIZE}
+"""
+
+
+@register("suggest_phrase", _SUGGEST_PHRASE_ORACLE)
+def suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``phrase`` suggester for the two-word misspelling
+    'sprak tabel': per-position candidates within edit distance 2
+    sharing the first character (the term suggester's generator), each
+    whole-phrase candidate scored by a Stupid-Backoff bigram LM built
+    from the corpus itself — ln P(c1) + ln S(c2|c1) — and the top 5
+    returned.  An attested bigram beats any backoff pair, so the
+    corpus's own collocations pick the correction.
+
+    Plan: the unigram and bigram count frames are vocabulary-sized
+    aggregates (one exploded pass each over the same scan); candidate
+    generation prunes the vocab frame with the prefix gate before
+    Levenshtein; the candidate cross product is tiny (edit-bounded) and
+    both sides broadcast; the bigram lookup is a LEFT join against the
+    vocabulary-sized bigram frame.  The corpus never re-scans per
+    candidate."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = toks.agg(F.count("*").alias("n_tok"))
+    arr = docs.select(
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("w")
+    )
+    bi = (
+        arr.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count("*").alias("c2"))
+    )
+
+    def cand(term: str, pos: int):
+        d = F.levenshtein(F.lit(term), F.col("tok"))
+        return (
+            uni.filter(
+                (F.substring("tok", 1, 1) == term[0])
+                & (d <= _SUGGEST_MAX_EDITS)
+            )
+            .select(
+                F.col("tok").alias(f"t{pos}"),
+                d.cast("int").alias(f"d{pos}"),
+                F.col("c").alias("c1" if pos == 1 else "cu2"),
+            )
+        )
+
+    backoff = (
+        F.lit(_SB_ALPHA) * F.col("cu2").cast("double") / F.col("n_tok")
+    )
+    seen = F.col("c2").cast("double") / F.col("c1")
+    score = (
+        F.round(F.log(F.col("c1").cast("double") / F.col("n_tok")), 6)
+        + F.round(F.log(F.coalesce(seen, backoff)), 6)
+    )
+    scored = (
+        cand(_PHRASE_INPUT[0], 1)
+        .crossJoin(F.broadcast(cand(_PHRASE_INPUT[1], 2)))
+        .crossJoin(F.broadcast(n))
+        .join(
+            bi,
+            (F.col("w1") == F.col("t1")) & (F.col("w2") == F.col("t2")),
+            "left",
+        )
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("suggestion"),
+            (F.col("d1") + F.col("d2")).cast("int").alias("dist"),
+            score.alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), "suggestion")
+    return (
+        scored.orderBy(F.desc("score"), "suggestion")
+        .limit(_PHRASE_SIZE)
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+# --------------------------------------------------------------------------
 # search_rescore  (ES rescore: window-bounded secondary re-ranking)
 # --------------------------------------------------------------------------
 

@@ -191,3 +191,216 @@ def replace_dataset_in_place(
     os.rename(compacted, data_dir)
     shutil.rmtree(backup)
     return n
+
+
+# --------------------------------------------------------------------------
+# Manifest-pinned versioned datasets (time travel) — the lakehouse
+# completion of the maintenance layer (round-7 VERDICT #7): compaction
+# and targeted deletes PUBLISH numbered manifests over immutable data
+# files, and an as-of reader resolves "the corpus at manifest N", so
+# every delete_keys (right-to-be-forgotten) and compaction is
+# auditable after the fact.
+#
+# Layout (the Iceberg/Delta shape reduced to its portable core):
+#   <ds>/_manifests/manifest-00000.json   file list + op + parent + meta
+#   <ds>/_manifests/_CURRENT              latest version number
+#   <ds>/data/v00000/part-*.parquet       immutable once published
+#
+# Write protocol: (1) new data files land in a fresh data/v{N} dir,
+# (2) the manifest JSON is written to a dot-tmp sibling and renamed in,
+# (3) the _CURRENT pointer is swapped last (os.replace, atomic).  A
+# crash at any point leaves _CURRENT on the previous version with all
+# of that version's files intact — readers can never observe a half
+# state.  Published files are never rewritten: a delete copies only the
+# AFFECTED files' survivors into the new version and carries the rest
+# by reference, so old manifests stay readable (time travel) until an
+# explicit vacuum.
+# --------------------------------------------------------------------------
+
+import json
+
+_MANIFEST_DIR = "_manifests"
+
+
+def _manifest_path(ds_dir: str, version: int) -> str:
+    return os.path.join(ds_dir, _MANIFEST_DIR, f"manifest-{version:05d}.json")
+
+
+def _current_path(ds_dir: str) -> str:
+    return os.path.join(ds_dir, _MANIFEST_DIR, "_CURRENT")
+
+
+def vt_current_version(ds_dir: str) -> int | None:
+    """The published version number, or None for a fresh directory."""
+    try:
+        with open(_current_path(ds_dir)) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def vt_manifest(ds_dir: str, version: int) -> dict:
+    with open(_manifest_path(ds_dir, version)) as fh:
+        return json.load(fh)
+
+
+def vt_history(ds_dir: str) -> list[dict]:
+    """Every published manifest, oldest first — the audit log."""
+    cur = vt_current_version(ds_dir)
+    if cur is None:
+        return []
+    return [vt_manifest(ds_dir, v) for v in range(cur + 1)]
+
+
+def _rel_parquet_files(ds_dir: str, vdir: str) -> list[str]:
+    return sorted(
+        os.path.relpath(os.path.join(vdir, f), ds_dir)
+        for f in os.listdir(vdir)
+        if f.endswith(".parquet")
+    )
+
+
+def _publish_version(
+    ds_dir: str, version: int, op: str, files: list[str], meta: dict
+) -> int:
+    """Steps (2)+(3) of the write protocol: manifest rename, pointer
+    swap.  Refuses to overwrite a published manifest — versions are
+    immutable by construction."""
+    mdir = os.path.join(ds_dir, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = _manifest_path(ds_dir, version)
+    if os.path.exists(mpath):
+        raise FileExistsError(f"manifest v{version} already published")
+    parent = version - 1 if version > 0 else None
+    body = {
+        "version": version,
+        "op": op,
+        "parent": parent,
+        "files": sorted(files),
+        "meta": meta,
+    }
+    tmp = mpath + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(body, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.rename(tmp, mpath)
+    ptmp = _current_path(ds_dir) + f".tmp-{os.getpid()}"
+    with open(ptmp, "w") as fh:
+        fh.write(f"{version}\n")
+    os.replace(ptmp, _current_path(ds_dir))
+    return version
+
+
+def _next_version(ds_dir: str) -> int:
+    cur = vt_current_version(ds_dir)
+    return 0 if cur is None else cur + 1
+
+
+def vt_write(
+    spark: SparkSession, ds_dir: str, df: DataFrame, n_files: int | None = None
+) -> int:
+    """Append a full-snapshot version (v0 for a fresh dataset): the
+    DataFrame's rows become this version's entire file list."""
+    version = _next_version(ds_dir)
+    vdir = os.path.join(ds_dir, "data", f"v{version:05d}")
+    out = df.repartition(n_files) if n_files else df
+    out.write.mode("overwrite").parquet(vdir)
+    files = _rel_parquet_files(ds_dir, vdir)
+    return _publish_version(
+        ds_dir, version, "write", files, {"n_files": len(files)}
+    )
+
+
+def vt_read(
+    spark: SparkSession, ds_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Read the dataset AS OF manifest ``as_of`` (default: current).
+    Every version resolves to the exact immutable files its manifest
+    pinned, so an as-of read reproduces that state byte-identically —
+    the auditability story for delete_keys and compaction."""
+    version = vt_current_version(ds_dir) if as_of is None else as_of
+    if version is None:
+        raise FileNotFoundError(f"no published version in {ds_dir}")
+    man = vt_manifest(ds_dir, version)
+    return spark.read.parquet(
+        *[os.path.join(ds_dir, f) for f in man["files"]]
+    )
+
+
+def vt_compact(
+    spark: SparkSession,
+    ds_dir: str,
+    target_file_mb: int = _DEFAULT_TARGET_MB,
+    n_files: int | None = None,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """compact_dataset's versioned flavor: rewrite the CURRENT file
+    list into ~target-sized (optionally clustered) files and publish
+    them as the next manifest.  The pre-compaction version stays
+    readable via vt_read(as_of=...)."""
+    version = _next_version(ds_dir)
+    man = vt_manifest(ds_dir, version - 1)
+    src_bytes = sum(
+        os.path.getsize(os.path.join(ds_dir, f)) for f in man["files"]
+    )
+    n = n_files if n_files is not None else max(
+        1, -(-src_bytes // (target_file_mb * 1024 * 1024))
+    )
+    df = vt_read(spark, ds_dir, as_of=version - 1)
+    if cluster_by:
+        out = df.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n)
+    vdir = os.path.join(ds_dir, "data", f"v{version:05d}")
+    out.write.mode("overwrite").parquet(vdir)
+    files = _rel_parquet_files(ds_dir, vdir)
+    return _publish_version(
+        ds_dir, version, "compact",
+        files, {"n_files": len(files), "cluster_by": cluster_by or []},
+    )
+
+
+def vt_delete_keys(
+    spark: SparkSession, ds_dir: str, key_col: str, keys: list
+) -> int:
+    """delete_keys' versioned flavor: survivors of the AFFECTED files
+    are rewritten into the new version's dir; unaffected files carry
+    over BY REFERENCE (published files are immutable).  The pre-delete
+    state stays readable as-of the parent manifest — which is exactly
+    what makes a right-to-be-forgotten pass auditable: the audit log
+    (vt_history) records which version dropped how many rows, and a
+    regulator can diff the two pinned states."""
+    version = _next_version(ds_dir)
+    man = vt_manifest(ds_dir, version - 1)
+    df = vt_read(spark, ds_dir, as_of=version - 1)
+    hit = F.col(key_col).isin(keys)
+    keep = F.col(key_col).isNull() | ~hit
+    affected_abs = {
+        r["_f"][len("file://"):] if r["_f"].startswith("file://") else r["_f"]
+        for r in df.filter(hit)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    }
+    affected_rel = {
+        os.path.relpath(p, os.path.abspath(ds_dir)) for p in affected_abs
+    }
+    carried = [f for f in man["files"] if f not in affected_rel]
+    new_files: list[str] = []
+    rows_deleted = 0
+    if affected_abs:
+        part = spark.read.parquet(*sorted(affected_abs))
+        rows_deleted = part.filter(hit).count()
+        vdir = os.path.join(ds_dir, "data", f"v{version:05d}")
+        part.filter(keep).coalesce(1).write.mode("overwrite").parquet(vdir)
+        new_files = _rel_parquet_files(ds_dir, vdir)
+    return _publish_version(
+        ds_dir, version, "delete", carried + new_files,
+        {
+            "rows_deleted": rows_deleted,
+            "files_rewritten": len(affected_rel),
+            "files_carried": len(carried),
+        },
+    )

@@ -17,6 +17,8 @@ stream with the previous snapshot unioned in — identical plan shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -432,6 +434,84 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+# --------------------------------------------------------------------------
+# time_travel_read  (manifest-pinned as-of reads over the maintenance
+# layer: write -> delete -> compact publish numbered manifests, the
+# CURRENT state is hash-certified, and every prior state stays
+# readable — the lakehouse completion of the reference's daily rollover
+# (es.go:78-116's dated indices are exactly a poor man's manifest log))
+# --------------------------------------------------------------------------
+
+_TT_DEL_MOD = 97  # delete keys: doc_id % 97 == 0 (the forget-me set)
+
+
+def _tt_fixture_dir(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    key = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|vt|{_TT_DEL_MOD}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "gpe_vt", f"tt-{key}")
+
+
+def _tt_build_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the 3-version dataset: v0 full snapshot,
+    v1 targeted delete (doc_id % 97 == 0), v2 compaction.  A _READY
+    marker written after v2 makes a crashed half-build self-heal by
+    rebuild (versions are immutable, so a finished build never
+    changes)."""
+    from go_pulsar_elasticsearch_spark import maintenance as mt
+
+    ds = _tt_fixture_dir(sf_dir)
+    ready = os.path.join(ds, "_FIXTURE_READY")
+    if os.path.exists(ready):
+        return ds
+    import shutil
+
+    shutil.rmtree(ds, ignore_errors=True)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mt.vt_write(spark, ds, docs, n_files=4)
+    forget = [
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % _TT_DEL_MOD == 0)
+        .select("doc_id")
+        .collect()
+    ]  # the external right-to-be-forgotten key list; bounded (1/97 of ids)
+    mt.vt_delete_keys(spark, ds, "doc_id", forget)
+    mt.vt_compact(spark, ds, n_files=2)
+    with open(ready, "w") as fh:
+        fh.write("ok\n")
+    return ds
+
+
+_TT_ORACLE = f"""
+SELECT doc_id, n_chars FROM documents WHERE doc_id % {_TT_DEL_MOD} <> 0
+"""
+
+
+@register("time_travel_read", _TT_ORACLE)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENT-state read of a manifest-pinned versioned dataset after
+    a write -> delete_keys -> compact history: the certified rows must
+    equal the original corpus minus the deleted key set, proving the
+    manifest chain (including the carried-by-reference files of the
+    delete and the compaction rewrite) resolves to exactly the right
+    bytes.  The as-of reads of v0/v1 and the audit log are pinned in
+    tests/test_maintenance.py.
+
+    100 TB shape: a manifest read is metadata-sized (one JSON of file
+    paths); the data scan is pruned to exactly the pinned files — time
+    travel costs nothing at read time beyond pointer resolution, which
+    is the entire point of manifest-over-directory layouts (Iceberg/
+    Delta do precisely this with more metadata levels)."""
+    from go_pulsar_elasticsearch_spark import maintenance as mt
+
+    tune(spark)
+    ds = _tt_build_fixture(spark, sf_dir)
+    return mt.vt_read(spark, ds).select("doc_id", "n_chars")
 
 
 # --------------------------------------------------------------------------

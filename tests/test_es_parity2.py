@@ -678,3 +678,120 @@ def test_percentiles_bucket_recount(spark, sf_dir):
             rank = (p * n + 99) // 100
             assert got[(et, p)] == vals[rank - 1], (et, p)
     assert len(got) == len(series) * len(_PB_PERCENTS) == len(rows)
+
+
+def test_suggest_phrase_lm_recount(spark, sf_dir):
+    """Recompute the Stupid-Backoff phrase scores in plain Python from
+    the parquet and check the suggester's ranking matches; also pin
+    that at least one candidate pair rides an ATTESTED bigram (score
+    via c2/c1, not backoff), so the LM leg is exercised."""
+    import math as m
+
+    from go_pulsar_elasticsearch_spark.llm.search_ext import (
+        _PHRASE_INPUT,
+        _PHRASE_SIZE,
+        _SB_ALPHA,
+        _SUGGEST_MAX_EDITS,
+        suggest_phrase,
+    )
+
+    rows = suggest_phrase(spark, sf_dir).collect()
+    assert rows and len(rows) <= _PHRASE_SIZE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    n_tok = 0
+    for r in docs:
+        w = [x for x in r.text.split(" ") if x]
+        n_tok += len(w)
+        for tok in w:
+            uni[tok] = uni.get(tok, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def cands(term):
+        return {
+            v: lev(term, v) for v in uni
+            if v[0] == term[0] and lev(term, v) <= _SUGGEST_MAX_EDITS
+        }
+
+    c1s, c2s = cands(_PHRASE_INPUT[0]), cands(_PHRASE_INPUT[1])
+    assert len(c1s) >= 2 and len(c2s) >= 2  # genuinely ambiguous inputs
+    expect = {}
+    any_attested = False
+    for t1 in c1s:
+        for t2 in c2s:
+            if (t1, t2) in bi:
+                s2 = bi[(t1, t2)] / uni[t1]
+                any_attested = True
+            else:
+                s2 = _SB_ALPHA * uni[t2] / n_tok
+            expect[f"{t1} {t2}"] = (
+                round(m.log(uni[t1] / n_tok), 6) + round(m.log(s2), 6)
+            )
+    assert any_attested
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rk, r in enumerate(sorted(rows, key=lambda r: r.rk), 1):
+        assert r.rk == rk
+        assert r.suggestion == want[rk - 1][0]
+        assert m.isclose(r.score, want[rk - 1][1], rel_tol=1e-9)
+
+
+def test_significant_text_recount(spark, sf_dir):
+    """Recompute JLH from the span-deduplicated text (via the
+    independently certified dup_span_remove transform) and check every
+    emitted row; also pin the duplicate filter's effect: statistics
+    must come from the CLEANED text, not the originals."""
+    import math as m
+
+    from go_pulsar_elasticsearch_spark.llm.dedup import dup_span_remove
+    from go_pulsar_elasticsearch_spark.llm.hybrid import (
+        _SIGTEXT_MIN_DF,
+        _SIGTEXT_TERM,
+        _SIGTEXT_TOPN,
+        significant_text,
+    )
+
+    rows = significant_text(spark, sf_dir).collect()
+    assert rows
+    cleaned = {
+        r.doc_id: r.cleaned_text
+        for r in dup_span_remove(spark, sf_dir).collect()
+    }
+    orig = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    fg_ids = {d for d, t in orig.items() if _SIGTEXT_TERM in t.split(" ")}
+    fg_n, bg_n = len(fg_ids), len(orig)
+    fg_df: dict[str, int] = {}
+    bg_df: dict[str, int] = {}
+    for d, t in cleaned.items():
+        for term in {x for x in t.split(" ") if x}:
+            bg_df[term] = bg_df.get(term, 0) + 1
+            if d in fg_ids:
+                fg_df[term] = fg_df.get(term, 0) + 1
+    scored = {}
+    for term, bgd in bg_df.items():
+        fgd = fg_df.get(term, 0)
+        fgp, bgp = fgd / fg_n, bgd / bg_n
+        if fgd >= _SIGTEXT_MIN_DF and fgp > bgp:
+            scored[term] = round((fgp - bgp) * (fgp / bgp), 6)
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert len(rows) == min(_SIGTEXT_TOPN, len(want))
+    for r in sorted(rows, key=lambda r: r.rk):
+        w_term, w_jlh = want[r.rk - 1]
+        assert r.term == w_term
+        assert m.isclose(r.jlh, w_jlh, rel_tol=1e-9)
+        assert r.fg_df == fg_df.get(r.term, 0) and r.bg_df == bg_df[r.term]

@@ -206,3 +206,99 @@ def test_plan_file_count_scales_with_bytes(tmp_path):
     assert plan_file_count(str(d), 128) == 3  # ceil(320/128)
     assert plan_file_count(str(d), 64) == 5
     assert plan_file_count(str(d), 10**6) == 1
+
+
+# --------------------------------------------------------------------------
+# manifest-pinned time travel (round-7 VERDICT #7)
+# --------------------------------------------------------------------------
+
+
+def test_time_travel_reproduces_every_state(spark, sf_dir, tmp_path):
+    """write -> compact -> delete: each manifest stays readable and an
+    as-of read reproduces that state's exact rows; published data
+    files are never rewritten (byte-identity by immutability)."""
+    import hashlib
+
+    from go_pulsar_elasticsearch_spark.maintenance import (
+        vt_compact,
+        vt_current_version,
+        vt_delete_keys,
+        vt_history,
+        vt_read,
+        vt_write,
+    )
+
+    ds = str(tmp_path / "vt")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n_all = ev.count()
+
+    def state(v):
+        return {tuple(r) for r in vt_read(spark, ds, as_of=v).collect()}
+
+    def file_hashes(v):
+        from go_pulsar_elasticsearch_spark.maintenance import vt_manifest
+
+        out = {}
+        for f in vt_manifest(ds, v)["files"]:
+            with open(os.path.join(ds, f), "rb") as fh:
+                out[f] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    assert vt_write(spark, ds, ev, n_files=6) == 0
+    s0 = state(0)
+    h0 = file_hashes(0)
+    assert len(s0) == n_all
+
+    # clustered compaction localizes each key range to one file — the
+    # layout that lets the later delete carry untouched files
+    assert vt_compact(spark, ds, n_files=2, cluster_by=["event_id"]) == 1
+    s1 = state(1)
+    assert s1 == s0  # compaction changes layout, never content
+
+    lo = ev.agg(F.min("event_id")).first()[0]
+    forget = [
+        r.event_id for r in ev.filter(F.col("event_id") < lo + 30).collect()
+    ]
+    assert forget
+    assert vt_delete_keys(spark, ds, "event_id", forget) == 2
+    s2 = state(2)
+    assert s2 == {r for r in s1 if r[0] not in set(forget)}
+
+    # time travel: every prior state still reads back exactly, and the
+    # files v0 pinned are byte-identical to what v0 published
+    assert state(0) == s0 and state(1) == s1
+    assert file_hashes(0) == h0
+    assert vt_current_version(ds) == 2
+
+    # audit log: ops, parentage, and the delete's accounting
+    hist = vt_history(ds)
+    assert [m["op"] for m in hist] == ["write", "compact", "delete"]
+    assert [m["parent"] for m in hist] == [None, 0, 1]
+    assert hist[2]["meta"]["rows_deleted"] == n_all - len(s2)
+    # delete carried at least one untouched file by reference
+    assert hist[2]["meta"]["files_carried"] >= 1
+    carried = set(hist[1]["files"]) & set(hist[2]["files"])
+    assert len(carried) == hist[2]["meta"]["files_carried"]
+
+
+def test_time_travel_crash_safety_and_immutability(spark, sf_dir, tmp_path):
+    """The _CURRENT pointer only ever moves after a complete manifest;
+    a version can never be republished; reading a never-published
+    version fails loudly."""
+    import pytest
+
+    from go_pulsar_elasticsearch_spark.maintenance import (
+        _publish_version,
+        vt_read,
+        vt_write,
+    )
+
+    ds = str(tmp_path / "vt2")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt_write(spark, ds, docs, n_files=2)
+    with pytest.raises(FileExistsError):
+        _publish_version(ds, 0, "write", [], {})
+    with pytest.raises(FileNotFoundError):
+        vt_read(spark, ds, as_of=7)
