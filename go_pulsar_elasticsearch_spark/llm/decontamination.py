@@ -465,34 +465,44 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # downstream, the closed-form oracle hash-checks the result)
 # --------------------------------------------------------------------------
 
-_BLOOM_STREAM_STATE: dict[str, str] = {}
-
-
 def _drive_bloom_stream(spark: SparkSession, sf_dir: str) -> str:
     """Drain the TRAIN split through the streaming Bloom monitor once
-    per (process, sf_dir); later invocations reuse the store."""
-    if sf_dir in _BLOOM_STREAM_STATE:
-        return _BLOOM_STREAM_STATE[sf_dir]
-    import tempfile
+    per (process, sf_dir) via the shared fixture (streaming/drain.py);
+    later invocations reuse the store."""
+    import os
 
-    from go_pulsar_elasticsearch_spark.streaming import bloom_monitor as bm
-
-    base = tempfile.mkdtemp(prefix="gpe-bloomstream-")
-    src = f"{base}/src"
-    train = (
-        t(spark, sf_dir, "documents")
-        .filter(_md5_bucket("doc_id") < _TRAIN_LT)
-        .select("doc_id", "text")
+    from go_pulsar_elasticsearch_spark.streaming.bloom_monitor import (
+        write_epoch,
     )
-    # three uneven micro-batches; epoch boundaries cut through gram
-    # space so the merged bitmap genuinely composes across epochs
-    for m in range(3):
-        train.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-    bm.run_bloom_monitor(spark, src, f"{base}/store", f"{base}/ckpt")
-    _BLOOM_STREAM_STATE[sf_dir] = f"{base}/store"
-    return _BLOOM_STREAM_STATE[sf_dir]
+    from go_pulsar_elasticsearch_spark.streaming.drain import (
+        drain_file_stream,
+        drained,
+    )
+
+    def build() -> str:
+        train = (
+            t(spark, sf_dir, "documents")
+            .filter(_md5_bucket("doc_id") < _TRAIN_LT)
+            .select("doc_id", "text")
+        )
+
+        def factory(base: str):
+            store = os.path.join(base, "store")
+            return lambda df, eid: write_epoch(df, store, epoch_id=eid)
+
+        # three uneven micro-batches; epoch boundaries cut through gram
+        # space so the merged bitmap genuinely composes across epochs
+        base = drain_file_stream(
+            spark,
+            train,
+            "doc_id long, text string",
+            [F.col("doc_id") % 3 == m for m in range(3)],
+            factory,
+            "gpe-bloomstream-",
+        )
+        return os.path.join(base, "store")
+
+    return drained(("bloom_stream", sf_dir), build)
 
 
 @register("decontam_bloom_stream", _DECONTAM_ORACLE)

@@ -292,16 +292,19 @@ def read_dispositions(
 
 
 def _drive(spark: SparkSession, sf_dir: str) -> tuple:
-    """Seed + drain the hand-rolled loop once per (process, sf_dir)."""
-    if sf_dir in _LOOP_STATE:
-        return _LOOP_STATE[sf_dir]
-    broker, es_state, url = seed_delivery_fixture(spark, sf_dir, _N_LOOP)
-    metrics = run_delivery_loop(
-        spark, broker, _TOPIC, _SUB, url, batch_size=5000
-    )
-    assert metrics["dlq_routed"] == len(es_state.fail_ids), metrics
-    _LOOP_STATE[sf_dir] = (broker, es_state, url)
-    return _LOOP_STATE[sf_dir]
+    """Seed + drain the hand-rolled loop once per (process, sf_dir) —
+    memoized through the shared fixture (streaming/drain.py)."""
+    from go_pulsar_elasticsearch_spark.streaming.drain import drained
+
+    def build() -> tuple:
+        broker, es_state, url = seed_delivery_fixture(spark, sf_dir, _N_LOOP)
+        metrics = run_delivery_loop(
+            spark, broker, _TOPIC, _SUB, url, batch_size=5000
+        )
+        assert metrics["dlq_routed"] == len(es_state.fail_ids), metrics
+        return broker, es_state, url
+
+    return drained(("pulsar_loop", sf_dir), build)
 
 
 @register("pulsar_delivery_loop", _DELIVERY_ORACLE)
@@ -323,22 +326,26 @@ def _drive_stream(spark: SparkSession, sf_dir: str) -> tuple:
     foreachBatch(decode -> _bulk -> ack/nack) under a checkpoint — the
     reference's channel wiring (main.go:250-282) run by the engine's
     own trigger/offset machinery instead of a driver while-loop."""
-    if sf_dir in _STREAM_STATE:
-        return _STREAM_STATE[sf_dir]
-    from go_pulsar_elasticsearch_spark.sources.pulsar_stream import (
-        run_delivery_stream,
-    )
+    from go_pulsar_elasticsearch_spark.streaming.drain import drained
 
-    # batch_size 1000 drains 2k messages in ~2 initial micro-batches +
-    # the redelivery waves — the engine's per-batch overhead, not the
-    # wire, dominates this harness, so fewer batches = faster cert
-    broker, es_state, url = seed_delivery_fixture(spark, sf_dir, _N_STREAM)
-    metrics = run_delivery_stream(
-        spark, broker, _TOPIC, _SUB, url, batch_size=1000
-    )
-    assert metrics["dlq_routed"] == len(es_state.fail_ids), metrics
-    _STREAM_STATE[sf_dir] = (broker, es_state, url)
-    return _STREAM_STATE[sf_dir]
+    def build() -> tuple:
+        from go_pulsar_elasticsearch_spark.sources.pulsar_stream import (
+            run_delivery_stream,
+        )
+
+        # batch_size 1000 drains 2k messages in ~2 initial micro-batches
+        # + the redelivery waves — the engine's per-batch overhead, not
+        # the wire, dominates this harness, so fewer batches = faster
+        broker, es_state, url = seed_delivery_fixture(
+            spark, sf_dir, _N_STREAM
+        )
+        metrics = run_delivery_stream(
+            spark, broker, _TOPIC, _SUB, url, batch_size=1000
+        )
+        assert metrics["dlq_routed"] == len(es_state.fail_ids), metrics
+        return broker, es_state, url
+
+    return drained(("pulsar_stream", sf_dir), build)
 
 
 @register("pulsar_delivery_stream", _STREAM_ORACLE)

@@ -143,20 +143,17 @@ def run_bloom_monitor(
     spark: SparkSession, src_path: str, store_path: str, checkpoint: str
 ) -> None:
     """Drive the monitor over a parquet-file stream of (doc_id, text)
-    rows, one micro-batch per file, draining everything."""
+    rows, one micro-batch per file, draining everything (the shared
+    fixture's bounded availableNow drain — streaming/drain.py)."""
+    from go_pulsar_elasticsearch_spark.streaming.drain import drain_stream
+
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_path)
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, eid: write_epoch(df, store_path, epoch_id=eid)
-        )
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    drain_stream(
+        stream,
+        lambda df, eid: write_epoch(df, store_path, epoch_id=eid),
+        checkpoint,
     )
-    if not q.awaitTermination(180):
-        q.stop()
-        raise TimeoutError("bloom monitor drain did not finish within 180s")

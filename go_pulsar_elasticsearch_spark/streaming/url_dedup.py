@@ -110,13 +110,41 @@ def run_incremental_url_dedup(
 # --------------------------------------------------------------------------
 
 
-def run_crawl_corpus_stream(
-    source: DataFrame, spool_path: str, store_path: str, checkpoint: str
+# second store off the same drained stream (round-7 VERDICT #5): the
+# per-source crawl census — bucket -> fetched docs + bytes — as
+# epoch-keyed SUM partials.  Counts and sums are associative, so the
+# merged view equals the batch aggregate over everything spooled; it
+# certifies `crawl_stats_stream` without its own drain.
+_STATS_SCHEMA = "bucket long, n_docs long, n_chars long"
+_STATS_BUCKETS = 8
+
+
+def _stats_partial(batch_df: DataFrame) -> DataFrame:
+    return batch_df.groupBy(
+        (F.col("doc_id") % _STATS_BUCKETS).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+def read_stats_store(spark: SparkSession, stats_path: str) -> DataFrame:
+    partials = read_store_or_empty(spark, stats_path, _STATS_SCHEMA)
+    return partials.groupBy("bucket").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+def crawl_batch_body(
+    spool_path: str, store_path: str, stats_path: str | None = None
 ):
-    """Stream (doc_id, raw_url, text) crawl records: spool the raw rows
-    and maintain the URL keep-best partials, both epoch-keyed and
-    replay-idempotent.  The batch's n_chars for keep-best accounting is
-    the text length (the crawl fetch size)."""
+    """The crawl drain's foreachBatch body: spool the raw rows and
+    maintain the URL keep-best partials — plus, when ``stats_path`` is
+    given, the per-bucket crawl census — ALL epoch-keyed and
+    replay-idempotent off the one stream.  Shared by
+    run_crawl_corpus_stream and the registered drive
+    (ingest/crawl_pipeline._drive_crawl_stream)."""
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.persist()
@@ -130,11 +158,31 @@ def run_crawl_corpus_stream(
                 store_path,
                 epoch_id,
             )
+            if stats_path is not None:
+                _stats_partial(batch_df).write.mode("overwrite").parquet(
+                    f"{stats_path}/epoch={epoch_id}"
+                )
         finally:
             batch_df.unpersist()
 
+    return body
+
+
+def run_crawl_corpus_stream(
+    source: DataFrame,
+    spool_path: str,
+    store_path: str,
+    checkpoint: str,
+    stats_path: str | None = None,
+):
+    """Wire a streaming (doc_id, raw_url, text) source through
+    crawl_batch_body; returns the started query.  The batch's n_chars
+    for keep-best accounting is the text length (the crawl fetch
+    size)."""
     return (
-        source.writeStream.foreachBatch(body)
+        source.writeStream.foreachBatch(
+            crawl_batch_body(spool_path, store_path, stats_path)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -162,66 +210,54 @@ def finalize_crawl_corpus(
 # registered certification: the incremental store vs the batch oracle
 # --------------------------------------------------------------------------
 
-def _write_ordered_batches(df: DataFrame, src: str, ranges) -> None:
-    """Write one parquet file per doc_id range and stamp STRICTLY
-    INCREASING mtimes so FileStreamSource (which orders pending files
-    by (mtime, path)) is guaranteed to deliver the micro-batches in
-    write order — the epoch-flip coverage depends on it."""
-    import glob
-    import os
-    import time
-
-    from pyspark.sql import functions as _F
-
-    stamped: set[str] = set()
-    t0 = time.time()
-    for i, (lo, hi) in enumerate(ranges):
-        df.filter(
-            (_F.col("doc_id") >= lo) & (_F.col("doc_id") < hi)
-        ).coalesce(1).write.mode("append").parquet(src)
-        for f in glob.glob(os.path.join(src, "*.parquet")):
-            if f not in stamped:
-                os.utime(f, (t0 + 10 * i, t0 + 10 * i))
-                stamped.add(f)
-
-
-# drained state per (process, sf_dir): the drain runs once; later
-# invocations re-read the accumulated store (train-once/probe-many,
-# the crawl_corpus_stream pattern)
-_URL_STREAM_STATE: dict[str, str] = {}
+# the epoch split every file-sourced certification drain uses: three
+# uneven micro-batches with the boundary mid-URL-group AND the low
+# doc_ids delivered LAST — the final epoch carries a lower doc_id for
+# already-seen canonical URLs, so min(kept_doc_id) must genuinely FLIP
+# at merge time (a merge that kept first-seen winners instead of
+# re-aggregating would fail the hash).
+_FLIP_RANGES = ((40, 41), (41, 1 << 62), (0, 40))
 
 
 def _drive_url_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the mangled-URL stream once per (process, sf_dir) through
+    the shared fixture (streaming/drain.py); later invocations reuse
+    the accumulated store (train-once/probe-many)."""
     import os
-    import tempfile
 
-    if sf_dir in _URL_STREAM_STATE:
-        return _URL_STREAM_STATE[sf_dir]
-    from go_pulsar_elasticsearch_spark.catalog import t
-    from go_pulsar_elasticsearch_spark.ingest.urlnorm import _mangled
-
-    base = tempfile.mkdtemp(prefix="gpe-urlstream-")
-    src = os.path.join(base, "src")
-    m = _mangled(t(spark, sf_dir, "documents"))
-    # three uneven micro-batches with the boundary mid-URL-group AND
-    # the low doc_ids delivered LAST: the final epoch carries a lower
-    # doc_id for already-seen canonical URLs, so min(kept_doc_id) must
-    # genuinely FLIP at merge time (a merge that kept first-seen
-    # winners instead of re-aggregating would fail the hash).
-    # FileStreamSource orders pending files by (mtime, path) — the
-    # explicit utime stamping below pins delivery to write order even
-    # if two sequential writes land in one timestamp tick.
-    _write_ordered_batches(m, src, ((40, 41), (41, 1 << 62), (0, 40)))
-    stream = (
-        spark.readStream.schema("doc_id long, n_chars long, raw_url string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    from go_pulsar_elasticsearch_spark.streaming.drain import (
+        drain_file_stream,
+        drained,
+        id_range_predicates,
     )
-    store = os.path.join(base, "store")
-    q = run_incremental_url_dedup(stream, store, os.path.join(base, "ckpt"))
-    q.awaitTermination()
-    _URL_STREAM_STATE[sf_dir] = store
-    return store
+
+    def build() -> str:
+        from go_pulsar_elasticsearch_spark.catalog import t
+        from go_pulsar_elasticsearch_spark.ingest.urlnorm import _mangled
+
+        m = _mangled(t(spark, sf_dir, "documents"))
+
+        def factory(base: str):
+            store = os.path.join(base, "store")
+
+            def body(batch_df: DataFrame, epoch_id: int) -> None:
+                url_dedup_batch(
+                    batch_df.sparkSession, batch_df, store, epoch_id
+                )
+
+            return body
+
+        base = drain_file_stream(
+            spark,
+            m,
+            "doc_id long, n_chars long, raw_url string",
+            id_range_predicates(F.col("doc_id"), _FLIP_RANGES),
+            factory,
+            "gpe-urlstream-",
+        )
+        return os.path.join(base, "store")
+
+    return drained(("url_stream", sf_dir), build)
 
 
 def _register() -> None:

@@ -54,6 +54,11 @@ _GLOBAL_WINDOW_OK = {
                               # window (<= 50 rows by ES contract)
     "sampler_diversified_agg",  # global rank over the post-limit sample
                                 # (<= shard_size=20 rows)
+    "significant_text",       # rank over the post-limit top-15 rows only
+                              # (TakeOrderedAndProject feeds the window,
+                              # the significant_terms pattern)
+    "suggest_phrase",         # rank over the post-limit top-5 phrase
+                              # candidates (edit-bounded, tiny)
 }
 
 

@@ -539,13 +539,17 @@ def test_url_dedup_stream_converges_to_batch(spark, sf_dir):
     )
     from go_pulsar_elasticsearch_spark.registry import QUERIES
 
+    from go_pulsar_elasticsearch_spark.streaming import drain
+
     fn = QUERIES["url_canonical_dedup_stream"]
     got = {tuple(r) for r in fn(spark, sf_dir).collect()}
     want = {tuple(r) for r in url_canonical_dedup(spark, sf_dir).collect()}
     assert got == want
-    store_before = dict(ud._URL_STREAM_STATE)
+    key = ("url_stream", sf_dir)
+    store_before = drain._DRAINED[key]
     fn(spark, sf_dir).collect()
-    assert ud._URL_STREAM_STATE == store_before  # drained once, reused
+    assert drain._DRAINED[key] is store_before  # drained once, reused
+    del ud
     # the epoch FLIP the drivers are engineered for actually happened:
     # some canonical URL's winning (minimum) kept_doc_id lives in a
     # LATER epoch partial than the URL's first appearance — so the
@@ -554,7 +558,7 @@ def test_url_dedup_stream_converges_to_batch(spark, sf_dir):
     import os
     import re
 
-    store = store_before[sf_dir]
+    store = store_before
     by_url: dict[str, list[tuple[int, int]]] = {}
     for d in sorted(glob.glob(os.path.join(store, "epoch=*"))):
         epoch = int(re.search(r"epoch=(\d+)", d).group(1))
