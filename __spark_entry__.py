@@ -5,21 +5,22 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 7): 276 registered queries, 263 with oracles (new this
-round: the composed crawl->corpus FLAGSHIP `crawl_corpus_pipeline` —
-WARC ingest with mangled Target-URIs -> canonical-URL keep-best ->
-gopher gate -> MinHash near-dup drop -> duplicate-span excision ->
-token-budget packing, ONE chained oracle, hash-green at three SFs and
-on the 100x-mutated corpus — its STREAMING twin `crawl_corpus_stream`
-certified by the same oracle, the crawl-frontier politeness scheduler,
-and the delivery stream rebuilt SINK-NATIVE: both channel ends are
-engine-owned DataSources with ack/nack driven by the sink's epoch
-commit over the broker wire; second half: the hash-certified ES geo
-surface — Morton-coded geohash grid, bounding box, Taylor-cos
-distance — `decontam_bloom_prefilter` certified by the exact op's own
-oracle, `html_extract_main` boilerplate removal, and exact
-`adjacency_matrix_agg`/`percentile_ranks_agg`).
-The thirteen rows-only entries are approximate/float/iterative by
+State (round 8): 315 registered queries, 300 with oracles (new this
+round: dependency-free PNG and GIF codecs — stdlib zlib inflate +
+scanline unfilter types 0-4 for PNG, a real variable-code-width LZW
+both directions for GIF — certified by `multimodal_decode_png` /
+`multimodal_decode_gif` and by `image_phash_dct_neardup`, whose every
+near-dup pair now CROSSES the BMP/PNG codec boundary; `dup_span_remove_maximal`, the
+Lee-et-al. variable-length substring dedup via gram-anchored
+extend-and-merge with the span census in the certified hash;
+`significant_text` (JLH over duplicate-filtered free text) and the
+`suggest_phrase` bigram-LM did-you-mean completing the ES suggester
+pair; `percentiles_bucket`, the last pipeline agg; manifest-pinned
+time travel over the maintenance layer certified by
+`time_travel_read`; and `crawl_stats_stream`, a second certified
+store riding the crawl drain — the streaming harnesses now share one
+drain fixture, streaming/drain.py).
+The fifteen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
@@ -34,7 +35,10 @@ asserted in tests), ``embedding_pca_project`` (eigendecomposition —
 row-for-row vs numpy in tests), ``bpe_encode`` (iterative greedy merge
 training — token-for-token vs an independent reference in tests),
 ``sketch_union_hll`` (Datasketches HLL estimates, 5%-bound asserted in
-tests), and ``stream_ingest_e2e`` (streaming drain).  Even
+tests), ``unigram_tokenizer_train`` / ``unigram_encode_fertility``
+(SentencePiece-style hard-EM training — Viterbi==brute-force and
+property sweeps in tests/test_unigram.py), and ``stream_ingest_e2e``
+(streaming drain).  Even
 the iterative k-means training and 3-iteration PageRank are oracled
 (unrolled exact-decimal CTE iterations), and the Avro decode is
 certified as a real binary round-trip.

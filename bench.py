@@ -105,6 +105,11 @@ HEADLINE = [
     "crawl_corpus_pipeline",
     "graph_clustering_coeff",
     "ann_pq_append",
+    # round 8 flagships: real PNG decode, maximal-substring dedup,
+    # manifest-pinned time travel
+    "multimodal_decode_png",
+    "dup_span_remove_maximal",
+    "time_travel_read",
 ]
 
 # Host-speed canaries (round-6 VERDICT #6): tpch_q5/q6/q18 have been

@@ -1,22 +1,25 @@
 """Dependency-free media codecs: BMP (24-bit BITMAPINFOHEADER), WAV
-(RIFF/PCM 16-bit), and PNG (8-bit RGB/RGBA, stdlib zlib inflate +
-per-scanline unfilter).
+(RIFF/PCM 16-bit), PNG (8-bit RGB/RGBA, stdlib zlib inflate +
+per-scanline unfilter), and GIF (87a/89a single-frame, real
+variable-code-width LZW both directions).
 
 These replace the multimodal decode stub for the container formats
 that need no external codec library — pure struct parsing over the
 public file formats (BMP: Windows BITMAPFILEHEADER + BITMAPINFOHEADER;
 WAV: RIFF chunks + PCM fmt; PNG: RFC 2083 chunk stream, DEFLATE via
-stdlib zlib, filter types 0-4).  `multimodal_decode`
-(llm/multimodal.py) certifies all three against a DuckDB oracle
-computing the same channel/sample statistics from the generating
-arithmetic — a broken parser (wrong offset, missed row padding, bad
-chunk walk, wrong unfilter) cannot hash-match because every output
-value passes through real encoded bytes.
+stdlib zlib, filter types 0-4; GIF: GCT + LZW index stream in
+length-prefixed sub-blocks).  The certified queries in
+llm/multimodal.py check each against a DuckDB oracle computing the
+same channel/sample statistics from the generating arithmetic — a
+broken parser (wrong offset, missed row padding, bad chunk walk, wrong
+unfilter, an LZW code-width off-by-one) cannot hash-match because
+every output value passes through real encoded bytes.
 
 Encoders exist so tests and the certified queries can synthesize
 spec-conformant payloads; golden byte fixtures in
-tests/test_multimodal.py and tests/test_png_codec.py pin the codecs to
-the published layouts so an encoder/decoder bug pair cannot cancel out.
+tests/test_multimodal.py, tests/test_png_codec.py, and
+tests/test_gif_codec.py pin the codecs to the published layouts so an
+encoder/decoder bug pair cannot cancel out.
 """
 
 from __future__ import annotations
@@ -449,6 +452,249 @@ def decode_png_pixels(data: bytes) -> dict:
         for line in rows
     ]
     return {"width": width, "height": height, "rgb_rows": grid}
+
+
+# --------------------------------------------------------------------------
+# GIF — GIF87a/89a: logical screen descriptor, global color table,
+# image descriptor, LZW-compressed index stream in length-prefixed data
+# sub-blocks.  Supported: single-frame, global color table, no
+# interlace (the decoder walks and skips extension blocks, including
+# GIF89a graphic-control).  Both the encoder's LZW compressor and the
+# decoder's decompressor are real variable-code-width implementations
+# (clear/end codes, dictionary growth to 4096) — everything stdlib.
+# --------------------------------------------------------------------------
+
+
+def _lzw_compress(indices: list[int], min_code_size: int) -> bytes:
+    """Real GIF LZW: variable code width starting at min_code_size+1,
+    dictionary growth to 4096 then CLEAR, LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+        # the decoder appends one more dictionary entry after reading
+        # this final data code; if that append fills the current code
+        # width, it reads END at width+1 — mirror that here (the
+        # classic GIF-LZW end-of-stream off-by-one)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+    """GIF LZW decode: the canonical algorithm including the KwKwK
+    case (code == next_code -> prev + prev[0])."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+    bitbuf = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise MediaFormatError("truncated LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    out: list[int] = []
+    table: list[tuple[int, ...]] = []
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table):
+            entry = table[code]
+            if not entry:  # the clear/end placeholder slots
+                raise MediaFormatError("LZW code references reserved slot")
+        elif prev is not None and code == len(table):
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise MediaFormatError(f"LZW code {code} beyond dictionary")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    index_rows: list[list[int]],
+) -> bytes:
+    """Single-frame GIF89a with a global color table.  ``palette`` is
+    padded to the next power of two (2..256); ``index_rows[y][x]``
+    indexes into it, top row first."""
+    if len(index_rows) != height or any(len(r) != width for r in index_rows):
+        raise ValueError("index grid does not match width/height")
+    if not 2 <= len(palette) <= 256:
+        raise ValueError("palette must hold 2..256 colors")
+    # smallest n with 2^(n+1) >= len(palette) (GCT sizes are powers of 2)
+    n = 0
+    while (2 << n) < len(palette):
+        n += 1
+    table_len = 2 << n
+    if any(i >= len(palette) for row in index_rows for i in row):
+        raise ValueError("pixel index beyond palette")
+    gct = bytearray()
+    for i in range(table_len):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+    packed = 0x80 | n  # GCT present, color resolution bits left 0
+    head = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, packed, 0, 0)
+        + bytes(gct)
+    )
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = max(2, n + 1)  # LZW min code size (GIF requires >= 2)
+    lzw = _lzw_compress([i for row in index_rows for i in row], mcs)
+    blocks = bytearray([mcs])
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return head + img_desc + bytes(blocks) + b"\x3b"
+
+
+def _gif_walk(data: bytes) -> tuple[int, int, list[tuple[int, int, int]], list[int]]:
+    """Parse header + GCT, skip extensions, decode the first image's
+    LZW index stream.  Returns (width, height, palette, indices)."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaFormatError("not a GIF payload (bad signature)")
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = packed & 0x07
+        table_len = 2 << n
+        if pos + 3 * table_len > len(data):
+            raise MediaFormatError("truncated global color table")
+        for i in range(table_len):
+            off = pos + 3 * i
+            palette.append((data[off], data[off + 1], data[off + 2]))
+        pos += 3 * table_len
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 11 > len(data):
+                raise MediaFormatError("truncated image descriptor")
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if ipacked & 0x40:
+                raise MediaFormatError("interlaced GIF not supported")
+            if ipacked & 0x80:
+                raise MediaFormatError("local color table not supported")
+            if not palette:
+                raise MediaFormatError("no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decompress(bytes(lzw), mcs)
+            if len(indices) < iw * ih:
+                raise MediaFormatError(
+                    f"LZW stream yields {len(indices)} pixels, need {iw * ih}"
+                )
+            return iw, ih, palette, indices[: iw * ih]
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise MediaFormatError(f"unknown GIF block 0x{block:02x}")
+    raise MediaFormatError("no image data in GIF")
+
+
+def decode_gif(data: bytes) -> dict:
+    """Parse a single-frame GIF; returns width, height, n_pixels,
+    n_colors and EXACT per-channel byte sums through the palette —
+    the decode_bmp/decode_png oracle surface."""
+    width, height, palette, indices = _gif_walk(data)
+    if any(i >= len(palette) for i in indices):
+        raise MediaFormatError("pixel index beyond color table")
+    sum_r = sum(palette[i][0] for i in indices)
+    sum_g = sum(palette[i][1] for i in indices)
+    sum_b = sum(palette[i][2] for i in indices)
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": width * height,
+        "n_colors": len(palette),
+        "sum_r": sum_r,
+        "sum_g": sum_g,
+        "sum_b": sum_b,
+    }
+
+
+def decode_gif_pixels(data: bytes) -> dict:
+    """Parse a single-frame GIF into the full RGB pixel grid (palette
+    applied), top row first — the perceptual-hash surface."""
+    width, height, palette, indices = _gif_walk(data)
+    rows = [
+        [palette[indices[y * width + x]] for x in range(width)]
+        for y in range(height)
+    ]
+    return {"width": width, "height": height, "rgb_rows": rows}
 
 
 def decode_wav_samples(data: bytes) -> dict:

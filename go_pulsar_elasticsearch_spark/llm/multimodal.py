@@ -1,17 +1,19 @@
 """Multimodal columns: image/audio/video as opaque BinaryType payloads
 with typed metadata, processed via Arrow-batched pandas iterators.
 
-BMP, WAV/PCM, and PNG decode for REAL via the dependency-free parsers
-in media_codec.py (PNG: stdlib zlib inflate + scanline unfilter, round
-8) — `multimodal_decode`, `multimodal_decode_png`, and
-`multimodal_features` are hash-certified through actual encoded bytes,
-and `image_phash_dct_neardup` certifies BMP and PNG pixel recovery in
-one pass (each near-dup pair crosses the codec boundary).  The
-remaining compressed codecs (JPEG, MP4) need libraries this container
-does not ship, so `decode_payload` gates them behind
+BMP, WAV/PCM, PNG, and GIF decode for REAL via the dependency-free
+parsers in media_codec.py (round 8: PNG = stdlib zlib inflate +
+scanline unfilter; GIF = real variable-width LZW) —
+`multimodal_decode`, `multimodal_decode_png`, `multimodal_decode_gif`,
+and `multimodal_features` are hash-certified through actual encoded
+bytes, and `image_phash_dct_neardup` certifies BMP and PNG pixel
+recovery in one pass (each near-dup pair crosses the codec boundary).
+The remaining compressed codecs (JPEG, MP4) need libraries this
+container does not ship, so `decode_payload` gates them behind
 NotImplementedError; the schema, binary handling, mapInPandas batch
 shape, and partitioning around that gate are real and tested
-(tests/test_multimodal.py, tests/test_png_codec.py).
+(tests/test_multimodal.py, tests/test_png_codec.py,
+tests/test_gif_codec.py).
 
 100 TB posture: payloads dominate bytes; metadata-only queries must
 never deserialize them (columnar parquet gives that for free — the
@@ -80,6 +82,8 @@ def decode_payload(payload: bytes, mime: str) -> dict:
         return media_codec.decode_bmp(payload)
     if mime == "image/png":
         return media_codec.decode_png(payload)
+    if mime == "image/gif":
+        return media_codec.decode_gif(payload)
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return media_codec.decode_wav(payload)
     raise NotImplementedError(
@@ -636,6 +640,106 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, n_channels int, width long, height long, "
         "n_pixels long, sum_r long, sum_g long, sum_b long, sum_a long",
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_decode_gif — REAL LZW decode (GIF), the third compressed-
+# container certification: a variable-code-width LZW compressor AND
+# decompressor (dictionary growth to 4096, clear/end codes, the KwKwK
+# case), palette indirection, sub-block reassembly — all stdlib, all
+# on real bytes.  Palette sizes 2..8 force both tiny GCTs and padded
+# (non-power-of-2 palette) tables; the oracle recomputes the
+# palette-mapped channel sums from the generating arithmetic without
+# seeing bytes, so an LZW width off-by-one, a bad sub-block walk, or a
+# palette mis-index cannot hash-match.
+# --------------------------------------------------------------------------
+
+_DECODE_GIF_ORACLE = """
+WITH gif AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         2 + doc_id % 7 AS p
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, p,
+    SUM((doc_id*3 + ((doc_id + 2*(i % w) + 3*(i // w)) % p)*17) % 256)
+      AS sum_r,
+    SUM((doc_id*5 + ((doc_id + 2*(i % w) + 3*(i // w)) % p)*29) % 256)
+      AS sum_g,
+    SUM((doc_id*7 + ((doc_id + 2*(i % w) + 3*(i // w)) % p)*43) % 256)
+      AS sum_b
+  FROM (SELECT doc_id, w, h, p, unnest(range(0, w*h)) AS i FROM gif)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       CAST(CASE WHEN p <= 2 THEN 2 WHEN p <= 4 THEN 4 ELSE 8 END
+            AS INTEGER) AS n_colors,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w*h AS BIGINT) AS n_pixels,
+       CAST(sum_r AS BIGINT) AS sum_r,
+       CAST(sum_g AS BIGINT) AS sum_g,
+       CAST(sum_b AS BIGINT) AS sum_b
+FROM px
+"""
+
+
+@register("multimodal_decode_gif", _DECODE_GIF_ORACLE)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode over BinaryType payloads: each doc synthesizes a
+    paletted image (2-8 colors, so the stored color table is sometimes
+    PADDED past the palette), compresses the index stream with the real
+    variable-width LZW, frames it in length-prefixed sub-blocks,
+    decodes it all back, and emits ONLY parsed values — dimensions and
+    stored-table size from the headers, per-channel sums through the
+    palette from the decompressed indices.
+
+    Same 100 TB shape as the other codec certifications: scan ->
+    mapInPandas, one Python decode per blob, no shuffle."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_gif,
+        encode_gif,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 13, 3 + d % 7
+                p = 2 + d % 7
+                palette = [
+                    (
+                        (d * 3 + i * 17) % 256,
+                        (d * 5 + i * 29) % 256,
+                        (d * 7 + i * 43) % 256,
+                    )
+                    for i in range(p)
+                ]
+                grid = [
+                    [(d + 2 * x + 3 * y) % p for x in range(w)]
+                    for y in range(h)
+                ]
+                parsed = decode_gif(encode_gif(w, h, palette, grid))
+                rows.append((
+                    d, parsed["n_colors"], parsed["width"],
+                    parsed["height"], parsed["n_pixels"],
+                    parsed["sum_r"], parsed["sum_g"], parsed["sum_b"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_colors", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, n_colors int, width long, height long, "
+        "n_pixels long, sum_r long, sum_g long, sum_b long",
     )
 
 

@@ -404,3 +404,48 @@ def vt_delete_keys(
             "files_carried": len(carried),
         },
     )
+
+
+def vt_vacuum(ds_dir: str, retain_from: int) -> dict:
+    """Reclaim data files referenced ONLY by manifests older than
+    ``retain_from``: every version >= retain_from (and the current one)
+    stays byte-identically readable; as-of reads below the floor raise
+    on their vacuumed files — the explicit retention trade every
+    lakehouse makes (Delta VACUUM / Iceberg expire_snapshots).
+
+    Deletion order is crash-safe: the retention floor is recorded in
+    the manifest dir FIRST (_VACUUMED_BELOW, atomic replace), then
+    files are unlinked — a crash mid-unlink leaves a dataset that
+    over-retains, never one that lies about what is readable.  The
+    manifests themselves are never deleted: the audit log (vt_history)
+    stays complete even for vacuumed versions."""
+    cur = vt_current_version(ds_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no published version in {ds_dir}")
+    retain_from = min(retain_from, cur)
+    keep: set[str] = set()
+    for v in range(retain_from, cur + 1):
+        keep.update(vt_manifest(ds_dir, v)["files"])
+    dead: set[str] = set()
+    for v in range(retain_from):
+        dead.update(f for f in vt_manifest(ds_dir, v)["files"]
+                    if f not in keep)
+    floor_tmp = os.path.join(ds_dir, _MANIFEST_DIR, "_VACUUMED_BELOW.tmp")
+    with open(floor_tmp, "w") as fh:
+        fh.write(f"{retain_from}\n")
+    os.replace(
+        floor_tmp, os.path.join(ds_dir, _MANIFEST_DIR, "_VACUUMED_BELOW")
+    )
+    freed = 0
+    removed = 0
+    for f in sorted(dead):
+        p = os.path.join(ds_dir, f)
+        if os.path.exists(p):  # re-running a vacuum reclaims nothing new
+            freed += os.path.getsize(p)
+            os.remove(p)
+            removed += 1
+    return {
+        "files_removed": removed,
+        "bytes_freed": freed,
+        "retain_from": retain_from,
+    }

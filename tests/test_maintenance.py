@@ -302,3 +302,37 @@ def test_time_travel_crash_safety_and_immutability(spark, sf_dir, tmp_path):
         _publish_version(ds, 0, "write", [], {})
     with pytest.raises(FileNotFoundError):
         vt_read(spark, ds, as_of=7)
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, sf_dir, tmp_path):
+    """vt_vacuum removes exactly the files no retained manifest
+    references: reads at/above the retention floor are untouched,
+    vacuumed as-of reads fail loudly, and the audit log survives."""
+    import pytest
+
+    from go_pulsar_elasticsearch_spark.maintenance import (
+        vt_compact,
+        vt_history,
+        vt_manifest,
+        vt_read,
+        vt_vacuum,
+        vt_write,
+    )
+
+    ds = str(tmp_path / "vtv")
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    vt_write(spark, ds, docs, n_files=3)
+    vt_compact(spark, ds, n_files=2)   # v1: all-new files, v0's now dead
+    s1 = {tuple(r) for r in vt_read(spark, ds, as_of=1).collect()}
+
+    res = vt_vacuum(ds, retain_from=1)
+    assert res["files_removed"] == len(vt_manifest(ds, 0)["files"])
+    assert res["bytes_freed"] > 0
+    # retained versions read back exactly; the floor version included
+    assert {tuple(r) for r in vt_read(spark, ds, as_of=1).collect()} == s1
+    # vacuumed as-of read fails loudly (files gone), history survives
+    with pytest.raises(Exception):
+        vt_read(spark, ds, as_of=0).collect()
+    assert [m["op"] for m in vt_history(ds)] == ["write", "compact"]
+    # idempotent: nothing left to reclaim
+    assert vt_vacuum(ds, retain_from=1)["files_removed"] == 0
