@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 315 registered queries, 300 with oracles (new this
+State (round 8): 320 registered queries, 304 with oracles (new this
 round: dependency-free PNG and GIF codecs — stdlib zlib inflate +
 scanline unfilter types 0-4 for PNG, a real variable-code-width LZW
 both directions for GIF — certified by `multimodal_decode_png` /
@@ -20,13 +20,15 @@ time travel over the maintenance layer certified by
 `time_travel_read`; and `crawl_stats_stream`, a second certified
 store riding the crawl drain — the streaming harnesses now share one
 drain fixture, streaming/drain.py).
-The fifteen rows-only entries are approximate/float/iterative by
+The sixteen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
 tests/test_cms.py),
 ``similarity_topk_fast`` (numpy float64 path, validated vs the exact
-decimal twin in tests), the product-quantization family ``ann_pq`` /
+decimal twin in tests), ``ann_sq8`` (int8 scalar quantization —
+recall@5 >= 0.95 vs exact + true-cosine re-rank pytest-pinned),
+the product-quantization family ``ann_pq`` /
 ``ann_pq_stored`` / ``ann_pq_append`` / ``ann_ivfpq`` (trained float
 codebooks; recall@5 vs exact, stored==fresh, and append==one-shot all
 pytest-pinned), ``near_dedup_minhash_ml`` (MLlib MinHashLSH

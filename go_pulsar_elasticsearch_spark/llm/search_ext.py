@@ -611,3 +611,76 @@ def termvectors_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ttf",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# suggest_completion  (ES completion suggester: weighted prefix match)
+# --------------------------------------------------------------------------
+
+# The third ES suggester: search-as-you-type.  ES backs it with an FST
+# over (input, weight) pairs and returns the top-`size` completions of
+# the typed prefix by weight.  Here the suggest field is the corpus
+# vocabulary with document frequency as the weight — the "index the
+# queries users type" deployment — and the FST's job (prefix lookup
+# over a Heaps-bounded set) is a LIKE-prefix filter over the vocabulary
+# frame, which Catalyst evaluates as a StartsWith predicate.
+_COMPLETION_PREFIXES = ("s", "ta", "wi")
+_COMPLETION_SIZE = 3
+
+_SUGGEST_COMPLETION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS weight
+  FROM toks WHERE tok <> '' GROUP BY 1
+), q AS (
+  SELECT unnest({list(_COMPLETION_PREFIXES)}) AS prefix
+), cand AS (
+  SELECT prefix, tok AS completion, weight
+  FROM q JOIN vocab ON tok LIKE prefix || '%'
+)
+SELECT prefix, completion, weight, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY prefix ORDER BY weight DESC, completion) AS rk
+  FROM cand
+)
+WHERE rk <= {_COMPLETION_SIZE}
+"""
+
+
+@register("suggest_completion", _SUGGEST_COMPLETION_ORACLE)
+def suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``completion`` suggester: for each typed prefix, the top-3
+    vocabulary completions by document-frequency weight — the
+    search-as-you-type box, completing the suggester trio (term /
+    phrase / completion).
+
+    Plan: the (token, df) vocabulary is the same Heaps-bounded exploded
+    aggregate the other suggesters build; the prefix probe is a
+    StartsWith predicate against a broadcast literal frame (at 100 TB
+    the vocabulary frame is the FST analog — kept hot, corpus never
+    re-scanned per keystroke); per-prefix top-3 is a tiny partitioned
+    window."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("weight"))
+    )
+    q = spark.createDataFrame(
+        [(p,) for p in _COMPLETION_PREFIXES], "prefix string"
+    )
+    cand = vocab.join(
+        F.broadcast(q), F.col("tok").startswith(F.col("prefix"))
+    ).select("prefix", F.col("tok").alias("completion"), "weight")
+    w = Window.partitionBy("prefix").orderBy(
+        F.desc("weight"), "completion"
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _COMPLETION_SIZE)
+        .select("prefix", "completion", "weight", F.col("rk").cast("int"))
+    )

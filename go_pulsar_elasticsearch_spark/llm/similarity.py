@@ -1335,6 +1335,85 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# ann_sq8  (int8 scalar quantization: the 4x storage tier below float32)
+# --------------------------------------------------------------------------
+
+
+@register("ann_sq8")  # rows-only: float quantization/rounding; recall vs
+# the exact baseline is asserted in tests/test_similarity.py
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-quantized ANN — the faiss SQ8 / Lucene int8-HNSW
+    storage tier, and the quantization production vector stores reach
+    for BEFORE product quantization (4x memory cut, ~1e-3 dot error,
+    no training step at all): each unit vector stores as 64 int8 codes
+    plus ONE per-vector scale (max|x| / 127).  Search is ASYMMETRIC
+    (Guo et al.'s ADC convention, like the PQ family): the float query
+    scores against the int8 codes — approx_ip = scale * (codes . q) —
+    and the top-_PQ_RERANK candidates re-rank exactly through the
+    shared pq_exact_rerank recall knob.
+
+    100 TB shape: the scan moves 64 bytes of codes + 8 of scale per
+    vector instead of 512 of float64 (and needs no codebooks to
+    broadcast); raw embeddings are touched only for the re-rank
+    candidates.  Quantize is one Arrow pass; scoring is one numpy
+    matmul per batch; the only shuffle is the per-query top-k window —
+    identical plan skeleton to ann_pq with the codebook machinery
+    deleted, which is exactly SQ8's selling point."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    tune(spark)
+    unit = pq_unit_vectors(t(spark, sf_dir, "embeddings"))
+    qids, qmat = pq_query_vectors(unit)
+
+    def quantize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(list(pdf["u"]), dtype=np.float64)
+            scale = np.abs(x).max(axis=1) / 127.0
+            scale[scale == 0.0] = 1.0  # zero vector -> zero codes
+            codes = np.rint(x / scale[:, None]).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "scale": scale,
+                    "codes": list(codes),
+                }
+            )
+
+    coded = unit.mapInPandas(
+        quantize, "vec_id long, scale double, codes array<tinyint>"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            codes = np.array(list(pdf["codes"]), dtype=np.float64)
+            approx = pdf["scale"].values[:, None] * (codes @ qmat.T)
+            n, nq = approx.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.tile(qids, n),
+                    "vid": np.repeat(pdf["vec_id"].values, nq),
+                    "approx_ip": approx.ravel(),
+                }
+            )
+
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.desc("approx_ip"), F.asc("vid")
+    )
+    cands = (
+        coded.mapInPandas(score, "qid long, vid long, approx_ip double")
+        .filter(F.col("qid") != F.col("vid"))
+        .withColumn("crk", F.row_number().over(cand_w))
+        .filter(F.col("crk") <= _PQ_RERANK)
+    )
+    return pq_exact_rerank(cands.select("qid", "vid"), unit, qids, qmat)
+
+
+# --------------------------------------------------------------------------
 # matryoshka_truncate_recall  (MRL prefix-truncation quality eval)
 # --------------------------------------------------------------------------
 

@@ -329,3 +329,74 @@ def percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# extended_stats_bucket  (sibling stats over a histogram's bucket values)
+# --------------------------------------------------------------------------
+
+# ES `stats_bucket` returns count/min/max/avg/sum over the sibling
+# buckets; `extended_stats_bucket` adds sum_of_squares, variance
+# (population, per ES docs), and std_deviation.  One op emits the full
+# extended surface (the plain stats columns are a prefix of it).
+# Cross-engine exactness: the bucket values are exact BIGINT counts, so
+# sum and sum_of_squares are exact integers; avg/variance/std are the
+# SAME IEEE expression tree on both engines (divide-then-subtract, with
+# sqrt correctly rounded), so the doubles hash bit-equal — same recipe
+# as t_test_welch.
+
+_EXT_STATS_BUCKET_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS bucket_count,
+       CAST(MIN(n) AS BIGINT) AS min_n,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       CAST(SUM(n) AS BIGINT) AS sum_n,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_n,
+       CAST(SUM(n * n) AS BIGINT) AS sum_of_squares,
+       CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+         - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+           * (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS variance,
+       sqrt(CAST(SUM(n * n) AS DOUBLE) / COUNT(*)
+            - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(n) AS DOUBLE) / COUNT(*))) AS std_deviation
+FROM daily GROUP BY event_type
+"""
+
+
+@register("extended_stats_bucket", _EXT_STATS_BUCKET_ORACLE)
+def extended_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``stats_bucket`` + ``extended_stats_bucket`` over the
+    per-event_type daily date_histogram: count/min/max/sum/avg of the
+    bucket values plus sum_of_squares, population variance, and
+    std_deviation — the sibling-agg summary Kibana's "stats over time
+    buckets" panel issues.
+
+    Plan: ONE map-side-combined aggregate to bucket rows, then a second
+    bucket-count-sized aggregate per series; integer sums stay exact
+    (daily counts are small enough that sum of squares is far below
+    2^63), and every double column is one shared IEEE expression."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    cnt = F.count("*")
+    s = F.sum("n")
+    ss = F.sum(F.col("n") * F.col("n"))
+    avg = s.cast("double") / cnt
+    var = ss.cast("double") / cnt - avg * avg
+    return daily.groupBy("event_type").agg(
+        cnt.cast("long").alias("bucket_count"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+        s.cast("long").alias("sum_n"),
+        avg.alias("avg_n"),
+        ss.cast("long").alias("sum_of_squares"),
+        var.alias("variance"),
+        F.sqrt(var).alias("std_deviation"),
+    )

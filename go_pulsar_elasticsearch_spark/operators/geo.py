@@ -494,3 +494,46 @@ def geo_distance_rings_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("doc_count"),
         (dsum("c_acctbal", 2) / F.count("*")).alias("avg_acctbal"),
     )
+
+
+# --------------------------------------------------------------------------
+# geo_bounds_agg  (ES geo_bounds: per-bucket bounding box)
+# --------------------------------------------------------------------------
+
+_BOUNDS_ORACLE = f"""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       MAX({_LAT_D}) AS top_lat,
+       MIN({_LAT_D}) AS bottom_lat,
+       MIN({_LON_D}) AS left_lon,
+       MAX({_LON_D}) AS right_lon
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@register("geo_bounds_agg", _BOUNDS_ORACLE)
+def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the tightest bounding box
+    (top-left / bottom-right corners) enclosing each bucket's points,
+    per nation — the map-viewport primitive Kibana calls for every
+    geo dashboard.
+
+    MIN/MAX over the shared deterministic coordinate doubles are
+    order-insensitive and exact, so the whole op hash-certifies with
+    no decimal machinery; one map-side-combined aggregate with
+    nation-bounded output."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_nationkey",
+        F.expr(_LAT_S).alias("lat"),
+        F.expr(_LON_S).alias("lon"),
+    )
+    return pts.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_points"),
+        F.max("lat").alias("top_lat"),
+        F.min("lat").alias("bottom_lat"),
+        F.min("lon").alias("left_lon"),
+        F.max("lon").alias("right_lon"),
+    )

@@ -120,6 +120,78 @@ def nested_tags_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# nested_vs_object_query  (the nested/object mapping distinction itself)
+# --------------------------------------------------------------------------
+
+# ES gives array-of-object fields two mappings with famously different
+# semantics: `object` (default) FLATTENS the structs into parallel
+# arrays (tags.type: [...], tags.value: [...]), so a bool query on
+# type AND value can match ACROSS elements — tag A supplies the type,
+# tag B the value; `nested` keeps each element its own hidden doc, so
+# the conjunction must hit ONE element.  This op certifies BOTH
+# verdicts side by side on a tags fixture engineered so they genuinely
+# diverge: a second tag type ('q') REUSES the first's ('p') value
+# space, so 'p'-typed tags and 'pN' values can come from different
+# elements.  Rows with nested_match = false are exactly the object-
+# mapping false positives users get bitten by (and the reason
+# mapping.json declares tags `nested`).
+_VS_TAGS_SPARK = (
+    "filter(array("
+    " named_struct('type', 'u', 'value', concat('u', cast(user_id as string))),"
+    " named_struct('type', 't', 'value', event_type),"
+    " if(event_id % 3 != 0,"
+    "    named_struct('type', 'p', 'value',"
+    "                 concat('p', cast(event_id % 5 as string))),"
+    "    cast(null as struct<type:string,value:string>)),"
+    " if(event_id % 4 != 0,"
+    "    named_struct('type', 'q', 'value',"
+    "                 concat('p', cast(event_id % 7 as string))),"
+    "    cast(null as struct<type:string,value:string>))"
+    "), x -> x is not null)"
+)
+
+_VS_ORACLE = """
+WITH flags AS (
+  SELECT event_id,
+         (event_id % 3 <> 0) AS has_p,
+         (event_id % 3 <> 0 AND event_id % 5 = 3) AS p_is_p3,
+         (event_id % 4 <> 0 AND event_id % 7 = 3) AS q_is_p3
+  FROM events
+)
+SELECT event_id,
+       p_is_p3 AS nested_match,
+       (has_p AND (p_is_p3 OR q_is_p3)) AS object_match
+FROM flags
+WHERE has_p AND (p_is_p3 OR q_is_p3)
+"""
+
+
+@register("nested_vs_object_query", _VS_ORACLE)
+def nested_vs_object_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For the condition (tag.type = 'p' AND tag.value = 'p3'): every
+    event the OBJECT mapping would match (independent exists() per
+    field), flagged with whether the NESTED mapping (one exists() over
+    the conjunction) also matches.  The oracle recomputes both verdicts
+    from the generating arithmetic, so the hash certifies the semantic
+    DIFFERENCE, not just one side.
+
+    Plan: one scan, row-local higher-order predicates over a real
+    array<struct> column, zero shuffle, no explode."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.select("event_id", F.expr(_VS_TAGS_SPARK).alias("tags"))
+    nested = F.expr("exists(tags, x -> x.type = 'p' AND x.value = 'p3')")
+    obj = F.expr("exists(tags, x -> x.type = 'p')") & F.expr(
+        "exists(tags, x -> x.value = 'p3')"
+    )
+    return tagged.select(
+        "event_id",
+        nested.alias("nested_match"),
+        obj.alias("object_match"),
+    ).filter(F.col("object_match"))
+
+
+# --------------------------------------------------------------------------
 # adjacency_matrix_agg  (ES adjacency_matrix aggregation)
 # --------------------------------------------------------------------------
 

@@ -799,3 +799,29 @@ def test_significant_text_recount(spark, sf_dir):
         assert r.term == w_term
         assert m.isclose(r.jlh, w_jlh, rel_tol=1e-9)
         assert r.fg_df == fg_df.get(r.term, 0) and r.bg_df == bg_df[r.term]
+
+
+def test_nested_vs_object_divergence(spark, sf_dir):
+    """The fixture genuinely separates the two mappings: some events
+    match under object flattening but NOT under nested per-element
+    semantics (the classic false positive), and every nested match is
+    an object match (nested is strictly stricter)."""
+    from go_pulsar_elasticsearch_spark.operators.nested import (
+        nested_vs_object_query,
+    )
+
+    rows = nested_vs_object_query(spark, sf_dir).collect()
+    assert rows
+    assert all(r.object_match for r in rows)
+    false_pos = [r for r in rows if not r.nested_match]
+    true_pos = [r for r in rows if r.nested_match]
+    assert false_pos, "no cross-element false positives exercised"
+    assert true_pos
+    # recompute both verdicts from the generating arithmetic
+    for r in rows:
+        d = r.event_id
+        has_p = d % 3 != 0
+        p3 = has_p and d % 5 == 3
+        q3 = d % 4 != 0 and d % 7 == 3
+        assert r.nested_match == p3
+        assert r.object_match == (has_p and (p3 or q3))

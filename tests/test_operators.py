@@ -30,6 +30,7 @@ def test_oracle_keys_subset_of_queries():
         "ann_pq_stored",  # float codebooks like ann_pq; stored==fresh pytest
         "ann_pq_append",  # frozen-codebook delta; append==one-shot pytest
         "ann_ivfpq",  # IVF lists + PQ ADC; recall-vs-IVF/exact pytest
+        "ann_sq8",  # int8 scalar quantization; recall + exact-rerank pytest
         "quality_classifier_lr", "embedding_pca_project", "bpe_encode",
         "sketch_union_hll", "agg_count_min",
         "unigram_tokenizer_train",   # iterative Viterbi-EM, like bpe_encode

@@ -92,3 +92,25 @@ def test_ann_ivfpq_recall_vs_ivf_and_exact(spark, sf_dir):
     }
     for k in set(ivfpq) & set(exact):
         assert ivfpq[k] == _pytest.approx(exact[k], abs=1e-9), k
+
+
+def test_ann_sq8_recall_vs_exact(spark, sf_dir):
+    """int8 scalar quantization with exact re-rank must recover nearly
+    all of the exact top-5 (int8 dot error ~1e-3 is far below the
+    fixture's neighbor gaps), and every returned cosine is the TRUE
+    cosine (re-rank is exact)."""
+    import pytest
+
+    exact = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["similarity_topk"](spark, sf_dir).collect()
+    }
+    sq = {
+        (r["qid"], r["vid"]): r["cosine"]
+        for r in QUERIES["ann_sq8"](spark, sf_dir).collect()
+    }
+    hits = set(exact) & set(sq)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.95, f"recall@5 {recall:.2f}"
+    for k in hits:
+        assert sq[k] == pytest.approx(exact[k], abs=1e-9), k
