@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 320 registered queries, 304 with oracles (new this
+State (round 8): 322 registered queries, 305 with oracles (new this
 round: dependency-free PNG and GIF codecs — stdlib zlib inflate +
 scanline unfilter types 0-4 for PNG, a real variable-code-width LZW
 both directions for GIF — certified by `multimodal_decode_png` /
@@ -20,7 +20,7 @@ time travel over the maintenance layer certified by
 `time_travel_read`; and `crawl_stats_stream`, a second certified
 store riding the crawl drain — the streaming harnesses now share one
 drain fixture, streaming/drain.py).
-The sixteen rows-only entries are approximate/float/iterative by
+The seventeen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
@@ -39,7 +39,9 @@ training — token-for-token vs an independent reference in tests),
 ``sketch_union_hll`` (Datasketches HLL estimates, 5%-bound asserted in
 tests), ``unigram_tokenizer_train`` / ``unigram_encode_fertility``
 (SentencePiece-style hard-EM training — Viterbi==brute-force and
-property sweeps in tests/test_unigram.py), and ``stream_ingest_e2e``
+property sweeps in tests/test_unigram.py), ``wordpiece_encode``
+(greedy longest-match-first; piece-for-piece vs an independent
+reference in tests/test_wordpiece.py), and ``stream_ingest_e2e``
 (streaming drain).  Even
 the iterative k-means training and 3-iteration PageRank are oracled
 (unrolled exact-decimal CTE iterations), and the Avro decode is

@@ -88,6 +88,7 @@ def load_all() -> None:
         text_analysis,
         udfs,
         unigram,
+        wordpiece,
     )
     from go_pulsar_elasticsearch_spark.streaming import joins as sjoins  # noqa: F401
     from go_pulsar_elasticsearch_spark.streaming import stream  # noqa: F401

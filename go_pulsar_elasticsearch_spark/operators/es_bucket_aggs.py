@@ -278,3 +278,71 @@ def terms_order_by_subagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_chars"), "source")
         .limit(_TOBS_SIZE)
     )
+
+
+# --------------------------------------------------------------------------
+# ip_prefix_agg  (ES ip_prefix: CIDR-block bucketing of IP addresses)
+# --------------------------------------------------------------------------
+
+# ES 8.x's `ip_prefix` aggregation buckets documents by the first
+# `prefix_length` bits of an ip field.  The fixture tables carry no IPs,
+# so each event synthesizes a deterministic IPv4 in 10.0.0.0/8 from its
+# own keys (the multimodal/geo synthesis pattern — the construction is
+# part of the certified surface): octets from user_id/event_id
+# arithmetic.  The /16 bucketing is one integer mask; the dotted-quad
+# rendering is shared string arithmetic, so the whole op — synthesis,
+# mask, render, count — hash-certifies.
+_IPP_LEN = 16  # prefix_length
+
+_IP_INT = (
+    "(167772160 + (user_id % 256) * 65536"
+    " + (event_id % 256) * 256 + (event_id % 251))"
+)
+
+
+def _ip_prefix_sql(ip: str) -> str:
+    """Dotted-quad of the /16 network address + '/16' (identical text
+    both engines: >> and % on BIGINT, || concat via concat())."""
+    hi = f"({ip} // 16777216)"
+    lo = f"(({ip} // 65536) % 256)"
+    return (
+        f"concat(CAST({hi} AS VARCHAR), '.', CAST({lo} AS VARCHAR),"
+        f" '.0.0/{_IPP_LEN}')"
+    )
+
+
+_IP_PREFIX_ORACLE = f"""
+SELECT {_ip_prefix_sql(_IP_INT)} AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+@register("ip_prefix_agg", _IP_PREFIX_ORACLE)
+def ip_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``ip_prefix`` aggregation (prefix_length=16): bucket every
+    event's synthesized IPv4 into its /16 CIDR block, with doc count
+    and distinct-user cardinality per block — the network-traffic
+    rollup ES ships it for.
+
+    Plan: the IP synthesis and mask are scan-fused integer expressions;
+    one map-side-combined aggregate whose output is bounded by the /16
+    universe (at most 256 blocks under the 10.x/16 synthesis).  The
+    distinct-user count is the only expanding term and it rides the
+    same shuffle."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    ip = (
+        "(167772160 + (user_id % 256) * 65536"
+        " + (event_id % 256) * 256 + (event_id % 251))"
+    )
+    prefix = F.expr(
+        f"concat(CAST({ip} div 16777216 AS STRING), '.',"
+        f" CAST(({ip} div 65536) % 256 AS STRING), '.0.0/{_IPP_LEN}')"
+    )
+    return ev.groupBy(prefix.alias("prefix")).agg(
+        F.count("*").alias("doc_count"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

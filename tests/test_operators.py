@@ -35,6 +35,8 @@ def test_oracle_keys_subset_of_queries():
         "sketch_union_hll", "agg_count_min",
         "unigram_tokenizer_train",   # iterative Viterbi-EM, like bpe_encode
         "unigram_encode_fertility",  # encodes with the EM-trained model
+        "wordpiece_encode",  # greedy longest-match; independent-reference
+        # piece-for-piece pytest (tests/test_wordpiece.py)
     }
 
 
