@@ -232,8 +232,11 @@ def main() -> None:
     # the heavy tail have swung 5x between runs of identical code —
     # span_near_query 4 s vs 21 s — purely from host contention; the
     # median makes the heavy tail reproducible within ~1.5x while
-    # sub-2 s queries stay single-run, where absolute noise is small).
-    HEAVY_S = 2.0
+    # sub-second queries stay single-run, where absolute noise is
+    # small.  Threshold lowered 2.0 -> 1.0 after the round-8 two-run
+    # agreement check: the 1-2 s single-run band still jittered past
+    # 1.5x run-to-run, the >= median-of-3 band did not).
+    HEAVY_S = 1.0
     full: dict[str, float] = {}
     skip = {"stream_ingest_e2e"}  # starts a real streaming job; measured
     # separately as stream_ingest_rows_per_s
@@ -256,6 +259,23 @@ def main() -> None:
             full[name] = -1.0
             print(f"BENCH ERROR {name}: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+
+    # END-of-run canary re-timing (round-8 two-run agreement study):
+    # consecutive full-tier runs on identical code disagreed up to 2.3x
+    # on single queries while the canary ratio itself swung 0.94 ->
+    # 1.38 BETWEEN runs — the host drifts DURING a 15-minute run, so
+    # one begin-of-run ratio cannot normalize the tail.  Timing the
+    # canaries again at the end bounds the intra-run drift explicitly:
+    # when begin and end ratios disagree, per-query deltas between
+    # runs are host noise until proven otherwise.
+    end_reps: dict[str, float] = {}
+    for c in CANARY_BASELINE_S:
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            materialize(QUERIES[c](spark, sf_dir))
+            reps.append(time.time() - t0)
+        end_reps[c] = min(reps)
 
     stream_rps = bench_stream_ingest(spark, sf_dir)
 
@@ -307,6 +327,19 @@ def main() -> None:
         # divided by this run's canary-median host-speed ratio — compare
         # THESE across rounds; raw seconds stay above for transparency
         "canary_ratio": round(canary_ratio, 4),
+        # the same three canaries re-timed AFTER the full tier: the
+        # begin/end pair bounds intra-run host drift (see comment at
+        # the end-of-run timing block)
+        "canary_ratio_end": round(
+            statistics.median(
+                sorted(
+                    end_reps[c] / CANARY_BASELINE_S[c]
+                    for c in CANARY_BASELINE_S
+                )
+            ),
+            4,
+        ) if at_pinned_sf else 1.0,
+        "canaries_end_s": {k: round(v, 3) for k, v in end_reps.items()},
         "canary_normalization_applied": at_pinned_sf,
         "canary_baseline_s": CANARY_BASELINE_S,
         "value_normalized": norm(sum(timings.values())),
