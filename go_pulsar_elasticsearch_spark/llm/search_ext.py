@@ -684,3 +684,65 @@ def suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _COMPLETION_SIZE)
         .select("prefix", "completion", "weight", F.col("rk").cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+# rank_feature_query  (ES rank_feature: static-signal relevance scoring)
+# --------------------------------------------------------------------------
+
+# ES's `rank_feature` query scores documents by a STATIC numeric signal
+# (pagerank, url_length, freshness...) through one of three bounded
+# monotone functions — saturation x/(x+k), log(a) = ln(1 + a*x),
+# sigmoid x^e/(x^e + k^e) — so the signal can join a bool query without
+# swamping the text score.  Feature here: the document length
+# (n_chars), the classic quality prior.  All three functions are pure
+# IEEE arithmetic over exact integers (one division, one ln — the
+# round-6 recipe), so all three scores hash-certify; k is pinned to
+# the corpus median length so saturation genuinely spans (0, 1).
+_RF_K = 300.0        # saturation/sigmoid pivot
+_RF_LOG_A = 0.01     # log scaling factor
+_RF_SIG_E = 2.0      # sigmoid exponent
+_RF_TOPK = 25
+
+_RANK_FEATURE_ORACLE = f"""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       round(CAST(n_chars AS DOUBLE) / (n_chars + {_RF_K}), 6) AS sat,
+       round(ln(1.0 + {_RF_LOG_A} * n_chars), 6) AS logf,
+       round(CAST(n_chars AS DOUBLE) * n_chars
+             / (CAST(n_chars AS DOUBLE) * n_chars + {_RF_K} * {_RF_K}), 6)
+         AS sig
+FROM documents
+ORDER BY sat DESC, doc_id
+LIMIT {_RF_TOPK}
+"""
+
+
+@register("rank_feature_query", _RANK_FEATURE_ORACLE)
+def rank_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rank_feature`` with all three scoring functions —
+    saturation (the default, pivot k = corpus-typical length), log,
+    and sigmoid (exponent 2 written as x*x/(x*x + k*k), exact without
+    pow) — over the document-length quality prior, top-25 by the
+    saturation score.
+
+    Plan: three scan-fused arithmetic columns + TakeOrderedAndProject —
+    the zero-shuffle shape a static-signal boost must have, because ES
+    evaluates rank_feature per hit inside the WAND loop; a shuffle here
+    would mean the prior is mis-modeled as an aggregate."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+    sat = F.round(x / (F.col("n_chars") + F.lit(_RF_K)), 6)
+    logf = F.round(F.log(F.lit(1.0) + F.lit(_RF_LOG_A) * F.col("n_chars")), 6)
+    sig = F.round(x * x / (x * x + F.lit(_RF_K * _RF_K)), 6)
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            sat.alias("sat"),
+            logf.alias("logf"),
+            sig.alias("sig"),
+        )
+        .orderBy(F.desc("sat"), "doc_id")
+        .limit(_RF_TOPK)
+    )
