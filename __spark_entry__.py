@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 323 registered queries, 306 with oracles (new this
+State (round 8): 325 registered queries, 308 with oracles (new this
 round: dependency-free PNG and GIF codecs — stdlib zlib inflate +
 scanline unfilter types 0-4 for PNG, a real variable-code-width LZW
 both directions for GIF — certified by `multimodal_decode_png` /

@@ -746,3 +746,67 @@ def rank_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sat"), "doc_id")
         .limit(_RF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# distance_feature_query  (ES distance_feature: recency/proximity boost)
+# --------------------------------------------------------------------------
+
+# ES's `distance_feature` is rank_feature's dynamic sibling: the score
+# decays with DISTANCE from a query-time origin — boost * pivot /
+# (pivot + distance) — for dates (recency boost) and geo points.  Here
+# the date form over the event stream: origin mid-January, pivot 7
+# days, distance in whole seconds (|epoch(ts) - epoch(origin)| — exact
+# integers, so the one division is the only float op and the score
+# hash-certifies without rounding tricks... rounded to 6 anyway, house
+# style).
+_DF_ORIGIN = "2024-01-15 00:00:00"
+_DF_PIVOT_S = 7 * 86400
+_DF_BOOST = 2.0
+_DF_TOPK = 25
+
+_DISTANCE_FEATURE_ORACLE = f"""
+SELECT event_id,
+       CAST(abs(CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(TIMESTAMP '{_DF_ORIGIN}')) AS BIGINT))
+            AS BIGINT) AS dist_s,
+       round({_DF_BOOST} * {_DF_PIVOT_S}.0
+             / ({_DF_PIVOT_S} + abs(CAST(floor(epoch(ts)) AS BIGINT)
+                - CAST(floor(epoch(TIMESTAMP '{_DF_ORIGIN}')) AS BIGINT))),
+             6) AS score
+FROM events
+ORDER BY score DESC, event_id
+LIMIT {_DF_TOPK}
+"""
+
+
+@register("distance_feature_query", _DISTANCE_FEATURE_ORACLE)
+def distance_feature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``distance_feature`` over the event stream: score = boost *
+    pivot / (pivot + |ts - origin|), the recency boost that lets "new"
+    outrank "relevant-but-stale" inside a bool query, top-25 closest to
+    the origin.
+
+    Plan: one scan-fused integer-seconds distance + one division +
+    TakeOrderedAndProject — zero shuffle, the same per-hit shape as
+    rank_feature_query (ES evaluates both inside the WAND loop)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    dist = F.abs(
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit(_DF_ORIGIN).cast("timestamp"))
+    )
+    score = F.round(
+        F.lit(_DF_BOOST) * F.lit(float(_DF_PIVOT_S))
+        / (F.lit(_DF_PIVOT_S) + dist),
+        6,
+    )
+    return (
+        ev.select(
+            "event_id",
+            dist.cast("long").alias("dist_s"),
+            score.alias("score"),
+        )
+        .orderBy(F.desc("score"), "event_id")
+        .limit(_DF_TOPK)
+    )

@@ -311,6 +311,49 @@ def vt_write(
     )
 
 
+def vt_append(
+    spark: SparkSession,
+    ds_dir: str,
+    df: DataFrame,
+    meta: dict | None = None,
+) -> int:
+    """Append-only version: the new manifest carries the PARENT's file
+    list plus this batch's fresh files (published files are immutable,
+    so the parent version keeps reading exactly as before).  ``meta``
+    rides in the manifest — a streaming sink stamps its epoch id there,
+    which is what makes checkpoint replays detectable (see
+    vt_stream_epoch_append)."""
+    version = _next_version(ds_dir)
+    parent_files = (
+        vt_manifest(ds_dir, version - 1)["files"] if version > 0 else []
+    )
+    vdir = os.path.join(ds_dir, "data", f"v{version:05d}")
+    df.write.mode("overwrite").parquet(vdir)
+    files = _rel_parquet_files(ds_dir, vdir)
+    return _publish_version(
+        ds_dir, version, "append", parent_files + files,
+        {"n_new_files": len(files), **(meta or {})},
+    )
+
+
+def vt_stream_epoch_append(
+    spark: SparkSession, ds_dir: str, batch_df: DataFrame, epoch_id: int
+) -> int | None:
+    """foreachBatch body for a MANIFEST-PINNED streaming sink: each
+    micro-batch publishes one append version stamped with its epoch id.
+    Checkpoint replays are detected by scanning the (version-count-
+    sized) manifest log for the epoch — a replayed batch publishes
+    nothing, so the table can never double-append (the manifest analog
+    of the epoch-keyed store overwrite the monitor family uses).
+    Returns the published version, or None for a detected replay."""
+    cur = vt_current_version(ds_dir)
+    if cur is not None:
+        for v in range(cur + 1):
+            if vt_manifest(ds_dir, v)["meta"].get("epoch") == epoch_id:
+                return None  # replay: this epoch already published
+    return vt_append(spark, ds_dir, batch_df, meta={"epoch": epoch_id})
+
+
 def vt_read(
     spark: SparkSession, ds_dir: str, as_of: int | None = None
 ) -> DataFrame:

@@ -515,6 +515,82 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# vt_stream_sink_read  (the manifest-pinned STREAMING sink: every
+# micro-batch publishes one append manifest — the reference's daily
+# rollover (es.go:78-116) completed into a streaming lakehouse table
+# with per-epoch time travel and replay-safe appends)
+# --------------------------------------------------------------------------
+
+_VTS_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+def _vts_drive(spark: SparkSession, sf_dir: str) -> str:
+    from go_pulsar_elasticsearch_spark import maintenance as mt
+    from go_pulsar_elasticsearch_spark.streaming.drain import (
+        drain_file_stream,
+        drained,
+        id_range_predicates,
+    )
+
+    def build() -> str:
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        hi = ev.agg(F.max("event_id")).first()[0] + 1
+
+        def factory(base: str):
+            ds = os.path.join(base, "table")
+
+            def body(batch_df, epoch_id: int) -> None:
+                mt.vt_stream_epoch_append(
+                    batch_df.sparkSession, ds, batch_df, epoch_id
+                )
+
+            return body
+
+        base = drain_file_stream(
+            spark,
+            ev,
+            "event_id long, user_id long, event_type string",
+            id_range_predicates(
+                F.col("event_id"),
+                ((0, hi // 5), (hi // 5, hi // 2), (hi // 2, hi)),
+            ),
+            factory,
+            "gpe-vtstream-",
+        )
+        return os.path.join(base, "table")
+
+    return drained(("vt_stream", sf_dir), build)
+
+
+@register("vt_stream_sink_read", _VTS_ORACLE)
+def vt_stream_sink_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENT-state read of a table built by the manifest-pinned
+    STREAMING sink: the event stream drains in three uneven
+    micro-batches, each publishing one append manifest stamped with its
+    epoch (vt_stream_epoch_append — a checkpoint replay finds its epoch
+    in the log and publishes nothing, so the table can never
+    double-append).  The certified rows must equal the full batch
+    source — and every intermediate version stays readable as-of its
+    manifest, which is what upgrades the reference's dated-index
+    rollover into a real lakehouse table (per-epoch audit + time
+    travel; pinned in tests/test_maintenance.py).
+
+    100 TB: each epoch costs one parquet write + one metadata-sized
+    manifest publish; readers resolve a pointer and scan exactly the
+    pinned files.  This is the Iceberg/Delta streaming-sink commit
+    shape reduced to its portable core."""
+    from go_pulsar_elasticsearch_spark import maintenance as mt
+
+    tune(spark)
+    ds = _vts_drive(spark, sf_dir)
+    return mt.vt_read(spark, ds)
+
+
+# --------------------------------------------------------------------------
 # duplicate_invoice_detect  (structured near-duplicate detection: same
 # customer, amounts within ±10%, order dates within a 7-day window,
 # different keys — the billing-dedup complement to the text-dedup

@@ -336,3 +336,38 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, sf_dir, tmp_path):
     assert [m["op"] for m in vt_history(ds)] == ["write", "compact"]
     # idempotent: nothing left to reclaim
     assert vt_vacuum(ds, retain_from=1)["files_removed"] == 0
+
+
+def test_streaming_sink_epochs_time_travel_and_replay(spark, sf_dir, tmp_path):
+    """The manifest-pinned streaming sink: as-of version k equals the
+    union of the first k+1 epochs, a replayed epoch publishes nothing,
+    and the epoch audit trail is complete."""
+    from go_pulsar_elasticsearch_spark.maintenance import (
+        vt_current_version,
+        vt_history,
+        vt_read,
+        vt_stream_epoch_append,
+    )
+
+    ds = str(tmp_path / "vts")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    batches = [
+        ev.filter(F.col("event_id") % 3 == m) for m in range(3)
+    ]
+    for epoch, b in enumerate(batches):
+        assert vt_stream_epoch_append(spark, ds, b, epoch) == epoch
+    # replay every epoch: all no-ops, nothing double-appends
+    for epoch, b in enumerate(batches):
+        assert vt_stream_epoch_append(spark, ds, b, epoch) is None
+    assert vt_current_version(ds) == 2
+
+    def rows(v):
+        return {tuple(r) for r in vt_read(spark, ds, as_of=v).collect()}
+
+    want = set()
+    for v, b in enumerate(batches):
+        want |= {tuple(r) for r in b.collect()}
+        assert rows(v) == want
+    hist = vt_history(ds)
+    assert [m["op"] for m in hist] == ["append"] * 3
+    assert [m["meta"]["epoch"] for m in hist] == [0, 1, 2]
