@@ -216,6 +216,44 @@ def main() -> None:
                        round(max(reps), 3)]
         return stats[name][1]
 
+    # Mid-run contention probes (round-8 two-run agreement study, part
+    # 2): the A/B comparison showed the disagreeing queries were
+    # ALPHABETICALLY CONTIGUOUS — a multi-minute host-contention window
+    # slows whatever queries happen to run inside it, so median-of-3
+    # cannot save a query whose three reps all sit in the window
+    # (minhash_recall_eval: [10.7, 12.1, 13.2] in run A vs [1.6, 1.8,
+    # 2.8] in run B, while every sibling m* query drifted the same way).
+    # Fix: re-time the cheapest pinned canary (tpch_q6, scan-bound)
+    # every PROBE_EVERY queries, building a time-indexed host-speed
+    # trace; each query is then ALSO reported divided by the ratio
+    # interpolated at its own completion time.  Compare
+    # `full_queries_local_norm` across runs — a genuine regression
+    # moves it, a contention window does not.
+    PROBE_EVERY = 25
+    run_start = time.time()
+    probes: list[tuple[float, float]] = []  # (wall_time, host ratio)
+
+    def contention_probe() -> None:
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            materialize(QUERIES["tpch_q6"](spark, sf_dir))
+            reps.append(time.time() - t0)
+        probes.append(
+            (time.time(), min(reps) / CANARY_BASELINE_S["tpch_q6"])
+        )
+
+    done_ts: dict[str, float] = {}
+    n_since_probe = 0
+
+    def maybe_probe() -> None:
+        nonlocal n_since_probe
+        n_since_probe += 1
+        if n_since_probe >= PROBE_EVERY:
+            n_since_probe = 0
+            contention_probe()
+
+    contention_probe()  # anchor the trace at run start
     cold_total = 0.0
     for name in HEADLINE:
         print(f"BENCH headline {name}", file=sys.stderr)
@@ -224,6 +262,8 @@ def main() -> None:
         first = time.time() - t0
         cold_total += first
         timings[name] = run_reps(name, 3, first)
+        done_ts[name] = time.time()
+        maybe_probe()
 
     # Full registered set: one run each for cheap queries (cold,
     # includes codegen — the regression tripwire the headline set
@@ -255,10 +295,12 @@ def main() -> None:
                 full[name] = run_reps(name, 3, first)
             else:
                 full[name] = round(first, 3)
+            done_ts[name] = time.time()
         except Exception as exc:  # never let one op sink the whole bench
             full[name] = -1.0
             print(f"BENCH ERROR {name}: {type(exc).__name__}: {exc}",
                   file=sys.stderr)
+        maybe_probe()
 
     # END-of-run canary re-timing (round-8 two-run agreement study):
     # consecutive full-tier runs on identical code disagreed up to 2.3x
@@ -276,6 +318,29 @@ def main() -> None:
             materialize(QUERIES[c](spark, sf_dir))
             reps.append(time.time() - t0)
         end_reps[c] = min(reps)
+    # the end-of-run q6 re-timing closes the contention trace
+    probes.append(
+        (time.time(), end_reps["tpch_q6"] / CANARY_BASELINE_S["tpch_q6"])
+    )
+
+    def local_ratio(ts: float) -> float:
+        """Host-speed ratio at wall-time ts, linearly interpolated
+        between the bracketing contention probes (clamped to >= 0.25 so
+        a probe hitting an idle microsecond cannot inflate anything
+        past 4x)."""
+        before = [p for p in probes if p[0] <= ts]
+        after = [p for p in probes if p[0] > ts]
+        if not before and not after:
+            return 1.0
+        if not before:
+            r = after[0][1]
+        elif not after:
+            r = before[-1][1]
+        else:
+            (t0_, r0), (t1_, r1) = before[-1], after[0]
+            f = (ts - t0_) / (t1_ - t0_) if t1_ > t0_ else 0.0
+            r = r0 + f * (r1 - r0)
+        return max(r, 0.25)
 
     stream_rps = bench_stream_ingest(spark, sf_dir)
 
@@ -348,6 +413,25 @@ def main() -> None:
         "full_total_normalized_s": norm(
             sum(v for v in full.values() if v > 0)
         ),
+        # time-indexed host-speed trace: [seconds-into-run, ratio] per
+        # probe (tpch_q6 min-of-2 vs its pinned baseline, every
+        # PROBE_EVERY queries) — reveals contention WINDOWS inside the
+        # run that begin/end canaries straddle silently
+        "contention_probes": [
+            [round(ts - run_start, 1), round(r, 4)] for ts, r in probes
+        ],
+        # each query divided by the host ratio interpolated at its own
+        # completion time: the number to compare run-to-run (a real
+        # regression moves it; a contention window does not).  Only
+        # meaningful at the pinned SF, like the global normalization.
+        "full_queries_local_norm": {
+            k: (
+                round(v / local_ratio(done_ts[k]), 3)
+                if v > 0 and k in done_ts and at_pinned_sf
+                else v
+            )
+            for k, v in full.items()
+        },
     }
     # The driver's BENCH_r{N}.json artifact keeps only a 2000-char tail
     # of stdout, which truncates the headline dict — persist the full

@@ -31,6 +31,7 @@ def load_all() -> None:
     from go_pulsar_elasticsearch_spark.operators import (  # noqa: F401
         aggregates,
         es_aggs,
+        es_aggs2,
         es_bucket_aggs,
         es_loop,
         es_metric_aggs,
@@ -84,6 +85,7 @@ def load_all() -> None:
         sampling,
         search,
         search_ext,
+        search_ext2,
         similarity,
         text_analysis,
         udfs,

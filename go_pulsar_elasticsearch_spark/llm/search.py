@@ -41,26 +41,32 @@ _K1 = 1.2
 _B = 0.75
 _TOPN = 10
 
-def _contrib_sql(i: int) -> str:
+def _contrib_sql(i: int, suffix: str = "") -> str:
+    # `suffix` scopes the stat columns to a FIELD (multi_match scorers
+    # compute tf/dl/df/avgdl per field; n_docs is index-wide) — the
+    # default keeps the single-field certified ops byte-identical
+    tf, df = f"tf{i}{suffix}", f"df{i}{suffix}"
+    dl, avgdl = f"dl{suffix}", f"avgdl{suffix}"
     return (
-        f"CAST(CASE WHEN tf{i} > 0 THEN round("
-        f"ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
-        f" * tf{i} * ({_K1} + 1)"
-        f" / (tf{i} + {_K1} * (1 - {_B} + {_B} * dl / avgdl)), 6)"
+        f"CAST(CASE WHEN {tf} > 0 THEN round("
+        f"ln(1 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
+        f" * {tf} * ({_K1} + 1)"
+        f" / ({tf} + {_K1} * (1 - {_B} + {_B} * {dl} / {avgdl})), 6)"
         f" ELSE 0 END AS DECIMAL(18,6))"
     )
 
 
-def _bm25_contrib(i: int) -> "F.Column":
+def _bm25_contrib(i: int, suffix: str = "") -> "F.Column":
     """Column twin of _contrib_sql — the ONE Spark-side source of the
     per-term BM25 contribution, shared by every op that scores with it
-    (bm25_search, search_request_e2e) so the certified formula cannot
-    drift between them."""
-    tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+    (bm25_search, search_request_e2e, multi_match_dismax) so the
+    certified formula cannot drift between them.  ``suffix`` scopes the
+    stat columns to a field (see _contrib_sql)."""
+    tf, df = F.col(f"tf{i}{suffix}"), F.col(f"df{i}{suffix}")
     raw = (
         F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
         * tf * (_K1 + 1)
-        / (tf + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl")))
+        / (tf + _K1 * (1 - _B + _B * F.col(f"dl{suffix}") / F.col(f"avgdl{suffix}")))
     )
     return F.when(tf > 0, F.round(raw, 6)).otherwise(F.lit(0)).cast(
         "decimal(18,6)"
