@@ -1,7 +1,10 @@
 """Dependency-free media codecs: BMP (24-bit BITMAPINFOHEADER), WAV
 (RIFF/PCM 16-bit), PNG (8-bit RGB/RGBA, stdlib zlib inflate +
-per-scanline unfilter), and GIF (87a/89a single-frame, real
-variable-code-width LZW both directions).
+per-scanline unfilter), GIF (87a/89a single-frame, real
+variable-code-width LZW both directions), and baseline JPEG (T.81
+sequential DCT: marker stream, per-image optimized canonical Huffman
+tables, byte-stuffed entropy bitstream, zigzag/dequant/IDCT, 4:4:4
+YCbCr or grayscale).
 
 These replace the multimodal decode stub for the container formats
 that need no external codec library — pure struct parsing over the
@@ -24,6 +27,7 @@ encoder/decoder bug pair cannot cancel out.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 
@@ -709,4 +713,642 @@ def decode_wav_samples(data: bytes) -> dict:
         "n_channels": n_ch,
         "sample_rate": rate,
         "samples": list(struct.unpack(f"<{n}h", pcm[: n * 2])),
+    }
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81): SOI/DQT/SOF0/DHT/SOS/EOI
+# marker stream, 8x8 block DCT, quality-scaled quantization, optimized
+# (per-image) canonical Huffman tables, byte-stuffed entropy bitstream,
+# 4:4:4 YCbCr color or single-component grayscale.  All stdlib, no
+# dependencies — the fourth real compressed container next to PNG/GIF/
+# WAV, closing the "real crawl corpora are JPEG" gap.
+#
+# Determinism contract (what the certified query leans on): the DC slot
+# of the DCT scale matrix is EXACTLY 0.125 (the mathematically exact
+# value of 0.25*C0*C0 — float (1/sqrt(2))**2 is 0.5+1ulp, which would
+# smear the DC path by an ulp and make round-half ties engine-
+# dependent), every rounding is floor(x + 0.5), and the YCbCr<->RGB
+# chains are written in one fixed association order.  For a block of
+# CONSTANT color the entire encode->decode chain is then an exact
+# integer-rational function of (value, quant-table entry) that a SQL
+# oracle can recompute — while the bytes still traverse the full real
+# pipeline (markers, optimized Huffman, stuffing, zigzag, dequant,
+# IDCT).
+# --------------------------------------------------------------------------
+
+_JPEG_QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QUANT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+
+def jpeg_quant_table(base: list[int], quality: int) -> list[int]:
+    """libjpeg's quality scaling: integer arithmetic, deterministic."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - q * 2
+    return [min(max((b * scale + 50) // 100, 1), 255) for b in base]
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The (row, col) visit order, generated rather than transcribed:
+    anti-diagonals s = row+col; odd diagonals walk top-right ->
+    bottom-left (row ascending), even ones the reverse."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(8) if 0 <= s - y < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+_JPEG_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_JPEG_SCALE = [
+    [
+        0.25
+        * (1 / math.sqrt(2) if u == 0 else 1.0)
+        * (1 / math.sqrt(2) if v == 0 else 1.0)
+        for v in range(8)
+    ]
+    for u in range(8)
+]
+_JPEG_SCALE[0][0] = 0.125  # exact: float (1/sqrt 2)**2 is 0.5 + 1 ulp
+
+
+def _fdct_quant(block: list[list[int]], qtab: list[int]) -> list[int]:
+    """Forward DCT + quantization -> 64 coefficients in zigzag order.
+    `block` is 8x8 level-shifted ints; rounding is floor(|x|/Q + 0.5)
+    with the sign re-applied (half away from zero, both engines')."""
+    out = [0] * 64
+    for k, (u, v) in enumerate(_ZIGZAG):
+        cu, cv = _JPEG_COS[u], _JPEG_COS[v]
+        s = 0.0
+        for y in range(8):
+            row = block[y]
+            cvy = cv[y]
+            for x in range(8):
+                s += row[x] * cu[x] * cvy
+        f = _JPEG_SCALE[u][v] * s
+        q = qtab[k]
+        out[k] = (
+            int(math.floor(f / q + 0.5))
+            if f >= 0
+            else -int(math.floor(-f / q + 0.5))
+        )
+    return out
+
+
+def _idct_block(coefs: list[int], qtab: list[int]) -> list[list[int]]:
+    """Dequantize + inverse DCT -> 8x8 pixel block (level-shifted back,
+    clamped).  Reconstruction rounding is floor(v + 128.5)."""
+    deq = [[0.0] * 8 for _ in range(8)]
+    for k, (u, v) in enumerate(_ZIGZAG):
+        if coefs[k]:
+            deq[u][v] = _JPEG_SCALE[u][v] * (coefs[k] * qtab[k])
+    nz = [
+        (u, v, deq[u][v]) for u in range(8) for v in range(8) if deq[u][v]
+    ]
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u, v, d in nz:
+                s += d * _JPEG_COS[u][x] * _JPEG_COS[v][y]
+            out[y][x] = min(max(int(math.floor(s + 128.5)), 0), 255)
+    return out
+
+
+# ---- optimized Huffman tables (Annex K.2: the pseudo-symbol-256 merge
+# producing code LENGTHS, the 16-bit cap adjustment, canonical codes)
+
+
+def _jpeg_huff_lengths(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(BITS[1..16], HUFFVAL) from symbol frequencies — the T.81 K.2
+    procedure: a pseudo-symbol 256 (freq 1) guarantees no real symbol
+    gets the all-ones code; ties break toward the larger symbol so the
+    table is a pure function of the frequencies."""
+    f = dict(freq)
+    f[256] = 1
+    codesize = {s: 0 for s in f}
+    others = {s: -1 for s in f}
+    alive = {s: c for s, c in f.items() if c > 0}
+    while len(alive) > 1:
+        c1 = min(alive, key=lambda s: (alive[s], -s))
+        rest = {s: c for s, c in alive.items() if s != c1}
+        c2 = min(rest, key=lambda s: (rest[s], -s))
+        alive[c1] += alive.pop(c2)
+        v = c1
+        codesize[v] += 1
+        while others[v] != -1:
+            v = others[v]
+            codesize[v] += 1
+        others[v] = c2
+        v = c2
+        codesize[v] += 1
+        while others[v] != -1:
+            v = others[v]
+            codesize[v] += 1
+    bits = [0] * 33
+    for s, l in codesize.items():
+        if l:
+            bits[l] += 1
+    # cap at 16 (K.2 adjust_bits): move a pair from the longest length
+    i = 32
+    while i > 16:
+        if bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        else:
+            i -= 1
+    # drop the pseudo-symbol: it owns (one of) the longest codes
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1
+    huffval = [
+        s
+        for s in sorted(
+            (s for s in codesize if codesize[s] and s != 256),
+            key=lambda s: (codesize[s], s),
+        )
+    ]
+    return bits[1:17], huffval
+
+
+def _huff_encode_map(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for l in range(1, 17):
+        for _ in range(bits[l - 1]):
+            out[huffval[k]] = (code, l)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _block_symbols(coefs: list[int], prev_dc: int) -> tuple[list[tuple], int]:
+    """(symbol stream, new prev_dc): [('dc', cat, bits), ('ac', rs,
+    cat, bits), ...] — shared by the stats pass and the write pass so
+    the two passes cannot disagree."""
+    syms: list[tuple] = []
+    diff = coefs[0] - prev_dc
+    cat = _category(diff)
+    bits = diff if diff >= 0 else diff + (1 << cat) - 1
+    syms.append(("dc", cat, bits))
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coefs[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = coefs[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(("ac", 0xF0, 0, 0))  # ZRL
+            run -= 16
+        cat = _category(v)
+        bits = v if v >= 0 else v + (1 << cat) - 1
+        syms.append(("ac", (run << 4) | cat, cat, bits))
+        run = 0
+    if last_nz < 63:
+        syms.append(("ac", 0x00, 0, 0))  # EOB
+    return syms, coefs[0]
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """BT.601 full-range, floor(x + 0.5), clamped — the oracle mirrors
+    these literal constants and this association order."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return (
+        min(max(int(math.floor(y + 0.5)), 0), 255),
+        min(max(int(math.floor(cb + 0.5)), 0), 255),
+        min(max(int(math.floor(cr + 0.5)), 0), 255),
+    )
+
+
+def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136286 * (cb - 128) - 0.714136286 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return (
+        min(max(int(math.floor(r + 0.5)), 0), 255),
+        min(max(int(math.floor(g + 0.5)), 0), 255),
+        min(max(int(math.floor(b + 0.5)), 0), 255),
+    )
+
+
+def _jpeg_component_blocks(
+    plane: list[list[int]], width: int, height: int
+) -> list[list[list[int]]]:
+    """Split a component plane into level-shifted 8x8 blocks, edge-
+    replicating the right/bottom padding (so a constant source block
+    stays constant through padding)."""
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+    blocks = []
+    for by in range(by_n):
+        for bx in range(bx_n):
+            blk = []
+            for dy in range(8):
+                y = min(by * 8 + dy, height - 1)
+                row = plane[y]
+                blk.append(
+                    [row[min(bx * 8 + dx, width - 1)] - 128 for dx in range(8)]
+                )
+            blocks.append(blk)
+    return blocks
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb_rows: list[list[tuple[int, int, int]]],
+    quality: int = 75,
+    gray: bool = False,
+) -> bytes:
+    """Baseline JPEG encoder: 4:4:4 YCbCr (or single-component
+    grayscale), quality-scaled Annex-K quantization tables, per-image
+    optimized canonical Huffman tables (the libjpeg -optimize mode:
+    DHT is built from this image's own symbol statistics), interleaved
+    single scan."""
+    if width < 1 or height < 1 or len(rgb_rows) != height:
+        raise MediaFormatError("bad JPEG encode dimensions")
+    qlum = jpeg_quant_table(_JPEG_QUANT_LUM, quality)
+    qchrom = jpeg_quant_table(_JPEG_QUANT_CHROM, quality)
+    # color convert into planes
+    ny = [[0] * width for _ in range(height)]
+    ncb = [[0] * width for _ in range(height)]
+    ncr = [[0] * width for _ in range(height)]
+    for yy in range(height):
+        for xx in range(width):
+            r, g, b = rgb_rows[yy][xx][:3]
+            y_, cb_, cr_ = _rgb_to_ycbcr(r, g, b)
+            ny[yy][xx] = y_
+            ncb[yy][xx] = cb_
+            ncr[yy][xx] = cr_
+    comps = [(ny, qlum, 0)] if gray else [
+        (ny, qlum, 0), (ncb, qchrom, 1), (ncr, qchrom, 1),
+    ]
+    coef_streams = []
+    for plane, qtab, _tq in comps:
+        coef_streams.append(
+            [_fdct_quant(b, qtab) for b in _jpeg_component_blocks(plane, width, height)]
+        )
+    n_blocks = len(coef_streams[0])
+    # pass 1: symbol statistics per (dc/ac, table id)
+    dc_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    ac_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    sym_streams: list[list[list[tuple]]] = [[] for _ in comps]
+    for ci, (_plane, _qtab, tq) in enumerate(comps):
+        prev_dc = 0
+        for bi in range(n_blocks):
+            syms, prev_dc = _block_symbols(coef_streams[ci][bi], prev_dc)
+            sym_streams[ci].append(syms)
+            for s in syms:
+                if s[0] == "dc":
+                    dc_freq[tq][s[1]] = dc_freq[tq].get(s[1], 0) + 1
+                else:
+                    ac_freq[tq][s[1]] = ac_freq[tq].get(s[1], 0) + 1
+    tables = {}
+    used_tq = sorted({tq for _, _, tq in comps})
+    for tq in used_tq:
+        tables[("dc", tq)] = _jpeg_huff_lengths(dc_freq[tq])
+        tables[("ac", tq)] = _jpeg_huff_lengths(ac_freq[tq])
+    enc_maps = {k: _huff_encode_map(*v) for k, v in tables.items()}
+    # pass 2: entropy-coded data (interleaved MCU = one block per comp)
+    w = _BitWriter()
+    for bi in range(n_blocks):
+        for ci, (_plane, _qtab, tq) in enumerate(comps):
+            for s in sym_streams[ci][bi]:
+                if s[0] == "dc":
+                    code, ln = enc_maps[("dc", tq)][s[1]]
+                    w.put(code, ln)
+                    w.put(s[2], s[1])
+                else:
+                    code, ln = enc_maps[("ac", tq)][s[1]]
+                    w.put(code, ln)
+                    if s[2]:
+                        w.put(s[3], s[2])
+    entropy = w.flush()
+    # marker stream
+    out = bytearray(b"\xff\xd8")  # SOI
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(body) + 2))
+        out.extend(body)
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    dqt = bytes([0x00]) + bytes(qlum)
+    if not gray:
+        dqt += bytes([0x01]) + bytes(qchrom)
+    seg(0xDB, dqt)  # DQT (zigzag-ordered entries)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        tq = 0 if cid == 1 else 1
+        sof += struct.pack(">BBB", cid, 0x11, tq)  # 4:4:4 sampling
+    seg(0xC0, sof)  # SOF0 baseline
+    dht = b""
+    for (cls, tq), (bits, huffval) in sorted(
+        tables.items(), key=lambda kv: (kv[0][1], kv[0][0])
+    ):
+        tc = 0 if cls == "dc" else 1
+        dht += bytes([(tc << 4) | tq]) + bytes(bits) + bytes(huffval)
+    seg(0xC4, dht)  # DHT
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        tq = 0 if cid == 1 else 1
+        sos += bytes([cid, (tq << 4) | tq])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)  # SOS
+    out.extend(entropy)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise MediaFormatError("JPEG entropy stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_tables(bits: list[int], huffval: list[int]):
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code, k = 0, 0
+    for l in range(1, 17):
+        if bits[l - 1]:
+            valptr[l] = k
+            mincode[l] = code
+            code += bits[l - 1]
+            k += bits[l - 1]
+            maxcode[l] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, huffval
+
+
+def _huff_read(r: _BitReader, tab) -> int:
+    mincode, maxcode, valptr, huffval = tab
+    code = 0
+    for l in range(1, 17):
+        code = (code << 1) | r.bit()
+        if maxcode[l] >= code >= mincode[l]:
+            return huffval[valptr[l] + code - mincode[l]]
+    raise MediaFormatError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_walk(data: bytes):
+    """Parse the marker stream: returns (width, height, components,
+    qtabs, htabs, scan_map, entropy_bytes).  components: [(cid, tq)];
+    scan_map: {cid: (td, ta)}."""
+    if data[:2] != b"\xff\xd8":
+        raise MediaFormatError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    comps: list[tuple[int, int]] = []
+    dims = None
+    while pos < len(data):
+        if data[pos] != 0xFF or pos + 4 > len(data):
+            raise MediaFormatError("JPEG marker desync or truncation")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise MediaFormatError("JPEG has no scan data")
+        ln = struct.unpack(">H", data[pos:pos + 2])[0]
+        if pos + ln > len(data):
+            raise MediaFormatError("JPEG truncated in marker segment")
+        body = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise MediaFormatError("16-bit DQT unsupported")
+                qtabs[tq] = list(body[o + 1:o + 65])
+                o += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w, nc = struct.unpack(">HHB", body[1:6])
+            dims = (w, h)
+            o = 6
+            for _ in range(nc):
+                cid, samp, tq = body[o], body[o + 1], body[o + 2]
+                if samp != 0x11:
+                    raise MediaFormatError(
+                        "only 4:4:4 / single-component JPEG supported"
+                    )
+                comps.append((cid, tq))
+                o += 3
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaFormatError("non-baseline JPEG unsupported")
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                n = sum(bits)
+                huffval = list(body[o + 17:o + 17 + n])
+                htabs[(tc, th)] = (bits, huffval)
+                o += 17 + n
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            nc = body[0]
+            scan_map = {}
+            o = 1
+            for _ in range(nc):
+                cid = body[o]
+                scan_map[cid] = (body[o + 1] >> 4, body[o + 1] & 0xF)
+                o += 2
+            epos = pos + ln
+            raw = bytearray()
+            while epos < len(data):
+                b = data[epos]
+                if b == 0xFF:
+                    nxt = data[epos + 1]
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        epos += 2
+                        continue
+                    break  # a real marker (EOI) ends the scan
+                raw.append(b)
+                epos += 1
+            if dims is None:
+                raise MediaFormatError("JPEG scan before SOF0")
+            return dims[0], dims[1], comps, qtabs, htabs, scan_map, bytes(raw)
+        pos += ln
+    raise MediaFormatError("JPEG truncated before SOS")
+
+
+def decode_jpeg_planes(data: bytes):
+    """Full baseline decode to per-component pixel planes (width,
+    height, [plane]) — planes in SOF component order (Y[, Cb, Cr])."""
+    w, h, comps, qtabs, htabs, scan_map, entropy = _jpeg_walk(data)
+    dec_tabs = {k: _huff_decode_tables(*v) for k, v in htabs.items()}
+    r = _BitReader(entropy)
+    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+    planes = [[[0] * w for _ in range(h)] for _ in comps]
+    prev_dc = [0] * len(comps)
+    for blk in range(bx_n * by_n):
+        by, bx = divmod(blk, bx_n)
+        for ci, (cid, tq) in enumerate(comps):
+            td, ta = scan_map[cid]
+            coefs = [0] * 64
+            s = _huff_read(r, dec_tabs[(0, td)])
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc[ci] += diff
+            coefs[0] = prev_dc[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_read(r, dec_tabs[(1, ta)])
+                rr, ss = rs >> 4, rs & 0xF
+                if ss == 0:
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    raise MediaFormatError("bad JPEG AC symbol")
+                k += rr
+                if k > 63:
+                    raise MediaFormatError("JPEG AC run overflow")
+                coefs[k] = _extend(r.bits(ss), ss)
+                k += 1
+            px = _idct_block(coefs, qtabs[tq])
+            for dy in range(8):
+                yy = by * 8 + dy
+                if yy >= h:
+                    break
+                row = planes[ci][yy]
+                for dx in range(8):
+                    xx = bx * 8 + dx
+                    if xx < w:
+                        row[xx] = px[dy][dx]
+    return w, h, planes
+
+
+def decode_jpeg_pixels(data: bytes) -> dict:
+    """Baseline JPEG -> full RGB grid (grayscale replicates Y), same
+    surface as decode_png_pixels."""
+    w, h, planes = decode_jpeg_planes(data)
+    grid = []
+    if len(planes) == 1:
+        for y in range(h):
+            grid.append([(v, v, v) for v in planes[0][y]])
+    else:
+        py, pcb, pcr = planes
+        for y in range(h):
+            grid.append(
+                [
+                    _ycbcr_to_rgb(py[y][x], pcb[y][x], pcr[y][x])
+                    for x in range(w)
+                ]
+            )
+    return {"width": w, "height": h, "rgb_rows": grid}
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline JPEG -> the integer-fact surface shared by the codec
+    family: width/height/n_pixels/n_channels + exact per-channel sums
+    of the DECODED pixels."""
+    parsed = decode_jpeg_pixels(data)
+    w, h = parsed["width"], parsed["height"]
+    n_ch = 3
+    sums = [0, 0, 0]
+    for row in parsed["rgb_rows"]:
+        for px in row:
+            sums[0] += px[0]
+            sums[1] += px[1]
+            sums[2] += px[2]
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "n_channels": n_ch,
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
     }

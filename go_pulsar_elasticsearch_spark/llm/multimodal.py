@@ -1,19 +1,21 @@
 """Multimodal columns: image/audio/video as opaque BinaryType payloads
 with typed metadata, processed via Arrow-batched pandas iterators.
 
-BMP, WAV/PCM, PNG, and GIF decode for REAL via the dependency-free
-parsers in media_codec.py (round 8: PNG = stdlib zlib inflate +
-scanline unfilter; GIF = real variable-width LZW) —
-`multimodal_decode`, `multimodal_decode_png`, `multimodal_decode_gif`,
-and `multimodal_features` are hash-certified through actual encoded
-bytes, and `image_phash_dct_neardup` certifies BMP and PNG pixel
-recovery in one pass (each near-dup pair crosses the codec boundary).
-The remaining compressed codecs (JPEG, MP4) need libraries this
-container does not ship, so `decode_payload` gates them behind
-NotImplementedError; the schema, binary handling, mapInPandas batch
-shape, and partitioning around that gate are real and tested
-(tests/test_multimodal.py, tests/test_png_codec.py,
-tests/test_gif_codec.py).
+BMP, WAV/PCM, PNG, GIF, and baseline JPEG decode for REAL via the
+dependency-free parsers in media_codec.py (round 8: PNG = stdlib zlib
+inflate + scanline unfilter; GIF = real variable-width LZW; JPEG =
+full baseline T.81 — optimized Huffman, byte-stuffed bitstream,
+zigzag/dequant/IDCT, YCbCr) — `multimodal_decode`,
+`multimodal_decode_png`, `multimodal_decode_gif`,
+`multimodal_decode_jpeg`, and `multimodal_features` are hash-certified
+through actual encoded bytes, and `image_phash_dct_neardup` certifies
+BMP and PNG pixel recovery in one pass (each near-dup pair crosses the
+codec boundary).  The one remaining compressed container (MP4/video)
+needs libraries this container does not ship, so `decode_payload`
+gates it behind NotImplementedError; the schema, binary handling,
+mapInPandas batch shape, and partitioning around that gate are real
+and tested (tests/test_multimodal.py, tests/test_png_codec.py,
+tests/test_gif_codec.py, tests/test_jpeg_codec.py).
 
 100 TB posture: payloads dominate bytes; metadata-only queries must
 never deserialize them (columnar parquet gives that for free — the
@@ -69,13 +71,13 @@ def with_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_payload(payload: bytes, mime: str) -> dict:
-    """Decode one media payload.  BMP, WAV/PCM, and (since round 8) PNG
-    decode for REAL via the dependency-free parsers in media_codec.py —
-    PNG is stdlib zlib inflate + per-scanline unfilter, no external
-    codec library (certified by `multimodal_decode` /
-    `multimodal_features` / `multimodal_decode_png`); the remaining
-    compressed codecs (JPEG, MP4) need libraries this environment does
-    not ship, so they gate behind NotImplementedError."""
+    """Decode one media payload.  BMP, WAV/PCM, and (since round 8)
+    PNG, GIF, and baseline JPEG decode for REAL via the dependency-free
+    parsers in media_codec.py (certified by `multimodal_decode` /
+    `multimodal_features` / `multimodal_decode_png` / `_gif` / `_jpeg`);
+    the one remaining compressed container (MP4/video) needs libraries
+    this environment does not ship, so it gates behind
+    NotImplementedError."""
     from go_pulsar_elasticsearch_spark.llm import media_codec
 
     if mime in ("image/bmp", "image/x-ms-bmp"):
@@ -84,6 +86,8 @@ def decode_payload(payload: bytes, mime: str) -> dict:
         return media_codec.decode_png(payload)
     if mime == "image/gif":
         return media_codec.decode_gif(payload)
+    if mime in ("image/jpeg", "image/jpg"):
+        return media_codec.decode_jpeg(payload)
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return media_codec.decode_wav(payload)
     raise NotImplementedError(
@@ -1642,4 +1646,164 @@ def multimodal_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("rn") == 1) & (F.col("nbr") != F.col("doc_id")))
         .select("doc_id", F.col("nbr").alias("kept_by"), "via_text", "via_image")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_decode_jpeg — REAL baseline-JPEG decode, the fourth
+# compressed-container certification (media_codec.encode_jpeg /
+# decode_jpeg: marker stream, per-image OPTIMIZED canonical Huffman
+# tables, byte-stuffed entropy bitstream, zigzag, dequant, IDCT, YCbCr
+# color — all stdlib).  JPEG is lossy, so this corpus is the mosaic of
+# CONSTANT 8x8 blocks: a constant block's encode->decode chain reduces
+# to an exact integer-rational function of (channel value, DC quant
+# entry) that the oracle recomputes in SQL (codec docstring:
+# S[0][0] = 0.125 exactly, floor(x+0.5) everywhere, fixed association
+# order in the color transforms) — while the BYTES still traverse the
+# full real pipeline, so a Huffman, stuffing, marker, zigzag, dequant,
+# or IDCT bug cannot hash-match.  Width/height avoid multiples of 8 so
+# the edge-replication padding and partial-block cropping paths run on
+# every doc.
+# --------------------------------------------------------------------------
+
+# quality-75 DC quant entries (jpeg_quant_table of the Annex-K bases);
+# pinned as literals in the oracle below — test_jpeg_codec re-derives
+# them so a table/scaling change cannot silently diverge
+_JPEG_Q = 75
+_JPEG_Q00_LUM = 8
+_JPEG_Q00_CHROM = 9
+
+_DECODE_JPEG_ORACLE = f"""
+WITH jp AS (
+  SELECT doc_id, 10 + doc_id % 23 AS w, 9 + doc_id % 17 AS h
+  FROM documents
+), blk AS (
+  SELECT doc_id, w, h,
+         bi % ((w + 7) // 8) AS bx, bi // ((w + 7) // 8) AS by
+  FROM (SELECT doc_id, w, h,
+               unnest(range(0, ((w + 7) // 8) * ((h + 7) // 8))) AS bi
+        FROM jp)
+), col AS (
+  SELECT doc_id, w, h,
+         least(8, w - 8 * bx) AS lw, least(8, h - 8 * by) AS lh,
+         (doc_id * 7 + 11 * bx + 13 * by) % 256 AS r,
+         (doc_id * 3 + 5 * bx + 29 * by) % 256 AS g,
+         (doc_id * 5 + 17 * bx + 3 * by) % 256 AS b
+  FROM blk
+), ycc AS (
+  SELECT doc_id, w, h, lw, lh,
+    least(greatest(CAST(floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0)
+      AS BIGINT), 0), 255) AS y0,
+    least(greatest(CAST(floor(128 - 0.168735892e0 * r - 0.331264108e0 * g
+      + 0.5e0 * b + 0.5e0) AS BIGINT), 0), 255) AS cb0,
+    least(greatest(CAST(floor(128 + 0.5e0 * r - 0.418687589e0 * g
+      - 0.081312411e0 * b + 0.5e0) AS BIGINT), 0), 255) AS cr0
+  FROM col
+), dcq AS (
+  SELECT doc_id, w, h, lw, lh,
+    CASE WHEN y0 >= 128
+         THEN CAST(floor((8 * (y0 - 128)) / {_JPEG_Q00_LUM} + 0.5e0) AS BIGINT)
+         ELSE -CAST(floor((8 * (128 - y0)) / {_JPEG_Q00_LUM} + 0.5e0) AS BIGINT)
+    END AS qy,
+    CASE WHEN cb0 >= 128
+         THEN CAST(floor((8 * (cb0 - 128)) / {_JPEG_Q00_CHROM} + 0.5e0) AS BIGINT)
+         ELSE -CAST(floor((8 * (128 - cb0)) / {_JPEG_Q00_CHROM} + 0.5e0) AS BIGINT)
+    END AS qcb,
+    CASE WHEN cr0 >= 128
+         THEN CAST(floor((8 * (cr0 - 128)) / {_JPEG_Q00_CHROM} + 0.5e0) AS BIGINT)
+         ELSE -CAST(floor((8 * (128 - cr0)) / {_JPEG_Q00_CHROM} + 0.5e0) AS BIGINT)
+    END AS qcr
+  FROM ycc
+), rec AS (
+  SELECT doc_id, w, h, lw, lh,
+    least(greatest(CAST(floor((qy * {_JPEG_Q00_LUM}) / 8.0e0 + 128.5e0)
+      AS BIGINT), 0), 255) AS ry,
+    least(greatest(CAST(floor((qcb * {_JPEG_Q00_CHROM}) / 8.0e0 + 128.5e0)
+      AS BIGINT), 0), 255) AS rcb,
+    least(greatest(CAST(floor((qcr * {_JPEG_Q00_CHROM}) / 8.0e0 + 128.5e0)
+      AS BIGINT), 0), 255) AS rcr
+  FROM dcq
+), rgb AS (
+  SELECT doc_id, w, h, lw, lh,
+    least(greatest(CAST(floor(ry + 1.402e0 * (rcr - 128) + 0.5e0)
+      AS BIGINT), 0), 255) AS r1,
+    least(greatest(CAST(floor(ry - 0.344136286e0 * (rcb - 128)
+      - 0.714136286e0 * (rcr - 128) + 0.5e0) AS BIGINT), 0), 255) AS g1,
+    least(greatest(CAST(floor(ry + 1.772e0 * (rcb - 128) + 0.5e0)
+      AS BIGINT), 0), 255) AS b1
+  FROM rec
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(r1 * lw * lh) AS BIGINT) AS sum_r,
+       CAST(SUM(g1 * lw * lh) AS BIGINT) AS sum_g,
+       CAST(SUM(b1 * lw * lh) AS BIGINT) AS sum_b
+FROM rgb
+GROUP BY doc_id
+"""
+
+
+@register("multimodal_decode_jpeg", _DECODE_JPEG_ORACLE)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode over BinaryType payloads: each doc
+    synthesizes a constant-block mosaic (dims NOT multiples of 8, so
+    padding/cropping run everywhere), encodes it through the real
+    encoder — quality-75 quant tables, per-image OPTIMIZED Huffman
+    tables, byte-stuffed bitstream — fully decodes the bytes back, and
+    emits ONLY parsed/decoded values.  The oracle recomputes the
+    expected decoded sums from the DC-exact closed form without ever
+    seeing bytes (see the codec's determinism contract), so any bug in
+    the marker walk, Huffman coding, bit stuffing, zigzag, dequant,
+    IDCT, or color transform breaks the hash.
+
+    At 100 TB this is the production shape for a crawl-image corpus:
+    scan -> mapInPandas, payload bytes stream through Arrow batches,
+    one Python decode per blob, no shuffle at all."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 10 + d % 23, 9 + d % 17
+                grid = [
+                    [
+                        (
+                            (d * 7 + 11 * (x // 8) + 13 * (y // 8)) % 256,
+                            (d * 3 + 5 * (x // 8) + 29 * (y // 8)) % 256,
+                            (d * 5 + 17 * (x // 8) + 3 * (y // 8)) % 256,
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                parsed = decode_jpeg(encode_jpeg(w, h, grid, quality=_JPEG_Q))
+                pw, ph = parsed["width"], parsed["height"]
+                rows.append((
+                    d, pw, ph, parsed["n_pixels"],
+                    ((pw + 7) // 8) * ((ph + 7) // 8),
+                    parsed["sum_r"], parsed["sum_g"], parsed["sum_b"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels", "n_blocks",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, width long, height long, n_pixels long, "
+        "n_blocks long, sum_r long, sum_g long, sum_b long",
     )

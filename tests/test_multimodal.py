@@ -21,12 +21,18 @@ def test_payload_schema(spark, sf_dir):
 
 
 def test_compressed_codecs_gate_behind_not_implemented():
-    # PNG decodes for real since round 8; the remaining compressed
-    # codecs (JPEG, MP4) still gate
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"\xff\xd8\xff\xe0", "image/jpeg")
+    # PNG/GIF/JPEG decode for real since round 8; the one remaining
+    # compressed container (MP4/video) still gates
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    # image/jpeg now routes to the real baseline decoder: a truncated
+    # stream is a FORMAT error, not a missing-codec error
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        MediaFormatError,
+    )
+
+    with pytest.raises(MediaFormatError):
+        decode_payload(b"\xff\xd8\xff\xe0", "image/jpeg")
 
 
 def test_features_match_independent_recomputation(spark, sf_dir):
