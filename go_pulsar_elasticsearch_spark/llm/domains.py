@@ -172,3 +172,82 @@ def per_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_md5_bucket("doc_id") < F.col("keep_lt"))
         .select("doc_id", "source", "keep_lt")
     )
+
+
+# --------------------------------------------------------------------------
+# data_recipe_epochs  (training-mixture sizing: epochs per domain under
+# a token budget with alpha-smoothed weights and an epoch cap)
+# --------------------------------------------------------------------------
+
+_RECIPE_ALPHA_NOTE = "alpha = 0.5 (sqrt smoothing, the exactly-computable tier)"
+_RECIPE_BUDGET_X = 2.0  # train budget = 2x the corpus token count
+_RECIPE_EPOCH_CAP = 4.0  # no domain repeats more than 4 epochs
+
+_DATA_RECIPE_ORACLE = """
+WITH dom AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), sm AS (
+  SELECT source, n_tokens, round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS s
+  FROM dom
+), tot AS (
+  SELECT CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS s_tot,
+         CAST(SUM(n_tokens) AS BIGINT) AS tok_tot
+  FROM sm
+)
+SELECT source, n_tokens,
+       s / s_tot AS weight,
+       least(4.0, (2.0 * tok_tot) * (s / s_tot) / n_tokens) AS epochs,
+       least(4.0, (2.0 * tok_tot) * (s / s_tot) / n_tokens) * n_tokens
+         AS alloc_tokens
+FROM sm CROSS JOIN tot
+"""
+
+
+@register("data_recipe_epochs", _DATA_RECIPE_ORACLE)
+def data_recipe_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data recipe sizing — the calculation a pipeline runs
+    before launching a mixture job: per domain, token counts, an
+    alpha=0.5-smoothed sampling weight (sqrt flattens the head domain,
+    the UniMax/DoReMi-family heuristic in its exactly-computable tier),
+    and the resulting epoch count under a fixed train budget (2x the
+    corpus) with a 4-epoch repetition cap — the "how many times may a
+    small domain repeat" knob from the data-constrained-scaling
+    literature.
+
+    Cross-engine exactness: token counts are exact bigints; sqrt is a
+    correctly-rounded op on the same double; the weight denominator
+    sums round(sqrt, 6) as DECIMAL so partition merge order cannot
+    perturb it; everything after is one shared IEEE expression.  One
+    scan, one bucket aggregate, a 1-row total broadcast back — output
+    is domain-count rows."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    dom = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("bigint").alias("n_tokens")
+    )
+    sm = dom.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).alias("s"),
+    )
+    tot = sm.agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("s_tot"),
+        F.sum("n_tokens").cast("bigint").alias("tok_tot"),
+    )
+    w = F.col("s") / F.col("s_tot")
+    epochs = F.least(
+        F.lit(_RECIPE_EPOCH_CAP),
+        (F.lit(_RECIPE_BUDGET_X) * F.col("tok_tot")) * w / F.col("n_tokens"),
+    )
+    return sm.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        w.alias("weight"),
+        epochs.alias("epochs"),
+        (epochs * F.col("n_tokens")).alias("alloc_tokens"),
+    )

@@ -537,3 +537,80 @@ def geo_bounds_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lon").alias("left_lon"),
         F.max("lon").alias("right_lon"),
     )
+
+
+# --------------------------------------------------------------------------
+# geo_line_agg  (ES geo_line: per-entity track, sort-ordered, truncated)
+# --------------------------------------------------------------------------
+
+_GL_SIZE = 10
+
+_GL_LAT_S, _GL_LON_S = _coord_sql("event_id", "instr")
+_GL_LAT_D, _GL_LON_D = _coord_sql("event_id", "strpos")
+
+
+def _gl_pt(lat: str, lon: str, str_t: str) -> str:
+    """A point rendered engine-safely: integer microdegrees (floor of
+    lat*1e6 + 0.5 on the IDENTICAL double both engines computed) —
+    float-to-string formatting never enters the hash."""
+    return (
+        f"(CAST(CAST(floor({lat} * 1000000.0 + 0.5) AS BIGINT) AS {str_t})"
+        f" || ':' ||"
+        f" CAST(CAST(floor({lon} * 1000000.0 + 0.5) AS BIGINT) AS {str_t}))"
+    )
+
+
+_GEO_LINE_ORACLE = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id, {_gl_pt(_GL_LAT_D, _GL_LON_D, "VARCHAR")} AS pt
+  FROM events
+), rk AS (
+  SELECT user_id, pt,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS total
+  FROM pts
+)
+SELECT user_id,
+       string_agg(pt, ' ' ORDER BY rk) AS line,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(total) AS BIGINT) AS total_points
+FROM rk WHERE rk <= {_GL_SIZE}
+GROUP BY user_id
+"""
+
+
+@register("geo_line_agg", _GEO_LINE_ORACLE)
+def geo_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_line``: per user, the track of (lat, lon) points in
+    timestamp order, truncated to the first 10 points — rendered as
+    integer microdegrees (the engine-safe serialization; ES emits
+    GeoJSON).  Coordinates come from the family's shared deterministic
+    derivation (md5 of the key, _coord_sql) applied to event_id.
+
+    Scale shape: ONE groupBy carrying (ts, event_id, pt) structs with
+    an array_sort + slice close — the same bytes the oracle's window
+    sort moves, but no raw-row window; the per-bucket state ES keeps is
+    a size-K heap, and the collect_list+slice is its local analog (a
+    partial top-K merge would cap executor state at K per bucket; at
+    this K the list is already bounded by the per-user event count).
+    Tie-break (ts, event_id) makes the track a pure function of the
+    data."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.struct(
+            "ts", "event_id", F.expr(_gl_pt(_GL_LAT_S, _GL_LON_S, "STRING")).alias("pt")
+        ).alias("s"),
+    )
+    agg = pts.groupBy("user_id").agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, _GL_SIZE).alias("top"),
+        F.count("*").alias("total_points"),
+    )
+    return agg.select(
+        "user_id",
+        F.array_join(F.expr("transform(top, x -> x.pt)"), " ").alias("line"),
+        F.size("top").cast("bigint").alias("n_points"),
+        F.col("total_points").cast("bigint"),
+    )

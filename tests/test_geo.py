@@ -156,3 +156,53 @@ def test_cell_pairs_lossless_vs_bruteforce(spark):
         if dist(a, b) <= _PAIR_RADIUS_KM
     }
     assert got == want and want
+
+
+# ------------------------------------------------------------ geo_line
+
+
+def test_geo_line_truncates_in_timestamp_order(spark, sf_dir):
+    """Per user: <=10 points, n_points = min(total, 10), every point is
+    integer microdegrees, and the line equals the first-K points of the
+    (ts, event_id)-sorted track recomputed from the raw events."""
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.catalog import t
+    from go_pulsar_elasticsearch_spark.operators.geo import (
+        _GL_SIZE,
+        _coord_sql,
+        _gl_pt,
+        geo_line_agg,
+    )
+
+    rows = {r["user_id"]: r for r in geo_line_agg(spark, sf_dir).collect()}
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    assert set(rows) == set(by_user)
+    for uid, evs in by_user.items():
+        r = rows[uid]
+        assert r["total_points"] == len(evs)
+        assert r["n_points"] == min(len(evs), _GL_SIZE)
+        pts = r["line"].split(" ")
+        assert len(pts) == r["n_points"]
+        for p in pts:
+            la, lo = p.split(":")
+            assert -60_000_000 <= int(la) <= 60_000_000
+            assert -180_000_000 <= int(lo) <= 180_000_000
+        # order pins to the sorted track: same event ids drive both, so
+        # recompute the first-K event ids and re-derive their points
+        first_k = [e for _, e in sorted(evs)[: _GL_SIZE]]
+        pt_of = {
+            row["event_id"]: row["pt"]
+            for row in t(spark, sf_dir, "events")
+            .filter(F.col("user_id") == uid)
+            .selectExpr("event_id", _gl_pt(*_coord_sql("event_id", "instr"), "STRING") + " AS pt")
+            .collect()
+        }
+        assert pts == [pt_of[e] for e in first_k]
