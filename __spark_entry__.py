@@ -5,21 +5,29 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 325 registered queries, 308 with oracles (new this
-round: dependency-free PNG and GIF codecs — stdlib zlib inflate +
-scanline unfilter types 0-4 for PNG, a real variable-code-width LZW
-both directions for GIF — certified by `multimodal_decode_png` /
-`multimodal_decode_gif` and by `image_phash_dct_neardup`, whose every
-near-dup pair now CROSSES the BMP/PNG codec boundary; `dup_span_remove_maximal`, the
+State (round 8): 337 registered queries, 320 with oracles (new this
+round: dependency-free PNG, GIF, and baseline-JPEG codecs — stdlib
+zlib inflate + scanline unfilter for PNG, real variable-code-width
+LZW both directions for GIF, and full T.81 baseline JPEG with
+per-image optimized Huffman tables whose DC-exact mosaic corpus lets
+a SQL oracle certify a LOSSY codec — certified by
+`multimodal_decode_png` / `_gif` / `_jpeg` and by
+`image_phash_dct_neardup`; `dup_span_remove_maximal`, the
 Lee-et-al. variable-length substring dedup via gram-anchored
 extend-and-merge with the span census in the certified hash;
 `significant_text` (JLH over duplicate-filtered free text) and the
 `suggest_phrase` bigram-LM did-you-mean completing the ES suggester
 pair; `percentiles_bucket`, the last pipeline agg; manifest-pinned
 time travel over the maintenance layer certified by
-`time_travel_read`; and `crawl_stats_stream`, a second certified
+`time_travel_read`; `crawl_stats_stream`, a second certified
 store riding the crawl drain — the streaming harnesses now share one
-drain fixture, streaming/drain.py).
+drain fixture, streaming/drain.py; ES agg parity part 3
+(`top_metrics_agg`, `boxplot_agg`, `rate_agg`,
+`variable_width_histogram_agg`, `cumulative_cardinality_agg`,
+`change_point_agg`, `categorize_text_agg`, `geo_line_agg`);
+`multi_match_dismax` + `intervals_ordered_query` closing the query-DSL
+tail; and `data_recipe_epochs`, the training-mixture sizing
+calculation).
 The seventeen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in

@@ -437,13 +437,19 @@ def main() -> None:
     # of stdout, which truncates the headline dict — persist the full
     # output as a committed repo artifact so tools/bench_diff.py can
     # compare rounds against complete data (round-4 VERDICT #8).
+    # Off-SF runs (smoke tests at sf0.001 etc.) write a suffixed file so
+    # they can never clobber the committed pinned-SF artifact (a
+    # round-8 smoke run at sf0.001 silently rode an add -A into HEAD).
+    artifact = (
+        "bench_out.json" if at_pinned_sf else f"bench_out_sf{sf}.json"
+    )
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_out.json"), "w") as fh:
+                               artifact), "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError as exc:
-        print(f"BENCH WARN could not write bench_out.json: {exc}",
+        print(f"BENCH WARN could not write {artifact}: {exc}",
               file=sys.stderr)
     print(json.dumps(out))
 

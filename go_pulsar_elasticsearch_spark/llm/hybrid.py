@@ -729,3 +729,168 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q", "dcg", "idcg",
         F.round(F.col("dcg") / F.col("idcg"), 6).alias(f"ndcg_at_{_NDCG_K}"),
     )
+
+
+# --------------------------------------------------------------------------
+# rag_chunk_retrieval  (RAG retriever: chunk-level ANN with parent-doc
+# collapse — the LangChain ParentDocumentRetriever / ES inner-hits shape)
+# --------------------------------------------------------------------------
+
+_RAG_DIMS = 8
+_RAG_QUERY = "spark join window data column"
+_RAG_TOPK = 10
+# chunking reuses doc_chunk_overlap's certified geometry
+_RAG_W, _RAG_S = 40, 30
+
+_RAG_HEX = "0123456789abcdef"
+
+
+def _rag_dim_sql(arr: str, i: int, instr_fn: str) -> str:
+    """Dimension i of the hash-bucket embedding: how many tokens of
+    ``arr`` hash (md5 first hex digit mod dims) into bucket i.  The
+    deterministic, engine-shared stand-in for a learned embedding —
+    the retrieval PLAN (chunk -> embed -> score -> collapse -> top-k)
+    is what's being certified; swap in a real encoder at the embed
+    step and nothing else changes."""
+    return (
+        f"size(filter({arr}, x -> ({instr_fn}('{_RAG_HEX}',"
+        f" substring(md5(x), 1, 1)) - 1) % {_RAG_DIMS} = {i}))"
+    )
+
+
+def _rag_dim_duck(arr: str, i: int) -> str:
+    return (
+        f"len(list_filter({arr}, x -> (strpos('{_RAG_HEX}',"
+        f" substr(md5(x), 1, 1)) - 1) % {_RAG_DIMS} = {i}))"
+    )
+
+
+def _rag_query_vec() -> list[int]:
+    import hashlib
+
+    vec = [0] * _RAG_DIMS
+    for w in _RAG_QUERY.split(" "):
+        if w:
+            d = hashlib.md5(w.encode()).hexdigest()[0]
+            vec[_RAG_HEX.index(d) % _RAG_DIMS] += 1
+    return vec
+
+
+_RAG_QV = _rag_query_vec()
+_RAG_QN2 = sum(v * v for v in _RAG_QV)
+
+_RAG_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id,
+         CAST(floor(s / {_RAG_S}) AS BIGINT) AS chunk_id,
+         list_filter(list_slice(string_split(text, ' '),
+                                s + 1, s + {_RAG_W}),
+                     x -> x <> '') AS cw
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(0, len(string_split(text, ' ')), {_RAG_S})) AS s
+    FROM documents
+  )
+), emb AS (
+  SELECT doc_id, chunk_id,
+         {", ".join(f"{_rag_dim_duck('cw', i)} AS d{i}"
+                    for i in range(_RAG_DIMS))}
+  FROM chunks
+), scored AS (
+  SELECT doc_id, chunk_id,
+         ({" + ".join(f"d{i} * {_RAG_QV[i]}" for i in range(_RAG_DIMS))})
+           / (sqrt(CAST({" + ".join(f"d{i} * d{i}"
+                                    for i in range(_RAG_DIMS))} AS DOUBLE))
+              * sqrt(CAST({_RAG_QN2} AS DOUBLE))) AS cos_sim
+  FROM emb
+  WHERE {" + ".join(f"d{i} * d{i}" for i in range(_RAG_DIMS))} > 0
+), best AS (
+  SELECT doc_id, chunk_id AS best_chunk_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY cos_sim DESC, chunk_id) AS ck
+  FROM scored
+)
+SELECT doc_id, best_chunk_id, cos_sim AS score, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT doc_id, best_chunk_id, cos_sim,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rk
+  FROM best WHERE ck = 1
+)
+WHERE rk <= {_RAG_TOPK}
+"""
+
+
+@register("rag_chunk_retrieval", _RAG_ORACLE)
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval chain as ONE certified plan: sliding-window
+    chunking (doc_chunk_overlap's 40/30 geometry) -> per-chunk
+    embedding (deterministic hash-bucket token counts standing in for
+    the encoder — the plan is what's certified; a Pandas-UDF encoder
+    slots into the same column) -> cosine against the query vector ->
+    PARENT-DOC COLLAPSE (each doc scored by its best chunk, the
+    LangChain ParentDocumentRetriever / ES inner-hits pattern) ->
+    top-10 docs with their best chunk id.
+
+    Cross-engine exactness: dims and dot products are exact ints; the
+    two sqrt/divide steps are one shared IEEE expression; ranking ties
+    break on (chunk_id, doc_id).
+
+    100 TB shape: chunk+embed are narrow (one scan, one generate,
+    zero shuffle); the collapse is ONE map-side-combined max-struct
+    per doc; the final cut is TakeOrderedAndProject.  At scale the
+    brute-force cosine leg swaps for the certified IVF/PQ probes
+    (llm/ann_index.py) with this same collapse tail."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunks = docs.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(
+            F.sequence(F.lit(0), F.size(words) - 1, F.lit(_RAG_S))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("s") / _RAG_S).cast("bigint").alias("chunk_id"),
+        F.expr(
+            f"filter(slice(words, s + 1, {_RAG_W}), x -> x <> '')"
+        ).alias("cw"),
+    )
+    emb = chunks.select(
+        "doc_id",
+        "chunk_id",
+        *[
+            F.expr(_rag_dim_sql("cw", i, "instr")).alias(f"d{i}")
+            for i in range(_RAG_DIMS)
+        ],
+    )
+    dot = " + ".join(f"d{i} * {_RAG_QV[i]}" for i in range(_RAG_DIMS))
+    n2 = " + ".join(f"d{i} * d{i}" for i in range(_RAG_DIMS))
+    scored = emb.filter(F.expr(f"{n2} > 0")).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"({dot}) / (sqrt(CAST({n2} AS DOUBLE))"
+            f" * sqrt(CAST({_RAG_QN2} AS DOUBLE)))"
+        ).alias("cos_sim"),
+    )
+    # parent collapse as ONE max-struct aggregate (no per-doc window
+    # sort): cos DESC then chunk_id ASC == max(struct(cos, -chunk_id))
+    best = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_sim"), (-F.col("chunk_id")).alias("nck")
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            (-F.col("m.nck")).cast("bigint").alias("best_chunk_id"),
+            F.col("m.cos_sim").alias("score"),
+        )
+    )
+    topk = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(_RAG_TOPK)
+    rk = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return topk.select("doc_id", "best_chunk_id", "score", rk.alias("rk"))
