@@ -263,7 +263,15 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-split the text per position index, and `hits` is consumed by
     # two expressions (size + min), which would double the whole scan
     # (multi-referenced aliases block CollapseProject, so this is real)
-    w_frame = docs.select("doc_id", F.split("text", " ").alias("w"))
+    # postings-intersection pre-filter (what Lucene does before touching
+    # positions): only docs containing BOTH terms pay the O(len) position
+    # scan — array_contains is a cheap early-exit pass, and the corpus
+    # fraction holding both terms is small, so the expensive
+    # filter(sequence(...)) runs on ~5% of rows.  Docs failing the
+    # containment test can produce no hits, so results are unchanged.
+    w_frame = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.array_contains("w", _PHRASE[0]) & F.array_contains("w", _PHRASE[1])
+    )
     hits = F.filter(
         F.sequence(F.lit(1), F.size("w") - 1),
         lambda i: (F.element_at(F.col("w"), i) == _PHRASE[0])

@@ -250,14 +250,22 @@ def intervals_ordered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tightest matching interval's width (ES's minimal-interval
     semantics score by interval length).
 
-    Zero shuffle, same contract as span_near: one staged tokenization,
-    per-row position arrays from filter(sequence), and the
-    ordered-pair test is a nested array filter inside whole-stage
-    codegen — positions never leave their row."""
+    Scan shape, same contract as span_near: postings intersection
+    first, per-row position arrays from one filter(sequence) pass,
+    single-level lambdas only (nested HOFs are interpreted), and only
+    the two per-matched-doc numbers cross the wire (map-side
+    combined)."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
+    # postings-intersection pre-filter (see span_near_query): docs
+    # lacking either term can produce no ordered interval, so the
+    # cheap array_contains gate excludes them before the O(len)
+    # position extraction
     pos = docs.select(
         "doc_id", F.split("text", " ").alias("w")
+    ).filter(
+        F.array_contains("w", _IV_TERMS[0])
+        & F.array_contains("w", _IV_TERMS[1])
     ).select(
         "doc_id",
         F.expr(
@@ -269,28 +277,30 @@ def intervals_ordered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" j -> element_at(w, j) = '{_IV_TERMS[1]}')"
         ).alias("p2"),
     )
-    # stage the qualifying-starts array ONCE (n_spans and tightest both
-    # consume it; inlining the filter would evaluate the exists() scan
-    # over p2 twice per row — the span_near staging lesson)
-    staged = pos.select(
-        "doc_id",
-        "p2",
-        F.expr(
-            f"filter(p1, x -> exists(p2,"
-            f" y -> y > x AND y - x - 1 <= {_IV_MAX_GAPS}))"
-        ).alias("p1q"),
+    # per-occurrence scoring: explode the (small, post-intersection) p1
+    # array; each start position evaluates ONE single-level lambda over
+    # p2 (nested HOFs are interpreted CodegenFallback — the span_near
+    # lesson, measured ~2.7x), then re-aggregate per doc: n_spans =
+    # count of starts with a partner, tightest = min span width.  Only
+    # two small numbers per matched doc cross the wire.
+    widths = F.expr(
+        f"transform(filter(p2, y -> y > x AND y - x - 1 <= {_IV_MAX_GAPS}),"
+        f" y -> y - x + 1)"
     )
-    tightest = F.expr(
-        f"array_min(transform(p1q,"
-        f" x -> array_min(transform(filter(p2,"
-        f" y -> y > x AND y - x - 1 <= {_IV_MAX_GAPS}),"
-        f" y -> y - x + 1))))"
-    ).cast("int")
-    return (
-        staged.select(
+    per_start = (
+        pos.select("doc_id", F.explode("p1").alias("x"), "p2")
+        .select("doc_id", widths.alias("ws"))
+        .select(
             "doc_id",
-            F.size("p1q").cast("int").alias("n_spans"),
-            tightest.alias("tightest"),
+            F.when(F.size("ws") > 0, 1).otherwise(0).alias("hit"),
+            F.array_min("ws").alias("minw"),
+        )
+    )
+    return (
+        per_start.groupBy("doc_id")
+        .agg(
+            F.sum("hit").cast("int").alias("n_spans"),
+            F.min("minw").cast("int").alias("tightest"),
         )
         .filter(F.col("n_spans") > 0)
     )
