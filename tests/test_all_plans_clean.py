@@ -59,6 +59,15 @@ _GLOBAL_WINDOW_OK = {
                               # the significant_terms pattern)
     "suggest_phrase",         # rank over the post-limit top-5 phrase
                               # candidates (edit-bounded, tiny)
+    "multi_match_dismax",     # rank over the post-limit top-10 rows only
+                              # (TakeOrderedAndProject feeds the window)
+    "rag_chunk_retrieval",    # rank over the post-limit top-10 docs only
+                              # (TakeOrderedAndProject feeds the window)
+    "cumulative_cardinality_agg",  # running total over the DAY-count
+                                   # bucket rollup (30 rows, bucket-sized
+                                   # like quality_drift_monitor)
+    "change_point_agg",       # CUSUM over the day-count bucket rollup
+                              # (30 rows; raw rows never enter the window)
 }
 
 
