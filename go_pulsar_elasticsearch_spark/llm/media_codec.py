@@ -1352,3 +1352,124 @@ def decode_jpeg(data: bytes) -> dict:
         "sum_g": sums[1],
         "sum_b": sums[2],
     }
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF — the container METADATA layer: box walk (size + 4cc,
+# nested containers), ftyp brand, mvhd timescale/duration, per-track
+# tkhd with 16.16 fixed-point dimensions, mdat accounting.  FRAME
+# decode of compressed video needs codec libraries this environment
+# does not ship and stays out of scope — but a training-data pipeline's
+# video pass is usually exactly this layer (dims/duration/track census
+# to filter and bucket clips before any expensive decode), and it
+# parses for real here.
+# --------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def encode_mp4(
+    width: int,
+    height: int,
+    duration_ms: int,
+    n_tracks: int = 1,
+    timescale: int = 600,
+    payload: bytes = b"",
+    brand: bytes = b"isom",
+) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(mvhd, trak(tkhd)*) + mdat.
+    Version-0 boxes, 16.16 fixed-point dims, classic 600-unit movie
+    timescale by default."""
+    if width < 1 or height < 1 or duration_ms < 0 or n_tracks < 1:
+        raise MediaFormatError("bad MP4 encode parameters")
+    dur_units = duration_ms * timescale // 1000
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, dur_units)  # ver/flags,
+        # creation, modification, timescale, duration
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">IIIII", 0x00000007, 0, 0, tid, 0)  # ver/flags
+            # (enabled|in_movie|in_preview), creation, modification,
+            # track_ID, reserved
+            + struct.pack(">I", dur_units)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">HHHH", 0, 0, 0, 0)  # layer, group, volume, rsvd
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        traks += _box(b"trak", tkhd)
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in range;
+    raises MediaFormatError on malformed sizes."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise MediaFormatError("MP4 truncated box header")
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        btype = data[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            raise MediaFormatError("MP4 box size out of range")
+        yield btype, pos + 8, pos + size
+        pos += size
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """Parse the metadata layer of an ISO BMFF file: major brand, movie
+    duration in ms (mvhd timescale arithmetic), track count, the FIRST
+    track's 16.16 dimensions, and the mdat payload size.  Accepts any
+    box order; unknown boxes are skipped by size (the format's design
+    point)."""
+    brand = None
+    timescale = duration_units = None
+    n_tracks = 0
+    width = height = None
+    mdat_bytes = 0
+    for btype, s, e in _walk_boxes(data, 0, len(data)):
+        if btype == b"ftyp":
+            if e - s < 8:
+                raise MediaFormatError("MP4 ftyp too short")
+            brand = data[s:s + 4].decode("ascii", "replace")
+        elif btype == b"mdat":
+            mdat_bytes += e - s
+        elif btype == b"moov":
+            for ityp, i_s, i_e in _walk_boxes(data, s, e):
+                if ityp == b"mvhd":
+                    _vf, _c, _m, timescale, duration_units = struct.unpack(
+                        ">IIIII", data[i_s:i_s + 20]
+                    )
+                elif ityp == b"trak":
+                    n_tracks += 1
+                    for ttyp, t_s, t_e in _walk_boxes(data, i_s, i_e):
+                        if ttyp == b"tkhd" and width is None:
+                            w_fx, h_fx = struct.unpack(
+                                ">II", data[t_e - 8:t_e]
+                            )
+                            width, height = w_fx >> 16, h_fx >> 16
+    if brand is None or timescale is None or n_tracks == 0:
+        raise MediaFormatError("MP4 missing ftyp/moov structure")
+    return {
+        "brand": brand,
+        "duration_ms": duration_units * 1000 // timescale,
+        "timescale": timescale,
+        "n_tracks": n_tracks,
+        "width": width,
+        "height": height,
+        "mdat_bytes": mdat_bytes,
+    }

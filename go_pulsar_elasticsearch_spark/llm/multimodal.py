@@ -10,12 +10,13 @@ zigzag/dequant/IDCT, YCbCr) — `multimodal_decode`,
 `multimodal_decode_jpeg`, and `multimodal_features` are hash-certified
 through actual encoded bytes, and `image_phash_dct_neardup` certifies
 BMP and PNG pixel recovery in one pass (each near-dup pair crosses the
-codec boundary).  The one remaining compressed container (MP4/video)
-needs libraries this container does not ship, so `decode_payload`
-gates it behind NotImplementedError; the schema, binary handling,
-mapInPandas batch shape, and partitioning around that gate are real
-and tested (tests/test_multimodal.py, tests/test_png_codec.py,
-tests/test_gif_codec.py, tests/test_jpeg_codec.py).
+codec boundary).  MP4 parses for real at the container-METADATA layer
+(`multimodal_mp4_meta`: box walk, mvhd/tkhd, mdat census — the pass a
+video pipeline runs before paying frame decode); FRAME decode of
+compressed video needs codec libraries this environment does not ship
+and is the one documented out-of-scope step (tests:
+test_multimodal.py, test_png_codec.py, test_gif_codec.py,
+test_jpeg_codec.py, test_mp4_meta.py).
 
 100 TB posture: payloads dominate bytes; metadata-only queries must
 never deserialize them (columnar parquet gives that for free — the
@@ -90,6 +91,11 @@ def decode_payload(payload: bytes, mime: str) -> dict:
         return media_codec.decode_jpeg(payload)
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return media_codec.decode_wav(payload)
+    if mime == "video/mp4":
+        # the container METADATA layer parses for real (box walk, mvhd,
+        # tkhd dims, mdat size); FRAME decode of compressed video would
+        # need codec libraries this environment does not ship
+        return media_codec.parse_mp4_meta(payload)
     raise NotImplementedError(
         f"no codec for {mime} (PIL/librosa/av not installed)"
     )
@@ -1806,4 +1812,86 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         "doc_id long, width long, height long, n_pixels long, "
         "n_blocks long, sum_r long, sum_g long, sum_b long",
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal_mp4_meta — REAL ISO BMFF (MP4) container-metadata parse:
+# box walk, ftyp brand, mvhd timescale arithmetic, per-track tkhd with
+# 16.16 fixed-point dims, mdat accounting.  A training-data pipeline's
+# video pass is usually exactly this layer (filter/bucket clips by
+# dims+duration BEFORE any expensive frame decode); frame decode of
+# compressed video stays out of scope (no codec libraries), and that
+# boundary is now precise: container metadata parses for real.
+# --------------------------------------------------------------------------
+
+_MP4_TIMESCALE = 600
+
+_MP4_META_ORACLE = f"""
+SELECT doc_id,
+       'isom' AS brand,
+       CAST(160 + 16 * (doc_id % 20) AS BIGINT) AS width,
+       CAST(90 + 9 * (doc_id % 15) AS BIGINT) AS height,
+       CAST((((1000 + (37 * doc_id) % 600000) * {_MP4_TIMESCALE}) // 1000)
+            * 1000 // {_MP4_TIMESCALE} AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+       CAST(doc_id % 256 AS BIGINT) AS mdat_bytes
+FROM documents
+"""
+
+
+@register("multimodal_mp4_meta", _MP4_META_ORACLE)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 metadata extraction over BinaryType payloads: each doc
+    synthesizes a spec-valid ISO BMFF file (ftyp + moov(mvhd, trak*) +
+    mdat; 600-unit movie timescale, 16.16 fixed-point track dims),
+    parses the BYTES back through the real box walk, and emits ONLY
+    parsed values.  The oracle recomputes them from the generating
+    arithmetic — including the timescale round-trip floor
+    (ms -> units -> ms), so a box-size, fixed-point, or timescale bug
+    cannot hash-match.
+
+    Same 100 TB shape as the codec family: scan -> mapInPandas, one
+    parse per blob, no shuffle — and this op is deliberately CHEAP per
+    blob, because metadata-first is how a video corpus avoids paying
+    frame decode for clips it will filter out anyway."""
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        encode_mp4,
+        parse_mp4_meta,
+    )
+
+    tune(spark)
+    ids = t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = parse_mp4_meta(
+                    encode_mp4(
+                        160 + 16 * (d % 20),
+                        90 + 9 * (d % 15),
+                        1000 + (37 * d) % 600000,
+                        n_tracks=1 + d % 3,
+                        timescale=_MP4_TIMESCALE,
+                        payload=b"\xab" * (d % 256),
+                    )
+                )
+                rows.append((
+                    d, m["brand"], m["width"], m["height"],
+                    m["duration_ms"], m["n_tracks"], m["mdat_bytes"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "width", "height", "duration_ms",
+                    "n_tracks", "mdat_bytes",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        "doc_id long, brand string, width long, height long, "
+        "duration_ms long, n_tracks int, mdat_bytes long",
     )

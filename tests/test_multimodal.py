@@ -20,19 +20,28 @@ def test_payload_schema(spark, sf_dir):
     assert kinds["media_meta"].startswith("struct<mime:string,byte_len:bigint")
 
 
-def test_compressed_codecs_gate_behind_not_implemented():
-    # PNG/GIF/JPEG decode for real since round 8; the one remaining
-    # compressed container (MP4/video) still gates
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
-    # image/jpeg now routes to the real baseline decoder: a truncated
-    # stream is a FORMAT error, not a missing-codec error
+def test_every_fixture_mime_routes_to_a_real_parser():
+    # PNG/GIF/JPEG decode and MP4 container metadata parse for real
+    # since round 8: truncated streams are FORMAT errors, not
+    # missing-codec errors; only a genuinely unknown mime still raises
+    # NotImplementedError (frame decode of compressed video stays out
+    # of scope, and that boundary is documented at the decode gate)
     from go_pulsar_elasticsearch_spark.llm.media_codec import (
         MediaFormatError,
+        encode_mp4,
     )
 
     with pytest.raises(MediaFormatError):
         decode_payload(b"\xff\xd8\xff\xe0", "image/jpeg")
+    with pytest.raises(MediaFormatError):
+        decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    meta = decode_payload(
+        encode_mp4(320, 180, 2500, payload=b"zz"), "video/mp4"
+    )
+    assert (meta["width"], meta["height"]) == (320, 180)
+    assert meta["duration_ms"] == 2500 and meta["mdat_bytes"] == 2
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"....", "application/x-unknown")
 
 
 def test_features_match_independent_recomputation(spark, sf_dir):
