@@ -346,3 +346,74 @@ def ip_prefix_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("doc_count"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# random_sampler_agg  (ES 8.x random_sampler: probability-sampled aggs
+# with scaled estimates — deterministic seeded-hash variant)
+# --------------------------------------------------------------------------
+
+_RS_HEX = "0123456789abcdef"
+_RS_SEED = 42
+_RS_DENOM = 4  # probability = 1/4 -> u16 threshold 16384, scale x4
+
+
+def _rs_u16(col_sql: str, instr_fn: str) -> str:
+    """First 4 md5 hex digits of (seed:key) as an int 0..65535 — the
+    geo-family hash idiom with an explicit seed, so re-seeding redraws
+    the sample deterministically."""
+    terms = []
+    for i in range(4):
+        terms.append(
+            f"(({instr_fn}('{_RS_HEX}', substr(md5(concat('{_RS_SEED}:',"
+            f" CAST({col_sql} AS STRING))), {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_RANDOM_SAMPLER_ORACLE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(COUNT(*) * {_RS_DENOM} AS BIGINT) AS est_n_docs,
+       CAST(SUM(n_chars) * {_RS_DENOM} AS BIGINT) AS est_total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars_in_sample
+FROM (
+  SELECT source, n_chars FROM documents
+  WHERE {_rs_u16("doc_id", "strpos").replace("substr", "substr")}
+        < {65536 // _RS_DENOM}
+)
+GROUP BY source
+"""
+
+
+@register("random_sampler_agg", _RANDOM_SAMPLER_ORACLE)
+def random_sampler_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.x ``random_sampler``: aggregations computed on a
+    probability-p sample with counts scaled back by 1/p.  ES draws the
+    sample from a seeded hash stream so it is reproducible per shard;
+    the engine-shared analog hashes (seed : doc_id) and keeps documents
+    whose first-16-bit hash value falls under p * 65536 — a pure
+    function of (seed, doc), so the SAMPLE ITSELF is certified, not
+    just its statistics.  p = 1/4 keeps the scale factor integral (the
+    estimate columns stay exact bigints).
+
+    Scale shape: the sample predicate is scan-fused (one md5 per row,
+    no shuffle to sample); the survivors take one map-side-combined
+    bucket aggregate.  This is the agg ES ships for "dashboards over
+    billions of docs at 1% cost" — precisely the 100 TB use."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    sampled = docs.filter(
+        F.expr(_rs_u16("doc_id", "instr")) < 65536 // _RS_DENOM
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_sampled"),
+        (F.count("*") * _RS_DENOM).cast("bigint").alias("est_n_docs"),
+        (F.sum("n_chars") * _RS_DENOM).cast("bigint").alias(
+            "est_total_chars"
+        ),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias(
+            "avg_chars_in_sample"
+        ),
+    )

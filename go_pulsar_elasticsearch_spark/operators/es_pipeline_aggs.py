@@ -400,3 +400,65 @@ def extended_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("variance"),
         F.sqrt(var).alias("std_deviation"),
     )
+
+
+# --------------------------------------------------------------------------
+# moving_percentiles_agg  (ES moving_percentiles pipeline agg — exact
+# over the trailing 5-bucket window)
+# --------------------------------------------------------------------------
+
+from go_pulsar_elasticsearch_spark.functions.exact import dsum as _dsum
+from go_pulsar_elasticsearch_spark.functions.exact import SUMD as _SUMD
+
+_MP_WINDOW = 5  # trailing buckets per percentile window
+
+_MOVING_PCTL_ORACLE = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, {_SUMD('value', 2)} AS x
+  FROM events GROUP BY 1
+), win AS (
+  SELECT day, x,
+         row_number() OVER (ORDER BY day) AS rk,
+         quantile_cont(x, 0.25) OVER w AS mp25,
+         quantile_cont(x, 0.5)  OVER w AS mp50,
+         quantile_cont(x, 0.75) OVER w AS mp75
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {_MP_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT day, x, mp25, mp50, mp75
+FROM win WHERE rk >= {_MP_WINDOW}
+"""
+
+
+@register("moving_percentiles_agg", _MOVING_PCTL_ORACLE)
+def moving_percentiles_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg: the trailing-5-bucket
+    p25/p50/p75 of the daily value series (exact here; ES moves a
+    TDigest).  Only FULL windows are emitted, which is also what makes
+    the op hash-certifiable: with exactly 5 values, the interpolation
+    positions (n-1)*p land on integers (1, 2, 3), so both engines pick
+    exact elements of the sorted window and no interpolation
+    arithmetic ever runs.
+
+    Scale shape: one daily histogram aggregate, then a window over
+    day-count bucket rows (never raw rows)."""
+    tune(spark)
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        _dsum("value", 2).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(1 - _MP_WINDOW, Window.currentRow)
+    rk = F.row_number().over(Window.orderBy("day"))
+    return (
+        daily.select(
+            "day",
+            "x",
+            rk.alias("rk"),
+            F.percentile("x", 0.25).over(w).alias("mp25"),
+            F.percentile("x", 0.5).over(w).alias("mp50"),
+            F.percentile("x", 0.75).over(w).alias("mp75"),
+        )
+        .filter(F.col("rk") >= _MP_WINDOW)
+        .drop("rk")
+    )

@@ -68,6 +68,8 @@ _GLOBAL_WINDOW_OK = {
                                    # like quality_drift_monitor)
     "change_point_agg",       # CUSUM over the day-count bucket rollup
                               # (30 rows; raw rows never enter the window)
+    "moving_percentiles_agg",  # trailing-5 window over the day-count
+                               # bucket rollup (30 rows, same family)
 }
 
 

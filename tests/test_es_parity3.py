@@ -286,3 +286,73 @@ def test_intervals_ordered_is_stricter_than_unordered(spark, sf_dir):
             unordered.add(r["doc_id"])
     assert ordered <= unordered
     assert span_near_query is not None  # imported sibling stays wired
+
+
+# ------------------------------------------------- moving_percentiles
+
+
+def test_moving_percentiles_match_python_recompute(spark, sf_dir):
+    """Full-window-only semantics: every emitted row's p25/p50/p75 are
+    the exact order statistics of the trailing 5 daily sums (positions
+    1/2/3 of the sorted window — no interpolation at n=5)."""
+    from go_pulsar_elasticsearch_spark.operators.es_pipeline_aggs import (
+        _MP_WINDOW,
+        moving_percentiles_agg,
+    )
+
+    daily = sorted(
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    rows = {r["day"]: r for r in moving_percentiles_agg(spark, sf_dir).collect()}
+    assert len(rows) == len(daily) - (_MP_WINDOW - 1)
+    for i in range(_MP_WINDOW - 1, len(daily)):
+        win = sorted(r["x"] for r in daily[i - _MP_WINDOW + 1 : i + 1])
+        got = rows[daily[i]["day"]]
+        assert math.isclose(got["mp25"], win[1], rel_tol=1e-12)
+        assert math.isclose(got["mp50"], win[2], rel_tol=1e-12)
+        assert math.isclose(got["mp75"], win[3], rel_tol=1e-12)
+
+
+# ---------------------------------------------------- random_sampler
+
+
+def test_random_sampler_estimates_and_determinism(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.operators.es_bucket_aggs import (
+        _RS_DENOM,
+        random_sampler_agg,
+    )
+
+    rows = random_sampler_agg(spark, sf_dir).collect()
+    assert rows
+    total_sampled = sum(r["n_sampled"] for r in rows)
+    n_docs = t(spark, sf_dir, "documents").count()
+    # the seeded hash draws ~1/4 of docs: generous 3-sigma-ish bounds
+    frac = total_sampled / n_docs
+    assert 0.15 < frac < 0.35
+    for r in rows:
+        assert r["est_n_docs"] == r["n_sampled"] * _RS_DENOM
+    # deterministic: the sample is a pure function of (seed, doc_id)
+    again = {r["source"]: r["n_sampled"] for r in random_sampler_agg(spark, sf_dir).collect()}
+    assert again == {r["source"]: r["n_sampled"] for r in rows}
+
+
+def test_random_sampler_estimate_tracks_truth(spark, sf_dir):
+    """The scaled estimate lands near the true total (it's an unbiased
+    estimator; at sf0.001's 500 docs allow a wide band)."""
+    from go_pulsar_elasticsearch_spark.operators.es_bucket_aggs import (
+        random_sampler_agg,
+    )
+
+    est = sum(
+        r["est_n_docs"] for r in random_sampler_agg(spark, sf_dir).collect()
+    )
+    true = t(spark, sf_dir, "documents").count()
+    assert 0.6 * true < est < 1.4 * true
