@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 337 registered queries, 320 with oracles (new this
+State (round 8): 341 registered queries, 324 with oracles (new this
 round: dependency-free PNG, GIF, and baseline-JPEG codecs — stdlib
 zlib inflate + scanline unfilter for PNG, real variable-code-width
 LZW both directions for GIF, and full T.81 baseline JPEG with
@@ -26,8 +26,12 @@ drain fixture, streaming/drain.py; ES agg parity part 3
 `variable_width_histogram_agg`, `cumulative_cardinality_agg`,
 `change_point_agg`, `categorize_text_agg`, `geo_line_agg`);
 `multi_match_dismax` + `intervals_ordered_query` closing the query-DSL
-tail; and `data_recipe_epochs`, the training-mixture sizing
-calculation).
+tail; `random_sampler_agg` (the sample itself certified via seeded
+hash) + `moving_percentiles_agg`; `multimodal_mp4_meta` — real ISO
+BMFF box-walk metadata, so every fixture mime now reaches a real
+parser; `rag_chunk_retrieval`, the chunk→embed→score→parent-collapse
+retriever as one certified plan; `geo_line_agg`; and
+`data_recipe_epochs`, the training-mixture sizing calculation).
 The seventeen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in

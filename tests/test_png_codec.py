@@ -211,7 +211,13 @@ def test_decode_payload_routes_png():
 
     d = decode_payload(_GOLD_RGB, "image/png")
     assert d["sum_r"] == 255
-    with pytest.raises(NotImplementedError):
+    # video/mp4 now routes to the real box-walk metadata parser, so a
+    # truncated header is a FORMAT error, not a missing-codec error
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        MediaFormatError,
+    )
+
+    with pytest.raises(MediaFormatError):
         decode_payload(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
