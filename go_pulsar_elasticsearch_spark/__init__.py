@@ -32,6 +32,7 @@ def load_all() -> None:
         aggregates,
         es_aggs,
         es_aggs2,
+        es_aggs3,
         es_bucket_aggs,
         es_loop,
         es_metric_aggs,
@@ -86,6 +87,7 @@ def load_all() -> None:
         search,
         search_ext,
         search_ext2,
+        search_ext3,
         similarity,
         text_analysis,
         udfs,

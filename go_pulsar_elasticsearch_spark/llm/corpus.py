@@ -737,3 +737,105 @@ def span_corruption_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(_joined("in_input")).alias("input_md5"),
         F.md5(_joined("in_target")).alias("target_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# fim_transform  (fill-in-the-middle pretraining preparation)
+# --------------------------------------------------------------------------
+
+# FIM (Bavarian et al., "Efficient Training of Language Models to Fill
+# in the Middle") rewrites a document into prefix/middle/suffix with
+# sentinels so a causal LM learns infilling: PSM emits
+# <PRE>prefix<SUF>suffix<MID>middle, SPM emits
+# <SUF>suffix<PRE>prefix<MID>middle.  The split points are
+# md5-positioned (house determinism stance, cf. span_corruption_prep /
+# split_train_test): p1 falls in the first third of the doc, p2 in the
+# last third, so the middle always spans the center and is never empty.
+# Mode is doc_id parity (~50/50 PSM/SPM, the paper's joint training
+# mix).  The certified hash covers the ENTIRE transformed string.
+_FIM_MIN_CHARS = 40
+
+
+def _fim_u16_sql(salt: str, instr_fn: str) -> str:
+    """Hex digits 1-4 of md5(doc_id || ':<salt>') as an int 0..65535 —
+    same text both engines modulo the substring-search function name."""
+    h = f"md5(CAST(doc_id AS STRING) || ':{salt}')"
+    terms = [
+        f"(({instr_fn}('{_HEX}', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)})"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _fim_sql(instr_fn: str, idiv: str) -> dict[str, str]:
+    """The shared FIM expression set; ``idiv`` is the engine's integer
+    division token (Spark ``DIV``, DuckDB ``//``)."""
+    L = "length(text)"
+    third = f"({L} {idiv} 3)"
+    p1 = f"(1 + ({_fim_u16_sql('fim1', instr_fn)} % {third}))"
+    # p2 in [2L/3 + 1, L): suffix is never empty, middle spans the
+    # center third at minimum
+    p2 = (
+        f"((2 * {L}) {idiv} 3 + 1"
+        f" + ({_fim_u16_sql('fim2', instr_fn)}"
+        f" % ({L} - (2 * {L}) {idiv} 3 - 1)))"
+    )
+    pre = f"substr(text, 1, {p1})"
+    mid = f"substr(text, {p1} + 1, {p2} - {p1})"
+    suf = f"substr(text, {p2} + 1)"
+    return {
+        "p1": p1,
+        "p2": p2,
+        "psm": f"('<PRE>' || {pre} || '<SUF>' || {suf} || '<MID>' || {mid})",
+        "spm": f"('<SUF>' || {suf} || '<PRE>' || {pre} || '<MID>' || {mid})",
+    }
+
+
+_FIM_D = _fim_sql("strpos", "//")
+_FIM_S = _fim_sql("instr", "DIV")
+
+_FIM_ORACLE = f"""
+SELECT doc_id, mode, fim_text,
+       CAST(length(fim_text) AS BIGINT) AS n_chars_out,
+       CAST(n_middle AS BIGINT) AS n_middle
+FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+         CASE WHEN doc_id % 2 = 0 THEN {_FIM_D["psm"]}
+              ELSE {_FIM_D["spm"]} END AS fim_text,
+         {_FIM_D["p2"]} - {_FIM_D["p1"]} AS n_middle
+  FROM documents
+  WHERE length(text) >= {_FIM_MIN_CHARS}
+)
+"""
+
+
+@register("fim_transform", _FIM_ORACLE)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle preparation: every doc >= {min} chars is
+    rewritten into its FIM form — PSM (<PRE>p<SUF>s<MID>m) for even
+    doc_ids, SPM (<SUF>s<PRE>p<MID>m) for odd — with md5-positioned
+    split points (p1 in the first third, p2 in the last, so the middle
+    is never empty and always covers the doc's center).  Emits the
+    full transformed string (hash-certified end-to-end), its length,
+    and the middle width.
+
+    Plan: pure per-row string arithmetic fused into the scan — zero
+    shuffle, zero UDF; at 100 TB this is the ideal map-only prep shape
+    (the downstream pack_sequences pass does the only shuffle)."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    eligible = docs.filter(F.length("text") >= _FIM_MIN_CHARS)
+    is_psm = F.col("doc_id") % 2 == 0
+    fim_text = F.when(is_psm, F.expr(_FIM_S["psm"])).otherwise(
+        F.expr(_FIM_S["spm"])
+    )
+    n_middle = F.expr(f'{_FIM_S["p2"]} - {_FIM_S["p1"]}')
+    return eligible.select(
+        "doc_id",
+        F.when(is_psm, F.lit("psm")).otherwise(F.lit("spm")).alias("mode"),
+        fim_text.alias("fim_text"),
+        F.length(fim_text).cast("bigint").alias("n_chars_out"),
+        n_middle.cast("bigint").alias("n_middle"),
+    )

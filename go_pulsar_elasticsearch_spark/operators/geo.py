@@ -614,3 +614,94 @@ def geo_line_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("top").cast("bigint").alias("n_points"),
         F.col("total_points").cast("bigint"),
     )
+
+
+# --------------------------------------------------------------------------
+# geotile_grid_agg  (ES geotile_grid aggregation: "z/x/y" map tiles)
+# --------------------------------------------------------------------------
+
+_GT_ZOOM = 5
+
+# Web-Mercator y = atanh(sin(lat)) via a degree-11 odd polynomial fit
+# over |lat| <= 68.7deg (the synthetic coordinates stay in [-60, 60)):
+# max abs error 5.2e-5 rad vs true Mercator, monotone over the range,
+# and 100% tile agreement at z=5 on a 20k-point sweep of the band.
+# House determinism rule (see module docstring): ln/tan are NOT
+# IEEE-correctly-rounded and may differ by ULPs between engines, but
+# +,-,*,/ ARE — a polynomial in those ops is bit-identical cross-engine,
+# so the tile assignment is hash-certifiable (cf. the Taylor cos in the
+# distance metric and function_score's rational decay).
+_GT_COEF = (
+    "0.9999162597078777",
+    "0.16831428616218735",
+    "0.03266180978521055",
+    "0.03236675008042718",
+    "-0.01683392620246818",
+    "0.009759144350389229",
+)
+_GT_PI = "3.141592653589793"
+
+
+def _gt_tile_sql(lat: str, lon: str) -> tuple[str, str]:
+    """(tile_x, tile_y) integer expressions at zoom _GT_ZOOM — identical
+    text on both engines (floor/CAST/arithmetic only)."""
+    n = 1 << _GT_ZOOM
+    phi = f"(({lat}) * {_GT_PI} / 180.0)"
+    # Horner in phi^2 keeps the evaluation order fixed on both engines
+    p2 = f"({phi} * {phi})"
+    horner = _GT_COEF[-1]
+    for c in reversed(_GT_COEF[:-1]):
+        horner = f"({c} + {p2} * {horner})"
+    merc = f"({phi} * {horner})"
+    tx = f"CAST(floor((({lon}) + 180.0) / 360.0 * {n}.0) AS INT)"
+    ty = f"CAST(floor((1.0 - {merc} / {_GT_PI}) / 2.0 * {n}.0) AS INT)"
+    return tx, ty
+
+
+_GT_LAT_S, _GT_LON_S = _coord_sql("c_custkey", "instr")
+_GT_LAT_D, _GT_LON_D = _coord_sql("c_custkey", "strpos")
+_GT_TX_S, _GT_TY_S = _gt_tile_sql(_GT_LAT_S, _GT_LON_S)
+_GT_TX_D, _GT_TY_D = _gt_tile_sql(_GT_LAT_D, _GT_LON_D)
+
+_GEOTILE_ORACLE = f"""
+SELECT CAST('{_GT_ZOOM}' || '/' || CAST({_GT_TX_D} AS STRING)
+            || '/' || CAST({_GT_TY_D} AS STRING) AS STRING) AS tile,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_acctbal
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("geotile_grid_agg", _GEOTILE_ORACLE)
+def geotile_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: bucket every point into its
+    web-Mercator map tile key "z/x/y" at zoom {z} (the slippy-map
+    scheme Kibana maps layer queries with), count + exact-decimal
+    average per tile.
+
+    The Mercator latitude transform is a fitted odd polynomial
+    (_GT_COEF — correctly-rounded arithmetic only, see the
+    determinism note above), so the tile key is scan-fused math with
+    no UDF and no libm; output is bounded by the 4^z tile universe
+    regardless of corpus size, same scale argument as
+    geohash_grid_agg."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    tile = F.concat(
+        F.lit(f"{_GT_ZOOM}/"),
+        F.expr(_GT_TX_S).cast("string"),
+        F.lit("/"),
+        F.expr(_GT_TY_S).cast("string"),
+    )
+    return (
+        cust.select(tile.alias("tile"), "c_acctbal")
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                dsum("c_acctbal", scale=2) / F.count("*"), 6
+            ).alias("avg_acctbal"),
+        )
+    )

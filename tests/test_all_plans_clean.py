@@ -70,6 +70,11 @@ _GLOBAL_WINDOW_OK = {
                               # (30 rows; raw rows never enter the window)
     "moving_percentiles_agg",  # trailing-5 window over the day-count
                                # bucket rollup (30 rows, same family)
+    "combined_fields",        # rank over the post-limit top-10 rows only
+                              # (TakeOrderedAndProject feeds the window)
+    "boosting_query",         # rank over the post-limit top-10 rows only
+    "pinned_query",           # rank over the post-limit organic top-10
+                              # (pinned arm is a 3-row literal filter)
 }
 
 

@@ -1,0 +1,379 @@
+"""Round-8 ES parity additions, part 4: match_phrase_prefix,
+combined_fields, boosting, pinned, span_first_or (llm/search_ext3.py),
+normalize / frequent_item_sets / bucket_correlation / scripted_metric
+(operators/es_aggs3.py), geotile_grid (operators/geo.py), and
+fim_transform (llm/corpus.py).
+
+All eleven are fully oracled; these tests pin the SEMANTIC invariants a
+hash match alone would not explain — phrase adjacency re-derived
+row-by-row, the demotion factor, pinned ordering, per-series
+normalization identities, support thresholds, the Pearson recompute,
+Mercator tile fidelity vs true atanh(sin), and FIM's lossless
+reassembly property.
+"""
+
+from __future__ import annotations
+
+import math
+
+import go_pulsar_elasticsearch_spark as gpe
+
+gpe.load_all()
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from go_pulsar_elasticsearch_spark.catalog import t  # noqa: E402
+from go_pulsar_elasticsearch_spark.llm.corpus import (  # noqa: E402
+    _FIM_MIN_CHARS,
+    fim_transform,
+)
+from go_pulsar_elasticsearch_spark.llm.search_ext3 import (  # noqa: E402
+    _BQ_NEG_BOOST,
+    _BQ_NEGATIVE,
+    _CF_TOPN,
+    _MPP_FIRST,
+    _MPP_PREFIX,
+    _PIN_IDS,
+    _SF_END,
+    _SF_TERMS,
+    boosting_query,
+    combined_fields,
+    match_phrase_prefix,
+    pinned_query,
+    span_first_or_query,
+)
+from go_pulsar_elasticsearch_spark.operators.es_aggs3 import (  # noqa: E402
+    _FIS_MIN_SUPPORT,
+    _SM_COHORTS,
+    _SM_POSITIVE,
+    bucket_correlation_agg,
+    frequent_item_sets_agg,
+    normalize_agg,
+    scripted_metric_agg,
+)
+from go_pulsar_elasticsearch_spark.operators.geo import (  # noqa: E402
+    _GT_ZOOM,
+    geotile_grid_agg,
+)
+
+
+def _texts(spark, sf_dir):
+    return {
+        r["doc_id"]: r["text"]
+        for r in t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+
+# ---------------------------------------------------- match_phrase_prefix
+
+
+def test_match_phrase_prefix_rederived(spark, sf_dir):
+    """Every (n_phrases, first_pos) re-derived row-by-row in Python:
+    '{first}' immediately followed by a '{prefix}%' token."""
+    got = {
+        r["doc_id"]: (r["n_phrases"], r["first_pos"])
+        for r in match_phrase_prefix(spark, sf_dir).collect()
+    }
+    expect = {}
+    for doc_id, text in _texts(spark, sf_dir).items():
+        w = text.split(" ")
+        hits = [
+            j + 1
+            for j in range(len(w) - 1)
+            if w[j] == _MPP_FIRST and w[j + 1].startswith(_MPP_PREFIX)
+        ]
+        if hits:
+            expect[doc_id] = (len(hits), min(hits))
+    assert got == expect and got  # non-vacuous
+
+
+# ------------------------------------------------------- combined_fields
+
+
+def test_combined_fields_is_term_centric_not_dismax(spark, sf_dir):
+    """The top-k is ranked by ONE combined-statistics score (strictly
+    descending with doc_id tie-break), capped at k, and every returned
+    doc matches at least one query term in the combined field."""
+    rows = combined_fields(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _CF_TOPN
+    ranked = sorted(rows, key=lambda r: r["rk"])
+    for a, b in zip(ranked, ranked[1:]):
+        assert (a["score"], -a["doc_id"]) >= (b["score"], -b["doc_id"])
+        assert b["rk"] == a["rk"] + 1
+    assert ranked[0]["rk"] == 1
+    assert all(r["score"] > 0 for r in rows)
+
+
+# -------------------------------------------------------- boosting_query
+
+
+def test_boosting_demotes_by_exact_factor(spark, sf_dir):
+    """A demoted doc's score is EXACTLY negative_boost times the score
+    the same doc gets from the undemoted positive query — verified by
+    recomputing the positive-only score via the shared scaffolding."""
+    from go_pulsar_elasticsearch_spark.llm.search import (
+        bm25_base_frame,
+        bm25_score_col,
+        bm25_stats_frame,
+    )
+    from go_pulsar_elasticsearch_spark.llm.search_ext3 import _BQ_TERMS
+
+    docs = t(spark, sf_dir, "documents")
+    base = bm25_base_frame(docs, _BQ_TERMS)
+    stats = bm25_stats_frame(base, len(_BQ_TERMS))
+    pure = {
+        r["doc_id"]: float(r["s"])
+        for r in base.crossJoin(F.broadcast(stats))
+        .select("doc_id", bm25_score_col(len(_BQ_TERMS)).alias("s"))
+        .collect()
+    }
+    texts = _texts(spark, sf_dir)
+    rows = boosting_query(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        has_neg = _BQ_NEGATIVE in texts[r["doc_id"]].split(" ")
+        assert r["demoted"] == int(has_neg)
+        factor = _BQ_NEG_BOOST if has_neg else 1.0
+        assert math.isclose(
+            r["score"], pure[r["doc_id"]] * factor, rel_tol=1e-12
+        )
+    # Non-vacuity: demotion must CHANGE the ranking — some doc matching
+    # both clauses would make the top-k on its undemoted score but is
+    # (correctly) displaced by the negative_boost.  (At small SF no
+    # demoted doc survives in the top-k at all, so "a demoted row is
+    # present" would be the wrong invariant to pin.)
+    returned = {r["doc_id"] for r in rows}
+    floor = min(r["score"] for r in rows)
+    displaced = [
+        d for d, s in pure.items()
+        if s > 0
+        and _BQ_NEGATIVE in texts[d].split(" ")
+        and s > floor
+        and s * _BQ_NEG_BOOST < floor
+    ]
+    assert displaced
+    assert not set(displaced) & returned
+
+
+# ---------------------------------------------------------- pinned_query
+
+
+def test_pinned_rank_first_in_given_order(spark, sf_dir):
+    rows = sorted(pinned_query(spark, sf_dir).collect(), key=lambda r: r["rk"])
+    pin = rows[: len(_PIN_IDS)]
+    assert [r["doc_id"] for r in pin] == list(_PIN_IDS)
+    assert all(r["src"] == "pinned" and r["score"] is None for r in pin)
+    organic = rows[len(_PIN_IDS):]
+    assert organic and all(r["src"] == "organic" for r in organic)
+    assert not {r["doc_id"] for r in organic} & set(_PIN_IDS)
+    scores = [r["score"] for r in organic]
+    assert scores == sorted(scores, reverse=True)
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# --------------------------------------------------- span_first_or_query
+
+
+def test_span_first_or_rederived(spark, sf_dir):
+    got = {
+        r["doc_id"]: (r["n_first_hits"], r["first_pos"])
+        for r in span_first_or_query(spark, sf_dir).collect()
+    }
+    expect = {}
+    for doc_id, text in _texts(spark, sf_dir).items():
+        w = text.split(" ")[:_SF_END]
+        hits = [j + 1 for j, tok in enumerate(w) if tok in _SF_TERMS]
+        if hits:
+            expect[doc_id] = (len(hits), min(hits))
+    assert got == expect and got
+
+
+# --------------------------------------------------------- normalize_agg
+
+
+def test_normalize_identities_per_series(spark, sf_dir):
+    """percent_of_sum sums to 1 per series; rescale_0_1 spans [0, 1]
+    hitting both endpoints on any non-constant series; both re-derived
+    from the bucket counts the op itself reports."""
+    rows = normalize_agg(spark, sf_dir).collect()
+    assert rows
+    by_series: dict = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    for et, buckets in by_series.items():
+        total = sum(b["n"] for b in buckets)
+        assert math.isclose(sum(b["pct_of_sum"] for b in buckets), 1.0)
+        lo = min(b["n"] for b in buckets)
+        hi = max(b["n"] for b in buckets)
+        for b in buckets:
+            assert math.isclose(b["pct_of_sum"], b["n"] / total)
+            if hi > lo:
+                assert math.isclose(
+                    b["rescaled_0_1"], (b["n"] - lo) / (hi - lo)
+                )
+            else:
+                assert b["rescaled_0_1"] == 0.0
+        if hi > lo:
+            vals = [b["rescaled_0_1"] for b in buckets]
+            assert math.isclose(min(vals), 0.0) and math.isclose(max(vals), 1.0)
+
+
+# ----------------------------------------------- frequent_item_sets_agg
+
+
+def test_frequent_item_sets_rederived(spark, sf_dir):
+    """Pair supports re-derived from raw texts; threshold respected;
+    pairs are ordered (a < b) and deduplicated."""
+    texts = _texts(spark, sf_dir)
+    n_docs = len(texts)
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in texts.values():
+        items = sorted({w for w in text.split(" ") if w})
+        for i, a in enumerate(items):
+            for b in items[i + 1:]:
+                counts[(a, b)] += 1
+    expect = {
+        pair: c for pair, c in counts.items()
+        if c / n_docs >= _FIS_MIN_SUPPORT
+    }
+    rows = frequent_item_sets_agg(spark, sf_dir).collect()
+    got = {(r["item_a"], r["item_b"]): r["doc_count"] for r in rows}
+    assert len(got) == len(rows)  # no duplicate pairs
+    assert got == expect and got
+    for r in rows:
+        assert r["item_a"] < r["item_b"]
+        assert math.isclose(r["support"], r["doc_count"] / n_docs)
+
+
+# ----------------------------------------------- bucket_correlation_agg
+
+
+def test_bucket_correlation_matches_python_pearson(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("ts", "event_type").collect()
+    from collections import defaultdict
+
+    days: dict = defaultdict(lambda: [0, 0])
+    for r in ev:
+        k = r["ts"].date()
+        days[k][0] += 1
+        days[k][1] += int(r["event_type"] == "error")
+    xs = [v[0] for v in days.values()]
+    ys = [v[1] for v in days.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    expect = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = bucket_correlation_agg(spark, sf_dir).collect()[0]
+    assert row["n_buckets"] == n
+    assert math.isclose(row["correlation"], expect, rel_tol=1e-12)
+    assert -1.0 <= row["correlation"] <= 1.0
+
+
+# ------------------------------------------------- scripted_metric_agg
+
+
+def test_scripted_metric_rederived(spark, sf_dir):
+    """The signed sum re-derived per cohort with exact decimal cents —
+    the map/combine/reduce result equals the sequential fold."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    acc: dict = defaultdict(lambda: [Decimal(0), 0])
+    for r in ev:
+        c = r["user_id"] % _SM_COHORTS
+        cents = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        acc[c][0] += cents if r["event_type"] in _SM_POSITIVE else -cents
+        acc[c][1] += 1
+    rows = scripted_metric_agg(spark, sf_dir).collect()
+    assert len(rows) == len(acc)
+    for r in rows:
+        exp_sum, exp_n = acc[r["cohort"]]
+        assert r["n_docs"] == exp_n
+        assert math.isclose(r["signed_value"], float(exp_sum), abs_tol=1e-9)
+
+
+# ------------------------------------------------------ geotile_grid_agg
+
+
+def test_geotile_polynomial_tracks_true_mercator(spark, sf_dir):
+    """Counts re-derived by recomputing every customer's tile with TRUE
+    Mercator (math.atanh/sin): the fitted polynomial must agree on
+    >= 99% of rows (disagreement only within the 5.2e-5 rad fit error
+    of a tile boundary), and total counts must be conserved."""
+    from go_pulsar_elasticsearch_spark.operators.geo import (
+        _GT_LAT_S,
+        _GT_LON_S,
+    )
+
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.expr(_GT_LAT_S).alias("lat"), F.expr(_GT_LON_S).alias("lon")
+        )
+        .collect()
+    )
+    n = 1 << _GT_ZOOM
+    true_tiles = []
+    for r in cust:
+        tx = math.floor((r["lon"] + 180.0) / 360.0 * n)
+        merc = math.atanh(math.sin(math.radians(r["lat"])))
+        ty = math.floor((1.0 - merc / math.pi) / 2.0 * n)
+        true_tiles.append(f"{_GT_ZOOM}/{tx}/{ty}")
+    from collections import Counter
+
+    expect = Counter(true_tiles)
+    rows = geotile_grid_agg(spark, sf_dir).collect()
+    got = {r["tile"]: r["n_customers"] for r in rows}
+    assert sum(got.values()) == len(cust)  # conservation
+    agree = sum(min(got.get(k, 0), v) for k, v in expect.items())
+    assert agree / len(cust) >= 0.99
+    for tile in got:
+        z, tx, ty = tile.split("/")
+        assert int(z) == _GT_ZOOM
+        assert 0 <= int(tx) < n and 0 <= int(ty) < n
+
+
+# -------------------------------------------------------- fim_transform
+
+
+def test_fim_reassembly_is_lossless(spark, sf_dir):
+    """Parsing the sentinels back out reconstructs the ORIGINAL text
+    exactly for every doc, in both modes; the middle is never empty and
+    always covers the doc's center third."""
+    texts = _texts(spark, sf_dir)
+    rows = fim_transform(spark, sf_dir).collect()
+    eligible = {d for d, s in texts.items() if len(s) >= _FIM_MIN_CHARS}
+    assert {r["doc_id"] for r in rows} == eligible and rows
+    modes = set()
+    for r in rows:
+        s = r["fim_text"]
+        assert r["mode"] == ("psm" if r["doc_id"] % 2 == 0 else "spm")
+        modes.add(r["mode"])
+        if r["mode"] == "psm":
+            assert s.startswith("<PRE>")
+            body = s[len("<PRE>"):]
+            pre, rest = body.split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+        else:
+            assert s.startswith("<SUF>")
+            body = s[len("<SUF>"):]
+            suf, rest = body.split("<PRE>", 1)
+            pre, mid = rest.split("<MID>", 1)
+        orig = texts[r["doc_id"]]
+        assert pre + mid + suf == orig
+        assert r["n_middle"] == len(mid) > 0
+        assert r["n_chars_out"] == len(s)
+        # p1 in the first third, p2 past the second third
+        L = len(orig)
+        assert len(pre) <= L // 3 + 1
+        assert len(pre) + len(mid) >= (2 * L) // 3
+    assert modes == {"psm", "spm"}
