@@ -32,7 +32,7 @@ BMFF box-walk metadata, so every fixture mime now reaches a real
 parser; `rag_chunk_retrieval`, the chunk→embed→score→parent-collapse
 retriever as one certified plan; `geo_line_agg`; and
 `data_recipe_epochs`, the training-mixture sizing calculation).
-The seventeen rows-only entries are approximate/float/iterative by
+The eighteen rows-only entries are approximate/float/iterative by
 design:
 ``agg_approx`` (HLL/quantile sketches — error-bound asserted in
 tests), ``agg_count_min`` (count-min estimates, bounds pinned in
@@ -53,7 +53,10 @@ tests), ``unigram_tokenizer_train`` / ``unigram_encode_fertility``
 (SentencePiece-style hard-EM training — Viterbi==brute-force and
 property sweeps in tests/test_unigram.py), ``wordpiece_encode``
 (greedy longest-match-first; piece-for-piece vs an independent
-reference in tests/test_wordpiece.py), and ``stream_ingest_e2e``
+reference in tests/test_wordpiece.py), ``pack_sequences_bestfit``
+(sequential per-shard best-fit-decreasing bin state in a grouped-map
+pandas UDF — bin-for-bin vs an independent Python BFD in
+tests/test_es_parity4.py), and ``stream_ingest_e2e``
 (streaming drain).  Even
 the iterative k-means training and 3-iteration PageRank are oracled
 (unrolled exact-decimal CTE iterations), and the Avro decode is

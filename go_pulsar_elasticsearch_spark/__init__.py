@@ -88,6 +88,7 @@ def load_all() -> None:
         search_ext,
         search_ext2,
         search_ext3,
+        search_template,
         similarity,
         text_analysis,
         udfs,

@@ -839,3 +839,95 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(fim_text).cast("bigint").alias("n_chars_out"),
         n_middle.cast("bigint").alias("n_middle"),
     )
+
+
+# --------------------------------------------------------------------------
+# pack_sequences_bestfit  (best-fit-decreasing bin packing per shard)
+# --------------------------------------------------------------------------
+
+# pack_sequences cuts bins by running token total in manifest order —
+# zero fragmentation control (a 2047-token doc after a 2000-token
+# running point wastes nearly a whole bin).  The packing real training
+# pipelines run is bin packing proper: best-fit-DECREASING inside each
+# manifest shard — sort the shard's docs by token count descending,
+# place each into the fullest open bin that still fits, open a new bin
+# otherwise.  BFD is inherently sequential (bin state mutates per item)
+# so it runs as a grouped-map pandas UDF per shard: the 100 TB shape is
+# thousands of independent shards packing in parallel, with NO
+# cross-shard state — exactly how packing shards out on a cluster.
+# Rows-only by declaration (sequential heap state is not expressible in
+# one SQL statement); tests/test_es_parity4.py re-derives every bin
+# from an independent Python BFD and pins the invariants (no overflow,
+# token conservation, at-most-one-under-half-full bin per shard, and
+# fill >= the sequential cutter's).
+_BF_BUDGET = 2048
+_BF_SHARD_DOCS = 256
+
+
+@register("pack_sequences_bestfit")
+def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing: shard the manifest
+    (doc_id DIV {sd}), BFD-pack each shard's docs into {b}-token bins,
+    emit the bin manifest (shard, bin, docs, tokens, fill ratio,
+    whether the bin is a single over-budget doc).  Deterministic: the
+    (n_tokens DESC, doc_id ASC) placement order and best-fit tie-break
+    (fullest bin, lowest index) are total orders.
+
+    Plan: one tokenize pass, one shuffle keyed by shard, then
+    applyInPandas per shard (Arrow-batched; bin state never leaves its
+    shard) — output is bin-manifest-sized."""
+    import pandas as pd
+
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    ).cast("bigint")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _BF_SHARD_DOCS).cast("bigint").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    schema = (
+        "shard bigint, bin_id int, n_docs bigint, bin_tokens bigint,"
+        " fill_ratio double, oversized int"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        loads: list[int] = []
+        counts: list[int] = []
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            # best fit: the fullest bin that still fits; ties -> lowest
+            # index (max() returns the first maximal element)
+            fits = [
+                (load, i)
+                for i, load in enumerate(loads)
+                if load + tok <= _BF_BUDGET
+            ]
+            if fits:
+                _, i = max(fits, key=lambda p: (p[0], -p[1]))
+                loads[i] += tok
+                counts[i] += 1
+            else:
+                loads.append(tok)
+                counts.append(1)
+        shard = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "bin_id": range(len(loads)),
+                "n_docs": counts,
+                "bin_tokens": loads,
+                "fill_ratio": [l / _BF_BUDGET for l in loads],
+                "oversized": [
+                    int(l > _BF_BUDGET) for l in loads
+                ],
+            }
+        )
+
+    return toks.groupBy("shard").applyInPandas(pack, schema)

@@ -377,3 +377,186 @@ def test_fim_reassembly_is_lossless(spark, sf_dir):
         assert len(pre) <= L // 3 + 1
         assert len(pre) + len(mid) >= (2 * L) // 3
     assert modes == {"psm", "spm"}
+
+
+# ------------------------------------------------------- search_template
+
+
+def test_search_template_rendering_and_filtering(spark, sf_dir):
+    """The renderer handles {{var}} and {{#toJson}}; the executed result
+    is re-derived row-by-row from the raw table with the params."""
+    from go_pulsar_elasticsearch_spark.llm.search_template import (
+        _ST_PARAMS,
+        render_search_template,
+        search_template,
+    )
+
+    rendered = render_search_template(
+        '{"source": {"bool": {"must": [{"match": {"text": {{#toJson}}q{{/toJson}}}},'
+        '{"range": {"n_chars": {"gte": {{min_chars}}}}}],'
+        '"filter": [{"terms": {"source": {{#toJson}}sources{{/toJson}}}}]}}}',
+        _ST_PARAMS,
+    )
+    assert rendered["bool"]["must"][0] == {"match": {"text": "merge batch"}}
+    assert rendered["bool"]["must"][1] == {"range": {"n_chars": {"gte": 250}}}
+    assert rendered["bool"]["filter"][0]["terms"]["source"] == _ST_PARAMS["sources"]
+
+    rows = search_template(spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents").collect()
+    expect = {
+        r["doc_id"]
+        for r in docs
+        if "merge" in r["text"].split(" ")
+        and "batch" in r["text"].split(" ")
+        and r["n_chars"] >= 250
+        and r["source"] in _ST_PARAMS["sources"]
+    }
+    assert {r["doc_id"] for r in rows} == expect and rows
+
+
+# ---------------------------------------------------- terms_lookup_query
+
+
+def test_terms_lookup_rederived(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.llm.search_template import (
+        _TL_LOOKUP_DOC,
+        terms_lookup_query,
+    )
+
+    texts = _texts(spark, sf_dir)
+    vocab = {w for w in texts[_TL_LOOKUP_DOC].split(" ") if w}
+    expect = {}
+    for doc_id, text in texts.items():
+        if doc_id == _TL_LOOKUP_DOC:
+            continue
+        shared = len({w for w in text.split(" ")} & vocab)
+        if shared:
+            expect[doc_id] = shared
+    got = {
+        r["doc_id"]: r["n_shared_terms"]
+        for r in terms_lookup_query(spark, sf_dir).collect()
+    }
+    assert got == expect and got
+
+
+# --------------------------------------------------------- rank_eval_api
+
+
+def test_rank_eval_metrics_rederived(spark, sf_dir):
+    """precision@k / recall@k / MRR re-derived from an independent
+    Python ranking built on the certified per-term BM25 scores."""
+    from go_pulsar_elasticsearch_spark.llm.search import (
+        _bm25_contrib,
+        bm25_base_frame,
+        bm25_stats_frame,
+    )
+    from go_pulsar_elasticsearch_spark.llm.search_template import (
+        _RE_K,
+        _RE_QUERIES,
+        rank_eval_api,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    base = bm25_base_frame(docs, _RE_QUERIES)
+    stats = bm25_stats_frame(base, len(_RE_QUERIES))
+    joined = base.crossJoin(F.broadcast(stats))
+    per_q = {}
+    total_at_k = 0
+    for q in range(len(_RE_QUERIES)):
+        scored = [
+            (r["s"], r["doc_id"])
+            for r in joined.filter(F.col(f"tf{q}") > 0)
+            .select("doc_id", _bm25_contrib(q).cast("double").alias("s"))
+            .collect()
+        ]
+        ranked = sorted(scored, key=lambda p: (-p[0], p[1]))
+        rels = [int((d + q) % 3 > 0) for _, d in ranked]
+        n_at_k = sum(rels[:_RE_K])
+        total_at_k += n_at_k
+        first = next((i + 1 for i, r in enumerate(rels) if r), None)
+        per_q[q] = (
+            n_at_k / _RE_K,
+            n_at_k / sum(rels),
+            round(1.0 / first, 6) if first else 0.0,
+        )
+    rows = rank_eval_api(spark, sf_dir).collect()
+    assert len(rows) == len(_RE_QUERIES)
+    mean_expect = total_at_k / (_RE_K * len(_RE_QUERIES))
+    for r in rows:
+        p, rec, mrr = per_q[r["qid"]]
+        assert math.isclose(r["precision_at_k"], p)
+        assert math.isclose(r["recall_at_k"], rec)
+        assert math.isclose(r["mrr"], mrr)
+        assert math.isclose(r["mean_precision"], mean_expect)
+    # non-vacuity: metrics must not be degenerate across the board
+    assert any(0 < r["precision_at_k"] < 1 for r in rows)
+
+
+# ------------------------------------------------- pack_sequences_bestfit
+
+
+def _py_bfd(items, budget):
+    """Independent best-fit-decreasing reference: returns bin loads +
+    counts in open order."""
+    loads, counts = [], []
+    for tok, _doc in sorted(items, key=lambda p: (-p[0], p[1])):
+        fits = [(l, i) for i, l in enumerate(loads) if l + tok <= budget]
+        if fits:
+            _, i = max(fits, key=lambda p: (p[0], -p[1]))
+            loads[i] += tok
+            counts[i] += 1
+        else:
+            loads.append(tok)
+            counts.append(1)
+    return loads, counts
+
+
+def test_pack_bestfit_bin_for_bin_vs_reference(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.llm.corpus import (
+        _BF_BUDGET,
+        _BF_SHARD_DOCS,
+        pack_sequences_bestfit,
+    )
+    from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+            ).alias("n"),
+        )
+        .collect()
+    )
+    shards: dict = {}
+    for r in toks:
+        shards.setdefault(r["doc_id"] // _BF_SHARD_DOCS, []).append(
+            (r["n"], r["doc_id"])
+        )
+    rows = pack_sequences_bestfit(spark, sf_dir).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["shard"], []).append(r)
+    assert set(got) == set(shards)
+    for shard, items in shards.items():
+        loads, counts = _py_bfd(items, _BF_BUDGET)
+        bins = sorted(got[shard], key=lambda r: r["bin_id"])
+        assert [r["bin_tokens"] for r in bins] == loads
+        assert [r["n_docs"] for r in bins] == counts
+        # invariants: conservation, no silent overflow, BFD half-full
+        # guarantee (at most one bin at-or-under half, unless oversized
+        # singletons are involved)
+        assert sum(loads) == sum(n for n, _ in items)
+        for r in bins:
+            assert r["oversized"] == int(r["bin_tokens"] > _BF_BUDGET)
+            if r["oversized"]:
+                assert r["n_docs"] == 1  # only a single doc may overflow
+            assert math.isclose(
+                r["fill_ratio"], r["bin_tokens"] / _BF_BUDGET
+            )
+        under_half = [
+            r for r in bins
+            if not r["oversized"] and 2 * r["bin_tokens"] <= _BF_BUDGET
+        ]
+        assert len(under_half) <= 1

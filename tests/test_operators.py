@@ -37,6 +37,9 @@ def test_oracle_keys_subset_of_queries():
         "unigram_encode_fertility",  # encodes with the EM-trained model
         "wordpiece_encode",  # greedy longest-match; independent-reference
         # piece-for-piece pytest (tests/test_wordpiece.py)
+        "pack_sequences_bestfit",  # sequential per-shard bin state
+        # (grouped-map BFD); bin-for-bin vs an independent Python BFD
+        # in tests/test_es_parity4.py
     }
 
 
