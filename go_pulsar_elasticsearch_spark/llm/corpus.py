@@ -931,3 +931,168 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return toks.groupBy("shard").applyInPandas(pack, schema)
+
+
+# --------------------------------------------------------------------------
+# mlm_masking_prep  (BERT-style masked-LM preparation, 80/10/10)
+# --------------------------------------------------------------------------
+
+# MLM selects ~15% of token positions; of those, 80% become [MASK], 10%
+# a random vocabulary token, 10% stay unchanged (the trick that keeps
+# the encoder from only attending to [MASK]).  All three decisions are
+# md5-positioned (cf. span_corruption_prep): selection byte < 38/256
+# ~ 14.8%, action byte < 205 masks (80.1%), < 230 substitutes (9.8%),
+# else keeps (10.2%); the substitute token is drawn from the doc's OWN
+# token array by a hash-indexed lookup (deterministic; vocabulary-
+# distributed the way BERT's random-token branch is).  The certified
+# hash covers the fully REASSEMBLED masked text plus the label stream
+# (position:original pairs — exactly what the training loss reads).
+_MLM_SEL_LT = 38
+_MLM_MASK_LT = 205
+_MLM_RAND_LT = 230
+
+
+def _mlm_b256_sql(salt: str, instr_fn: str) -> str:
+    """Byte 0..255 from md5(doc_id:pos:salt) — both engines."""
+    h = (
+        f"md5(CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)"
+        f" || ':{salt}')"
+    )
+    return (
+        f"(({instr_fn}('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + ({instr_fn}('{_HEX}', substr({h}, 2, 1)) - 1))"
+    )
+
+
+def _mlm_u16_sql(salt: str, instr_fn: str) -> str:
+    """Hex digits 3-6 of the same hash as an int 0..65535 (independent
+    of the action byte in digits 1-2)."""
+    h = (
+        f"md5(CAST(doc_id AS STRING) || ':' || CAST(pos AS STRING)"
+        f" || ':{salt}')"
+    )
+    terms = [
+        f"(({instr_fn}('{_HEX}', substr({h}, {3 + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)})"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _mlm_exprs(instr_fn: str, idx_fn) -> dict[str, str]:
+    sel = f"({_mlm_b256_sql('sel', instr_fn)} < {_MLM_SEL_LT})"
+    act = _mlm_b256_sql("act", instr_fn)
+    repl = idx_fn(f"(({_mlm_u16_sql('act', instr_fn)} % len_w) + 1)")
+    tok = (
+        f"CASE WHEN NOT {sel} THEN word"
+        f" WHEN {act} < {_MLM_MASK_LT} THEN '[MASK]'"
+        f" WHEN {act} < {_MLM_RAND_LT} THEN {repl}"
+        f" ELSE word END"
+    )
+    return {
+        "sel": sel,
+        "is_mask": f"({sel} AND {act} < {_MLM_MASK_LT})",
+        "is_rand": f"({sel} AND {act} >= {_MLM_MASK_LT}"
+                   f" AND {act} < {_MLM_RAND_LT})",
+        "is_keep": f"({sel} AND {act} >= {_MLM_RAND_LT})",
+        "tok": tok,
+    }
+
+
+_MLM_D = _mlm_exprs("strpos", lambda i: f"w[{i}]")
+_MLM_S = _mlm_exprs("instr", lambda i: f"element_at(w, {i})")
+
+_MLM_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, w, len(w) AS len_w,
+         unnest(w) AS word,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), flagged AS (
+  SELECT doc_id, pos, word,
+         {_MLM_D["tok"]} AS out_tok,
+         {_MLM_D["sel"]} AS sel,
+         {_MLM_D["is_mask"]} AS is_mask,
+         {_MLM_D["is_rand"]} AS is_rand,
+         {_MLM_D["is_keep"]} AS is_keep
+  FROM words
+)
+SELECT doc_id,
+  md5(string_agg(out_tok, ' ' ORDER BY pos)) AS masked_md5,
+  md5(COALESCE(string_agg(
+        CASE WHEN sel THEN CAST(pos AS STRING) || ':' || word END,
+        ' ' ORDER BY pos), '')) AS labels_md5,
+  CAST(SUM(CASE WHEN is_mask THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+  CAST(SUM(CASE WHEN is_rand THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+  CAST(SUM(CASE WHEN is_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("mlm_masking_prep", _MLM_ORACLE)
+def mlm_masking_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM preparation: md5-positioned 15% selection with
+    the 80/10/10 mask/random/keep split; emits per doc the md5 of the
+    fully reassembled masked token stream, the md5 of the label stream
+    (pos:original for every selected position), and the three branch
+    counts.  The random-token branch substitutes a hash-indexed token
+    from the doc's own array — deterministic and replay-identical.
+
+    Plan: one posexplode carrying the row-local array (narrow — the
+    substitute lookup needs it), every flag a per-row expression, one
+    doc_id-keyed groupBy whose collect_list reassembles order by
+    position (the span_corruption shape).  At 100 TB: one pass over
+    the token stream, one doc_id shuffle."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("len_w"),
+        F.posexplode("w").alias("pos0", "word"),
+    ).select(
+        "doc_id", "w", "len_w", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    flagged = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.expr(_MLM_S["tok"]).alias("out_tok"),
+        F.expr(_MLM_S["sel"]).alias("sel"),
+        F.expr(_MLM_S["is_mask"]).alias("is_mask"),
+        F.expr(_MLM_S["is_rand"]).alias("is_rand"),
+        F.expr(_MLM_S["is_keep"]).alias("is_keep"),
+    )
+
+    masked = F.array_join(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, out_tok AS v))),"
+            " s -> s.v)"
+        ),
+        " ",
+    )
+    labels = F.array_join(
+        F.expr(
+            "transform(array_sort(collect_list(CASE WHEN sel THEN"
+            " struct(pos, cast(pos AS STRING) || ':' || word AS v) END)),"
+            " s -> s.v)"
+        ),
+        " ",
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.md5(masked).alias("masked_md5"),
+        F.md5(labels).alias("labels_md5"),
+        F.sum(F.when(F.col("is_mask"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.sum(F.when(F.col("is_rand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_random"),
+        F.sum(F.when(F.col("is_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

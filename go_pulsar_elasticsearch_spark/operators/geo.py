@@ -705,3 +705,76 @@ def geotile_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# geo_shape_polygon  (ES geo_shape query, relation=within a polygon)
+# --------------------------------------------------------------------------
+
+# A non-convex pentagon (lon, lat) spanning the synthetic coordinate
+# band — the "M" shape exercises the even-odd rule (a horizontal line
+# can cross it 0, 2, or 4 times).  Point-in-polygon is classic ray
+# casting: count edges where the point's latitude is straddled and the
+# point lies left of the edge's crossing longitude.  Per edge that is
+# two comparisons, one multiply, one divide — every operation
+# IEEE-correctly-rounded, so the parity test is bit-identical
+# cross-engine (the house no-libm rule; md5-derived coordinates never
+# coincide exactly with a vertex latitude, so the straddle comparisons
+# have no boundary ambiguity).
+_GS_POLY = (
+    (-120.0, -40.0),
+    (-60.0, 50.0),
+    (0.0, -10.0),
+    (60.0, 50.0),
+    (120.0, -40.0),
+)
+
+
+def _gs_inside_sql(lat: str, lon: str) -> str:
+    """Ray-casting parity: odd crossing count => inside.  Identical
+    expression text on both engines."""
+    crossings = []
+    n = len(_GS_POLY)
+    for i in range(n):
+        x1, y1 = _GS_POLY[i]
+        x2, y2 = _GS_POLY[(i + 1) % n]
+        crossings.append(
+            f"(CASE WHEN (({y1} > {lat}) <> ({y2} > {lat}))"
+            f" AND ({lon} < ({x2} - {x1}) * ({lat} - {y1})"
+            f" / ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(crossings) + ") % 2 = 1)"
+
+
+_GS_LAT_S, _GS_LON_S = _coord_sql("c_custkey", "instr")
+_GS_LAT_D, _GS_LON_D = _coord_sql("c_custkey", "strpos")
+
+_GEO_SHAPE_ORACLE = f"""
+SELECT c_custkey, lat, lon
+FROM (SELECT c_custkey, {_GS_LAT_D} AS lat, {_GS_LON_D} AS lon
+      FROM customer)
+WHERE {_gs_inside_sql('lat', 'lon')}
+"""
+
+
+@register("geo_shape_polygon", _GEO_SHAPE_ORACLE)
+def geo_shape_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_shape`` query (relation=within): points inside a
+    non-convex polygon, decided by even-odd ray casting over the
+    polygon's edges — comparisons, multiplies, and divides only, so
+    the containment verdict is hash-certifiable cross-engine (see the
+    determinism note at the shape constant).
+
+    Plan: the whole test is one scan-fused per-row expression over the
+    synthesized coordinates (zero shuffle, zero UDF); at 100 TB this
+    is a pushed-predicate scan, and an R-tree-style prefilter is just
+    an extra bounding-box conjunct (geo_bounding_box's certified
+    expression) Catalyst would place before the edge tests."""
+    tune(spark)
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        F.expr(_GS_LAT_S).alias("lat"),
+        F.expr(_GS_LON_S).alias("lon"),
+    )
+    return pts.filter(F.expr(_gs_inside_sql("lat", "lon")))

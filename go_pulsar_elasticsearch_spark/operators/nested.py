@@ -337,3 +337,70 @@ def date_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# has_child_query  (ES parent-child join field: has_child with min_children)
+# --------------------------------------------------------------------------
+
+# ES's OTHER document relation (besides nested): the `join` field maps a
+# parent type to child documents in the same index, and `has_child`
+# returns PARENTS whose children match a query — with min_children /
+# max_children bounds and a score_mode folding child relevance into the
+# parent.  orders/lineitem IS that relation (o_orderkey <- l_orderkey).
+# Here: parents with >= _HC_MIN children matching l_quantity >= _HC_QTY,
+# score_mode=sum over the matching children's quantity (deterministic
+# integer-valued doubles), plus max for the score_mode=max sibling.
+_HC_QTY = 30
+_HC_MIN = 3
+
+_HAS_CHILD_ORACLE = f"""
+WITH matched AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_children,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS score_sum,
+         CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS score_max
+  FROM lineitem
+  WHERE l_quantity >= {_HC_QTY}
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.o_orderstatus, m.n_children, m.score_sum,
+       m.score_max
+FROM orders o JOIN matched m ON m.l_orderkey = o.o_orderkey
+WHERE m.n_children >= {_HC_MIN}
+"""
+
+
+@register("has_child_query", _HAS_CHILD_ORACLE)
+def has_child_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child``: parents (orders) having at least min_children
+    ({m}) children (lineitems) matching the child query (quantity >=
+    {q}), carrying both score_mode=sum and score_mode=max folds of the
+    child scores (the quantity itself — integral, so the folds are
+    exact on both engines).
+
+    Plan — the scalable has_child shape: the child query filters and
+    AGGREGATES FIRST (map-side combined, one shuffle keyed by parent
+    id), so the join to the parent table moves one row per CANDIDATE
+    parent, never raw children; min_children prunes before the join.
+    At 100 TB this is a pre-aggregated shuffle join on the natural
+    key — no skew beyond the parent key's own distribution, AQE
+    handles stragglers."""
+    tune(spark)
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    matched = (
+        li.filter(F.col("l_quantity") >= _HC_QTY)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_children"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("score_sum"),
+            F.max(F.col("l_quantity").cast("bigint")).alias("score_max"),
+        )
+        .filter(F.col("n_children") >= _HC_MIN)
+    )
+    return o.join(
+        matched, matched.l_orderkey == o.o_orderkey
+    ).select(
+        "o_orderkey", "o_orderstatus", "n_children", "score_sum", "score_max"
+    )

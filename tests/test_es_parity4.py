@@ -560,3 +560,160 @@ def test_pack_bestfit_bin_for_bin_vs_reference(spark, sf_dir):
             if not r["oversized"] and 2 * r["bin_tokens"] <= _BF_BUDGET
         ]
         assert len(under_half) <= 1
+
+
+# ------------------------------------------------------- has_child_query
+
+
+def test_has_child_rederived(spark, sf_dir):
+    from go_pulsar_elasticsearch_spark.operators.nested import (
+        _HC_MIN,
+        _HC_QTY,
+        has_child_query,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+
+    acc: dict = defaultdict(lambda: [0, 0, 0])
+    for r in li:
+        q = int(r["l_quantity"])
+        if q >= _HC_QTY:
+            a = acc[r["l_orderkey"]]
+            a[0] += 1
+            a[1] += q
+            a[2] = max(a[2], q)
+    status = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    }
+    expect = {
+        k: (v[0], v[1], v[2], status[k])
+        for k, v in acc.items()
+        if v[0] >= _HC_MIN and k in status
+    }
+    rows = has_child_query(spark, sf_dir).collect()
+    got = {
+        r["o_orderkey"]: (
+            r["n_children"], r["score_sum"], r["score_max"],
+            r["o_orderstatus"],
+        )
+        for r in rows
+    }
+    assert got == expect and got
+
+
+# ----------------------------------------------------- geo_shape_polygon
+
+
+def test_geo_shape_matches_winding_number(spark, sf_dir):
+    """Containment re-derived with an INDEPENDENT algorithm (winding
+    number via atan2 angle summation) — must agree with the op's ray
+    casting on every customer; plus the even-odd nonconvexity
+    sanity: the polygon band contains some and excludes some."""
+    from go_pulsar_elasticsearch_spark.operators.geo import (
+        _GS_LAT_S,
+        _GS_LON_S,
+        _GS_POLY,
+        geo_shape_polygon,
+    )
+
+    pts = (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.expr(_GS_LAT_S).alias("lat"),
+            F.expr(_GS_LON_S).alias("lon"),
+        )
+        .collect()
+    )
+    def winding(px, py):
+        total = 0.0
+        n = len(_GS_POLY)
+        for i in range(n):
+            x1, y1 = _GS_POLY[i]
+            x2, y2 = _GS_POLY[(i + 1) % n]
+            total += math.atan2(
+                (x1 - px) * (y2 - py) - (x2 - px) * (y1 - py),
+                (x1 - px) * (x2 - px) + (y1 - py) * (y2 - py),
+            )
+        return abs(total) > math.pi  # ~2*pi inside, ~0 outside
+
+    expect = {
+        r["c_custkey"] for r in pts if winding(r["lon"], r["lat"])
+    }
+    got = {r["c_custkey"] for r in geo_shape_polygon(spark, sf_dir).collect()}
+    assert got == expect
+    assert got and len(got) < len(pts)  # non-vacuous both ways
+
+
+# ------------------------------------------------------ mlm_masking_prep
+
+
+def test_mlm_masking_rederived_and_ratios(spark, sf_dir):
+    """Every doc's masked stream, label stream, and branch counts
+    re-derived with an independent Python replica of the hash rules;
+    aggregate branch ratios sit near 15% x 80/10/10."""
+    import hashlib
+
+    from go_pulsar_elasticsearch_spark.llm.corpus import (
+        _MLM_MASK_LT,
+        _MLM_RAND_LT,
+        _MLM_SEL_LT,
+        mlm_masking_prep,
+    )
+
+    def b256(doc_id, pos, salt):
+        h = hashlib.md5(f"{doc_id}:{pos}:{salt}".encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    def u16(doc_id, pos, salt):
+        h = hashlib.md5(f"{doc_id}:{pos}:{salt}".encode()).hexdigest()
+        return int(h[2:6], 16)
+
+    texts = _texts(spark, sf_dir)
+    rows = mlm_masking_prep(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == set(texts)
+    tot_sel = tot_mask = tot_rand = tot_keep = tot_pos = 0
+    for r in rows:
+        w = texts[r["doc_id"]].split(" ")
+        out, labels = [], []
+        n_mask = n_rand = n_keep = 0
+        for j, word in enumerate(w):
+            pos = j + 1
+            if b256(r["doc_id"], pos, "sel") < _MLM_SEL_LT:
+                labels.append(f"{pos}:{word}")
+                act = b256(r["doc_id"], pos, "act")
+                if act < _MLM_MASK_LT:
+                    out.append("[MASK]")
+                    n_mask += 1
+                elif act < _MLM_RAND_LT:
+                    out.append(w[u16(r["doc_id"], pos, "act") % len(w)])
+                    n_rand += 1
+                else:
+                    out.append(word)
+                    n_keep += 1
+            else:
+                out.append(word)
+        assert r["n_masked"] == n_mask
+        assert r["n_random"] == n_rand
+        assert r["n_kept"] == n_keep
+        assert r["masked_md5"] == hashlib.md5(
+            " ".join(out).encode()
+        ).hexdigest()
+        assert r["labels_md5"] == hashlib.md5(
+            " ".join(labels).encode()
+        ).hexdigest()
+        tot_sel += n_mask + n_rand + n_keep
+        tot_mask += n_mask
+        tot_rand += n_rand
+        tot_keep += n_keep
+        tot_pos += len(w)
+    assert 0.10 < tot_sel / tot_pos < 0.20
+    assert 0.70 < tot_mask / tot_sel < 0.90
+    assert 0.05 < tot_rand / tot_sel < 0.16
+    assert 0.05 < tot_keep / tot_sel < 0.16
