@@ -110,6 +110,11 @@ HEADLINE = [
     "multimodal_decode_png",
     "dup_span_remove_maximal",
     "time_travel_read",
+    # round 8 flagships (cont.): parent-child join field, MLM objective
+    # prep, and the render->compile->execute template chain
+    "has_child_query",
+    "mlm_masking_prep",
+    "search_template",
 ]
 
 # Host-speed canaries (round-6 VERDICT #6): tpch_q5/q6/q18 have been
