@@ -1,6 +1,6 @@
-"""ES search-template, terms-lookup, and _rank_eval parity.
+"""ES search-template, terms-lookup, _rank_eval, and _explain parity.
 
-Three request-level ES APIs layered on the certified query machinery:
+Four request-level ES APIs layered on the certified query machinery:
 
   search_template    — the `_search/template` endpoint: a mustache
                        template rendered with params into a JSON query,
@@ -14,6 +14,10 @@ Three request-level ES APIs layered on the certified query machinery:
   rank_eval_api      — the `_rank_eval` endpoint: precision@k, recall@k
                        and MRR per rated query over the engine's own
                        BM25 ranking, plus the endpoint's mean score.
+  explain_api        — the `_explain` endpoint: the per-term Lucene
+                       Explanation factors (idf, tf saturation,
+                       contribution) for every matching doc of the
+                       certified bm25_search query.
 
 100 TB posture: template rendering is driver-side string work on a
 KB-sized request (never per-row); the lookup term list rides a 1-row
@@ -294,3 +298,90 @@ def rank_eval_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mrr",
         mean_p.alias("mean_precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# explain_api  (ES _explain: per-term score breakdown for one doc)
+# --------------------------------------------------------------------------
+
+# The _explain endpoint answers "WHY does doc X score S for query Q":
+# per query term, the idf and tf-saturation factors and their product,
+# exactly the tree Lucene's Explanation renders.  Emitted for every
+# matching doc of the bm25_search query (one row per (doc, term) with
+# the factors), so the certified surface is the full breakdown table —
+# the single-doc endpoint is a doc_id filter away.
+_EX_TERMS = ("spark", "join", "window")
+_N_EX = len(_EX_TERMS)
+
+
+def _ex_parts_sql(i: int) -> str:
+    """idf, saturation, and contribution for term i — the same formula
+    text as search._contrib_sql, decomposed (k1=1.2, b=0.75)."""
+    tf, df = f"tf{i}", f"df{i}"
+    idf = f"ln(1 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
+    sat = (
+        f"{tf} * (1.2 + 1)"
+        f" / ({tf} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+    )
+    return (
+        f"SELECT doc_id, '{_EX_TERMS[i]}' AS term,"
+        f" CAST({tf} AS BIGINT) AS tf, CAST({df} AS BIGINT) AS df,"
+        f" CAST(ROUND({idf}, 6) AS DOUBLE) AS idf,"
+        f" CAST(ROUND({sat}, 6) AS DOUBLE) AS saturation,"
+        f" CAST({_contrib_sql(i)} AS DOUBLE) AS contribution"
+        f" FROM base CROSS JOIN stats WHERE {tf} > 0"
+    )
+
+
+_EXPLAIN_ORACLE = f"""
+WITH base AS (
+  {bm25_base_sql(_EX_TERMS)}
+), stats AS (
+  {bm25_stats_sql(_N_EX)}
+)
+{" UNION ALL ".join(_ex_parts_sql(i) for i in range(_N_EX))}
+"""
+
+
+@register("explain_api", _EXPLAIN_ORACLE)
+def explain_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain``: the per-term Lucene Explanation tree for the
+    bm25_search query, one row per (matching doc, term) carrying tf,
+    df, the idf and tf-saturation factors (each rounded at 6 like
+    every transcendental), and the certified contribution — whose
+    product structure the pytest re-multiplies.  The factors use the
+    same column frame as the single-sourced scorer, so an explain that
+    disagreed with the score is impossible by construction.
+
+    Plan: the shared base/stats frames (one tokenization, 1-row
+    broadcast); three per-term projections unioned — zero data-sized
+    shuffles, output bounded by matches x terms."""
+    tune(spark)
+    docs = t(spark, sf_dir, "documents")
+    base = bm25_base_frame(docs, _EX_TERMS)
+    stats = bm25_stats_frame(base, _N_EX)
+    joined = base.crossJoin(F.broadcast(stats))
+    k1, b = 1.2, 0.75
+    arms = []
+    for i, term in enumerate(_EX_TERMS):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(1 + (F.col("n_docs") - df + 0.5) / (df + 0.5))
+        sat = (
+            tf * (k1 + 1)
+            / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        arms.append(
+            joined.filter(tf > 0).select(
+                "doc_id",
+                F.lit(term).alias("term"),
+                tf.cast("bigint").alias("tf"),
+                df.cast("bigint").alias("df"),
+                F.round(idf, 6).cast("double").alias("idf"),
+                F.round(sat, 6).cast("double").alias("saturation"),
+                _bm25_contrib(i).cast("double").alias("contribution"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -717,3 +717,39 @@ def test_mlm_masking_rederived_and_ratios(spark, sf_dir):
     assert 0.70 < tot_mask / tot_sel < 0.90
     assert 0.05 < tot_rand / tot_sel < 0.16
     assert 0.05 < tot_keep / tot_sel < 0.16
+
+
+# ----------------------------------------------------------- explain_api
+
+
+def test_explain_factors_recompose_the_certified_score(spark, sf_dir):
+    """The Explanation must EXPLAIN the score: per (doc, term) the
+    contribution tracks idf x saturation (each factor rounded at 6
+    like the op emits them), and per doc the contributions sum to
+    EXACTLY the bm25_search score for the same query."""
+    from go_pulsar_elasticsearch_spark.llm.search import bm25_search
+    from go_pulsar_elasticsearch_spark.llm.search_template import (
+        _EX_TERMS,
+        explain_api,
+    )
+    from go_pulsar_elasticsearch_spark.llm.search import _QUERY_TERMS
+
+    assert _EX_TERMS == _QUERY_TERMS  # same query by construction
+    rows = explain_api(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_doc: dict = defaultdict(float)
+    for r in rows:
+        assert r["tf"] > 0 and r["df"] > 0
+        # factors multiply back to the contribution (factors are
+        # individually rounded, so allow the last-place slack that
+        # rounding twice introduces)
+        assert math.isclose(
+            r["idf"] * r["saturation"], r["contribution"], abs_tol=2e-6
+        )
+        by_doc[r["doc_id"]] += r["contribution"]
+    # the per-doc sums must match the certified top-k scores exactly
+    # (same decimal contributions summed)
+    for s in bm25_search(spark, sf_dir).collect():
+        assert math.isclose(by_doc[s["doc_id"]], s["score"], abs_tol=1e-9)
