@@ -5,8 +5,17 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 341 registered queries, 324 with oracles (new this
-round: dependency-free PNG, GIF, and baseline-JPEG codecs — stdlib
+State (round 8): 360 registered queries, 342 with oracles.  The
+session-3 continuation added the ES query-DSL tail
+(`match_phrase_prefix`, `combined_fields`, `boosting_query`,
+`pinned_query`, `span_first_or_query`), agg parity part 4
+(`normalize_agg`, `frequent_item_sets_agg`, `bucket_correlation_agg`,
+`scripted_metric_agg`), `geotile_grid_agg` + `geo_shape_polygon`
+(no-libm Mercator polynomial / ray casting), the request-level APIs
+(`search_template`, `terms_lookup_query`, `rank_eval_api`,
+`explain_api`), `has_child_query` (parent-child join field), the LLM
+objective preps (`fim_transform`, `mlm_masking_prep`,
+`pack_sequences_bestfit`), all 100x-gated.  (Earlier this round: dependency-free PNG, GIF, and baseline-JPEG codecs — stdlib
 zlib inflate + scanline unfilter for PNG, real variable-code-width
 LZW both directions for GIF, and full T.81 baseline JPEG with
 per-image optimized Huffman tables whose DC-exact mosaic corpus lets
