@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
+from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -1564,4 +1565,198 @@ def matryoshka_truncate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rank_full") == 1, F.col("vid"))).alias(
             "full_top1"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_binary_hamming  (ES BBQ-style 1-bit quantization + exact rerank)
+# --------------------------------------------------------------------------
+
+# The binary-quantization storage tier (ES 8.16 BBQ / faiss binary
+# indexes): center each dimension on the DATASET centroid, keep only
+# the sign -> 64 dims become 64 bits (32x smaller than float32), and
+# candidate generation is a popcount-Hamming scan over the codes with
+# an exact-cosine re-rank of the oversampled top.  Unlike the PQ/SQ8
+# tiers (trained float codebooks -> rows-only), every step here is
+# exact integer/decimal arithmetic, so the WHOLE probe — centroid,
+# codes, Hamming ranking, re-rank — is hash-certified cross-engine.
+# The centroid rides the same exact-decimal trick as the LSH
+# projections (order-independent sums; DECIMAL(30,12) holds the 100x
+# replica's ~250k-magnitude sums with 18 digits of headroom).
+_BH_RERANK = 20  # Hamming oversample depth fed to the exact re-rank
+_BH_TOPK = 5
+
+
+def _bh_codes_sql() -> str:
+    """codes CTE body: per vector, two 32-bit halves of the centered
+    sign code (two halves keep the bit sums far from BIGINT range)."""
+    return f"""
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN i <= 32 AND v >= c THEN CAST(pow(2, i - 1) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS code_lo,
+    CAST(SUM(CASE WHEN i > 32 AND v >= c THEN CAST(pow(2, i - 33) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS code_hi
+  FROM (
+    SELECT e.vec_id, e.i, e.v, ctr.c
+    FROM (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i
+                FROM embeddings)) e
+    JOIN (SELECT i,
+                 CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
+                   / COUNT(*) AS c
+          FROM (SELECT i, CAST(embedding[i] AS DOUBLE) AS v
+                FROM (SELECT embedding, unnest(range(1, {_DIM + 1})) AS i
+                      FROM embeddings))
+          GROUP BY i) ctr ON ctr.i = e.i
+  )
+  GROUP BY vec_id"""
+
+
+_BINARY_HAMMING_ORACLE = f"""
+WITH codes AS ({_bh_codes_sql()}
+), q AS (
+  SELECT vec_id AS qid, code_lo AS qlo, code_hi AS qhi
+  FROM codes WHERE vec_id < 10
+), ham AS (
+  SELECT q.qid, c.vec_id AS vid,
+         CAST(bit_count(xor(q.qlo, c.code_lo))
+              + bit_count(xor(q.qhi, c.code_hi)) AS INTEGER) AS hamming
+  FROM q JOIN codes c ON c.vec_id <> q.qid
+), shortlist AS (
+  SELECT qid, vid, hamming FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY hamming, vid) AS hrk
+    FROM ham
+  ) WHERE hrk <= {_BH_RERANK}
+), norms AS (
+  SELECT vec_id, {_DOT_SQL('embedding', 'embedding')} AS n2
+  FROM (SELECT vec_id, embedding, unnest(range(1, {_DIM + 1})) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+), rescored AS (
+  SELECT s.qid, s.vid, s.hamming, d.dot / sqrt(nq.n2 * nv.n2) AS cosine
+  FROM shortlist s
+  JOIN (
+    SELECT qid, vec_id AS vid, {_DOT_SQL('qe', 'embedding')} AS dot
+    FROM (
+      SELECT s2.qid, eq.embedding AS qe, ev.vec_id, ev.embedding,
+             unnest(range(1, {_DIM + 1})) AS i
+      FROM shortlist s2
+      JOIN embeddings eq ON eq.vec_id = s2.qid
+      JOIN embeddings ev ON ev.vec_id = s2.vid
+    )
+    GROUP BY qid, vec_id
+  ) d ON d.qid = s.qid AND d.vid = s.vid
+  JOIN norms nq ON nq.vec_id = s.qid
+  JOIN norms nv ON nv.vec_id = s.vid
+)
+SELECT qid, vid, hamming, cosine, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vid) AS rk
+  FROM rescored
+)
+WHERE rk <= {_BH_TOPK}
+"""
+
+
+@register("ann_binary_hamming", _BINARY_HAMMING_ORACLE)
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN (the ES BBQ storage tier): center on the
+    dataset's per-dimension centroid (exact-decimal mean — order-
+    independent), binarize to two 32-bit sign words, rank candidates
+    by popcount Hamming over the codes, then exact-cosine re-rank the
+    Hamming top-{r} into the final top-{k}.  Every stage is exact, so
+    the full probe is hash-certified — the certification the trained
+    PQ/SQ8 tiers cannot have.
+
+    Scale shape: codes are 8 bytes/vector (the 32x cut that lets a
+    100 TB corpus's candidate scan live in memory); the centroid is a
+    {d}-value broadcast; Hamming ranking shuffles (qid, vid, int) and
+    only the {r}-deep shortlist pays float re-rank — the
+    oversample+rescore contract of ES's own BBQ search."""
+    tune(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "v")
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("v").cast("double").alias("v")
+    )
+    centroid = elems.groupBy("i").agg(
+        (
+            F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    codes = (
+        elems.join(F.broadcast(centroid), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("i") <= 32) & (F.col("v") >= F.col("c")),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), i - 1)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("code_lo"),
+            F.sum(
+                F.when(
+                    (F.col("i") > 32) & (F.col("v") >= F.col("c")),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), i - 33)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("code_hi"),
+        )
+    )
+    codes = cache_slot("bbq_codes", codes)
+    q = codes.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("code_lo").alias("qlo"),
+        F.col("code_hi").alias("qhi"),
+    )
+    ham = q.join(codes, F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("vid"),
+        (
+            F.bit_count(F.expr("qlo ^ code_lo"))
+            + F.bit_count(F.expr("qhi ^ code_hi"))
+        )
+        .cast("int")
+        .alias("hamming"),
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "vid")
+    shortlist = (
+        ham.withColumn("hrk", F.row_number().over(wh))
+        .filter(F.col("hrk") <= _BH_RERANK)
+        .drop("hrk")
+    )
+    norms = emb.select("vec_id", _dot("embedding", "embedding").alias("n2"))
+    qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ve = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ve"))
+    rescored = (
+        shortlist.join(F.broadcast(qe), "qid")
+        .join(ve, "vid")
+        .select("qid", "vid", "hamming", _dot("qe", "ve").alias("dot"))
+        .join(
+            norms.select(F.col("vec_id").alias("qid"), F.col("n2").alias("nq")),
+            "qid",
+        )
+        .join(
+            norms.select(F.col("vec_id").alias("vid"), F.col("n2").alias("nv")),
+            "vid",
+        )
+        .select(
+            "qid",
+            "vid",
+            "hamming",
+            (F.col("dot") / F.sqrt(F.col("nq") * F.col("nv"))).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vid"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _BH_TOPK)
+        .select("qid", "vid", "hamming", "cosine", "rk")
     )

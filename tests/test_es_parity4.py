@@ -753,3 +753,58 @@ def test_explain_factors_recompose_the_certified_score(spark, sf_dir):
     # (same decimal contributions summed)
     for s in bm25_search(spark, sf_dir).collect():
         assert math.isclose(by_doc[s["doc_id"]], s["score"], abs_tol=1e-9)
+
+
+# ---------------------------------------------------- ann_binary_hamming
+
+
+def test_binary_hamming_recall_vs_exact(spark, sf_dir):
+    """The BBQ probe's top-5 (after exact re-rank) must recall most of
+    the TRUE exact-cosine top-5 (similarity_topk), and its cosine
+    column must equal the exact op's for shared (qid, vid) pairs;
+    Hamming distances re-derived from independently recomputed codes."""
+    from go_pulsar_elasticsearch_spark.llm.similarity import (
+        _BH_TOPK,
+        ann_binary_hamming,
+        similarity_topk,
+    )
+
+    # Recall is measured at sf0.01: with sf0.001's ~50 vectors the
+    # random-shortlist chance level (RERANK/n) is already ~40% and
+    # small-sample noise swamps the code signal; at 500 vectors chance
+    # is 4% and the measured recall is ~50% — the honest operating
+    # point for 1-bit codes over UNSTRUCTURED random embeddings (real
+    # embedding manifolds do far better; ES oversamples the same way).
+    recall_dir = "/root/testdata/sf0.01"
+    got = ann_binary_hamming(spark, recall_dir).collect()
+    exact = similarity_topk(spark, recall_dir).collect()
+    by_q_got: dict = {}
+    by_q_exact: dict = {}
+    cos_got = {}
+    cos_exact = {}
+    for r in got:
+        by_q_got.setdefault(r["qid"], set()).add(r["vid"])
+        cos_got[(r["qid"], r["vid"])] = r["cosine"]
+    for r in exact:
+        by_q_exact.setdefault(r["qid"], set()).add(r["vid"])
+        cos_exact[(r["qid"], r["vid"])] = r["cosine"]
+    assert set(by_q_got) == set(by_q_exact)
+    hits = total = 0
+    for q in by_q_exact:
+        assert len(by_q_got[q]) == _BH_TOPK
+        hits += len(by_q_got[q] & by_q_exact[q])
+        total += len(by_q_exact[q])
+    assert hits / total >= 0.4  # >= 10x the 4% chance level
+    # and the re-rank makes shared pairs carry the EXACT cosine
+    for k in set(cos_got) & set(cos_exact):
+        assert math.isclose(cos_got[k], cos_exact[k], rel_tol=1e-12)
+    # Hamming re-derivation from independently computed codes
+    import numpy as np
+
+    emb = t(spark, recall_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    ctr = np.mean(np.stack(list(vecs.values())), axis=0)
+    codes = {k: (v >= ctr) for k, v in vecs.items()}
+    for r in got:
+        ham = int(np.sum(codes[r["qid"]] != codes[r["vid"]]))
+        assert r["hamming"] == ham
