@@ -885,7 +885,9 @@ def pack_sequences_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     toks = docs.select(
         "doc_id",
-        (F.col("doc_id") / _BF_SHARD_DOCS).cast("bigint").alias("shard"),
+        # integer DIV, not float division: double division loses low
+        # bits past 2^53, which could mis-shard synthetic 64-bit ids
+        F.expr(f"doc_id DIV {_BF_SHARD_DOCS}").alias("shard"),
         n_tokens.alias("n_tokens"),
     )
 

@@ -123,11 +123,12 @@ def bm25_stats_frame(base: DataFrame, n_terms: int) -> DataFrame:
     )
 
 
-def bm25_score_col(n_terms: int) -> "F.Column":
-    """The summed per-term contribution chain (fixed left association)."""
-    score = _bm25_contrib(0)
+def bm25_score_col(n_terms: int, suffix: str = "") -> "F.Column":
+    """The summed per-term contribution chain (fixed left association);
+    ``suffix`` scopes the stat columns to a field, like _bm25_contrib."""
+    score = _bm25_contrib(0, suffix)
     for i in range(1, n_terms):
-        score = score + _bm25_contrib(i)
+        score = score + _bm25_contrib(i, suffix)
     return score
 
 

@@ -45,6 +45,7 @@ from go_pulsar_elasticsearch_spark.llm.search import (
     _eq_term,
     bm25_base_frame,
     bm25_base_sql,
+    bm25_score_col,
     bm25_stats_frame,
     bm25_stats_sql,
 )
@@ -230,9 +231,7 @@ def combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_CF)
         ],
     )
-    score = _bm25_contrib(0, "_c")
-    for i in range(1, _N_CF):
-        score = score + _bm25_contrib(i, "_c")
+    score = bm25_score_col(_N_CF, "_c")
     any_match = F.lit(False)
     for i in range(_N_CF):
         any_match = any_match | (F.col(f"tf{i}_c") > 0)
@@ -325,9 +324,7 @@ def boosting_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = bm25_base_frame(flagged, _BQ_TERMS, extra_cols=("neg_hit",))
     stats = bm25_stats_frame(base, _N_BQ)
-    score = _bm25_contrib(0)
-    for i in range(1, _N_BQ):
-        score = score + _bm25_contrib(i)
+    score = bm25_score_col(_N_BQ)
     any_match = F.lit(False)
     for i in range(_N_BQ):
         any_match = any_match | (F.col(f"tf{i}") > 0)

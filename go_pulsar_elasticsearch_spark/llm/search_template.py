@@ -58,12 +58,25 @@ def render_search_template(template: str, params: dict[str, Any]) -> dict:
     injection (the documented way to pass arrays/objects).  Scalars are
     JSON-encoded too when they land in value position — the template
     below quotes nothing itself, exactly like ES examples that rely on
-    toJson for safety.  Driver-side only: templates are KB-sized
-    request bodies, never per-row data."""
-    out = template
-    for k, v in params.items():
-        out = out.replace("{{#toJson}}%s{{/toJson}}" % k, json.dumps(v))
-        out = out.replace("{{%s}}" % k, json.dumps(v))
+    toJson for safety.  SINGLE-PASS substitution over the original
+    template: a param VALUE containing mustache-looking text stays a
+    literal (re-scanning substituted output would let one param's
+    value be rewritten by another's — template injection — and would
+    make rendering depend on dict order).  Driver-side only:
+    templates are KB-sized request bodies, never per-row data."""
+    import re
+
+    def _sub(m: "re.Match[str]") -> str:
+        k = m.group(1) or m.group(2)
+        if k not in params:
+            raise KeyError(f"search template references unbound param {k!r}")
+        return json.dumps(params[k])
+
+    out = re.sub(
+        r"\{\{#toJson\}\}(\w+)\{\{/toJson\}\}|\{\{(\w+)\}\}",
+        _sub,
+        template,
+    )
     rendered = json.loads(out)
     if isinstance(rendered, dict) and "source" in rendered:
         rendered = rendered["source"]
@@ -222,7 +235,8 @@ WITH base AS (
 )
 SELECT CAST(qid AS BIGINT) AS qid,
        CAST(n_at_k AS DOUBLE) / {_RE_K} AS precision_at_k,
-       CAST(n_at_k AS DOUBLE) / n_rel AS recall_at_k,
+       CASE WHEN n_rel > 0 THEN CAST(n_at_k AS DOUBLE) / n_rel
+            ELSE CAST(NULL AS DOUBLE) END AS recall_at_k,
        mrr,
        -- integer numerator summed across queries, ONE double division:
        -- the mean cannot pick up engine-specific summation order
@@ -292,9 +306,15 @@ def rank_eval_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_query.select(
         F.col("qid").cast("bigint").alias("qid"),
         (F.col("n_at_k").cast("double") / _RE_K).alias("precision_at_k"),
-        (F.col("n_at_k").cast("double") / F.col("n_rel")).alias(
-            "recall_at_k"
-        ),
+        # guarded like the oracle: a rated query with zero relevant
+        # matching docs yields NULL recall on BOTH engines (Spark 4's
+        # default ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("n_at_k").cast("double") / F.col("n_rel"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("recall_at_k"),
         "mrr",
         mean_p.alias("mean_precision"),
     )
@@ -309,19 +329,29 @@ def rank_eval_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the tree Lucene's Explanation renders.  Emitted for every
 # matching doc of the bm25_search query (one row per (doc, term) with
 # the factors), so the certified surface is the full breakdown table —
-# the single-doc endpoint is a doc_id filter away.
-_EX_TERMS = ("spark", "join", "window")
+# the single-doc endpoint is a doc_id filter away.  Terms and the
+# k1/b constants are IMPORTED from the certified scorer (never
+# redeclared) so the explanation cannot drift from what bm25_search
+# actually computes — the single-sourcing rule search.py's docstring
+# mandates.
+from go_pulsar_elasticsearch_spark.llm.search import (  # noqa: E402
+    _B as _EX_B,
+    _K1 as _EX_K1,
+    _QUERY_TERMS as _EX_TERMS,
+)
+
 _N_EX = len(_EX_TERMS)
 
 
 def _ex_parts_sql(i: int) -> str:
     """idf, saturation, and contribution for term i — the same formula
-    text as search._contrib_sql, decomposed (k1=1.2, b=0.75)."""
+    text as search._contrib_sql, decomposed into Lucene's two factors
+    (constants imported from the scorer)."""
     tf, df = f"tf{i}", f"df{i}"
     idf = f"ln(1 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
     sat = (
-        f"{tf} * (1.2 + 1)"
-        f" / ({tf} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))"
+        f"{tf} * ({_EX_K1} + 1)"
+        f" / ({tf} + {_EX_K1} * (1 - {_EX_B} + {_EX_B} * dl / avgdl))"
     )
     return (
         f"SELECT doc_id, '{_EX_TERMS[i]}' AS term,"
@@ -361,7 +391,7 @@ def explain_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = bm25_base_frame(docs, _EX_TERMS)
     stats = bm25_stats_frame(base, _N_EX)
     joined = base.crossJoin(F.broadcast(stats))
-    k1, b = 1.2, 0.75
+    k1, b = _EX_K1, _EX_B  # imported from the certified scorer
     arms = []
     for i, term in enumerate(_EX_TERMS):
         tf, df = F.col(f"tf{i}"), F.col(f"df{i}")

@@ -188,17 +188,23 @@ WITH daily AS (
               AS BIGINT) AS n_error
   FROM events GROUP BY 1
 ), moments AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS nb,
-         SUM(n_total) AS sx, SUM(n_error) AS sy,
-         SUM(n_total * n_total) AS sxx,
-         SUM(n_error * n_error) AS syy,
-         SUM(n_total * n_error) AS sxy
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS nb,
+         CAST(SUM(CAST(n_total AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(n_error AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(CAST(n_total AS DECIMAL(19,0))
+                  * CAST(n_total AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(n_error AS DECIMAL(19,0))
+                  * CAST(n_error AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+         CAST(SUM(CAST(n_total AS DECIMAL(19,0))
+                  * CAST(n_error AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
   FROM daily
 )
-SELECT nb AS n_buckets,
-  CAST(nb * sxy - sx * sy AS DOUBLE)
-    / sqrt(CAST(nb * sxx - sx * sx AS DOUBLE)
-           * CAST(nb * syy - sy * sy AS DOUBLE)) AS correlation
+SELECT CAST(nb AS BIGINT) AS n_buckets,
+  CASE WHEN nb * sxx - sx * sx > 0 AND nb * syy - sy * sy > 0 THEN
+    CAST(nb * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(nb * sxx - sx * sx AS DOUBLE)
+             * CAST(nb * syy - sy * sy AS DOUBLE))
+  ELSE CAST(NULL AS DOUBLE) END AS correlation
 FROM moments
 """
 
@@ -207,13 +213,18 @@ FROM moments
 def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``bucket_correlation`` pipeline agg (count_correlation
     function): Pearson r between the daily total-event and error-event
-    count series.  Moments are accumulated as INTEGER sums over bucket
-    rows (exact in any order at any scale — bigint headroom to ~1e18),
-    so the only floating-point arithmetic is the final 1-row
-    expression: two subtractions, one multiply, one sqrt, one divide —
-    all IEEE-correctly-rounded, hence bit-identical cross-engine (the
-    house rule that keeps corr() certifiable where the engines' own
-    `corr` accumulation orders would drift).
+    count series.  Moments are accumulated as exact DECIMAL(38,0)
+    integer sums over bucket rows (order-independent; per-row squares
+    cast to DECIMAL(19,0) first so a 3e9-count day cannot overflow the
+    int64 product, and the 38-digit cross products are exact to ~1e25
+    — far past the 100 TB operating point), so the only floating-point
+    arithmetic is the final 1-row expression: two subtractions, one
+    multiply, one sqrt, one divide — all IEEE-correctly-rounded, hence
+    bit-identical cross-engine (the house rule that keeps corr()
+    certifiable where the engines' own `corr` accumulation orders
+    would drift).  A zero-variance series (constant counts, or a
+    single bucket) yields NULL on BOTH engines — guarded identically,
+    so no division by zero ever executes under ANSI mode.
 
     Plan: one histogram shuffle, one 1-row moment aggregate."""
     tune(spark)
@@ -224,21 +235,36 @@ def bucket_correlation_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "error", 1).otherwise(0)
         ).alias("n_error"),
     )
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = daily.agg(
-        F.count("*").alias("nb"),
-        F.sum("n_total").alias("sx"),
-        F.sum("n_error").alias("sy"),
-        F.sum(F.col("n_total") * F.col("n_total")).alias("sxx"),
-        F.sum(F.col("n_error") * F.col("n_error")).alias("syy"),
-        F.sum(F.col("n_total") * F.col("n_error")).alias("sxy"),
+        F.count("*").cast("decimal(38,0)").alias("nb"),
+        F.sum(F.col("n_total").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.col("n_error").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(d19("n_total") * d19("n_total"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(d19("n_error") * d19("n_error"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(d19("n_total") * d19("n_error"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
     )
     nb, sx, sy = F.col("nb"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    r = (nb * sxy - sx * sy).cast("double") / F.sqrt(
-        (nb * sxx - sx * sx).cast("double")
-        * (nb * syy - sy * sy).cast("double")
+    vx, vy = nb * sxx - sx * sx, nb * syy - sy * sy
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (nb * sxy - sx * sy).cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+    ).otherwise(F.lit(None).cast("double"))
+    return m.select(
+        nb.cast("bigint").alias("n_buckets"), r.alias("correlation")
     )
-    return m.select(nb.alias("n_buckets"), r.alias("correlation"))
 
 
 # --------------------------------------------------------------------------

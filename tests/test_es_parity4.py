@@ -496,16 +496,24 @@ def test_rank_eval_metrics_rederived(spark, sf_dir):
 
 
 def _py_bfd(items, budget):
-    """Independent best-fit-decreasing reference: returns bin loads +
-    counts in open order."""
+    """Independent best-fit-decreasing reference, written with a
+    DIFFERENT mechanism than the operator (which scans loads and takes
+    max by (load, -index)): here bins are chosen by sorting the open
+    bins by (remaining capacity ASC, index ASC) and taking the first
+    that fits — the textbook best-fit statement.  Equivalent semantics
+    through different control flow, so a shared-logic bug cannot be
+    self-confirming."""
     loads, counts = [], []
     for tok, _doc in sorted(items, key=lambda p: (-p[0], p[1])):
-        fits = [(l, i) for i, l in enumerate(loads) if l + tok <= budget]
-        if fits:
-            _, i = max(fits, key=lambda p: (p[0], -p[1]))
-            loads[i] += tok
-            counts[i] += 1
-        else:
+        placed = False
+        for i in sorted(range(len(loads)),
+                        key=lambda i: (budget - loads[i], i)):
+            if budget - loads[i] >= tok:
+                loads[i] += tok
+                counts[i] += 1
+                placed = True
+                break
+        if not placed:
             loads.append(tok)
             counts.append(1)
     return loads, counts
@@ -775,7 +783,11 @@ def test_binary_hamming_recall_vs_exact(spark, sf_dir):
     # is 4% and the measured recall is ~50% — the honest operating
     # point for 1-bit codes over UNSTRUCTURED random embeddings (real
     # embedding manifolds do far better; ES oversamples the same way).
-    recall_dir = "/root/testdata/sf0.01"
+    import os
+
+    recall_dir = os.path.join(
+        os.path.dirname(os.path.abspath(sf_dir).rstrip("/")), "sf0.01"
+    )
     got = ann_binary_hamming(spark, recall_dir).collect()
     exact = similarity_topk(spark, recall_dir).collect()
     by_q_got: dict = {}
@@ -808,3 +820,23 @@ def test_binary_hamming_recall_vs_exact(spark, sf_dir):
     for r in got:
         ham = int(np.sum(codes[r["qid"]] != codes[r["vid"]]))
         assert r["hamming"] == ham
+
+
+def test_search_template_single_pass_no_injection():
+    """A param VALUE containing mustache text stays a literal (no
+    re-substitution), and an unbound template var raises instead of
+    leaking through."""
+    import pytest as _pytest
+
+    from go_pulsar_elasticsearch_spark.llm.search_template import (
+        render_search_template,
+    )
+
+    out = render_search_template(
+        '{"term": {"text": {{#toJson}}q{{/toJson}}}, "n": {{min_chars}}}',
+        {"q": "{{min_chars}}", "min_chars": 9},
+    )
+    assert out["term"]["text"] == "{{min_chars}}"  # literal, not 9
+    assert out["n"] == 9
+    with _pytest.raises(KeyError):
+        render_search_template('{"a": {{missing}}}', {"q": 1})
