@@ -840,3 +840,51 @@ def test_search_template_single_pass_no_injection():
     assert out["n"] == 9
     with _pytest.raises(KeyError):
         render_search_template('{"a": {{missing}}}', {"q": 1})
+
+
+# ---------------------------------------------- near_dedup_minhash_append
+
+
+def test_minhash_append_equals_oneshot_and_reuses_store(spark, sf_dir):
+    """Store+delta must produce EXACTLY the one-shot candidate set
+    (pair-for-pair with band counts), the store must cover only base
+    ids, and a second invocation must reuse the published artifact
+    without rewriting it."""
+    import os
+    import shutil
+
+    from go_pulsar_elasticsearch_spark.llm.dedup import (
+        _mha_store_dir,
+        near_dedup_minhash,
+        near_dedup_minhash_append,
+    )
+
+    store = _mha_store_dir(sf_dir)
+    shutil.rmtree(store, ignore_errors=True)  # force a fresh build
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_agree"]
+        for r in near_dedup_minhash_append(spark, sf_dir).collect()
+    }
+    oneshot = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_agree"]
+        for r in near_dedup_minhash(spark, sf_dir).collect()
+    }
+    assert got == oneshot and got
+    # the store exists, is marked, and covers ONLY the base half
+    marker = os.path.join(store, "_INDEX_READY")
+    assert os.path.exists(marker)
+    max_id = max(
+        r["doc_id"]
+        for r in t(spark, sf_dir, "documents").select("doc_id").collect()
+    )
+    stored = spark.read.parquet(os.path.join(store, "sigs"))
+    smax = stored.agg(F.max("doc_id")).collect()[0][0]
+    assert smax <= max_id // 2
+    # reuse: second run must not rewrite the artifact
+    mtime = os.path.getmtime(marker)
+    again = {
+        (r["doc_a"], r["doc_b"]): r["n_bands_agree"]
+        for r in near_dedup_minhash_append(spark, sf_dir).collect()
+    }
+    assert again == got
+    assert os.path.getmtime(marker) == mtime
