@@ -5,7 +5,7 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-State (round 8): 362 registered queries, 344 with oracles.  The
+State (round 8): 363 registered queries, 345 with oracles.  The
 session-3 continuation added the ES query-DSL tail
 (`match_phrase_prefix`, `combined_fields`, `boosting_query`,
 `pinned_query`, `span_first_or_query`), agg parity part 4

@@ -83,6 +83,7 @@ def load_all() -> None:
         pca,
         quality,
         query_dsl,
+        query_string,
         sampling,
         search,
         search_ext,
