@@ -45,6 +45,38 @@ def release_slot(key: str) -> None:
         old.unpersist(blocking=False)
 
 
+def checkpoint_slot(key: str, df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` ``df`` and keep at most one live
+    checkpointed frame per key (same slot discipline as cache_slot).
+
+    Use instead of cache_slot when the frame feeds MANY consumers in
+    one plan (self-joins, band joins, re-expansion joins): a persisted
+    frame still inlines its FULL logical lineage at every reference, so
+    Catalyst re-analyzes/re-optimizes the subtree once per consumer —
+    measured at 1.5-2.5 s of pure driver time on the banded-dedup
+    family (optimization guide §3.3: "Materialising an intermediate
+    result ... or localCheckpoint truncates the plan").  The eager
+    checkpoint runs the subtree ONCE at build time and every consumer
+    references a LogicalRDD leaf.
+
+    Trade-offs vs cache_slot (why this is not the default): the build
+    is eager (no lazy composition), the checkpointed blocks are
+    non-replicated executor state (a lost executor at cluster scale
+    forces a recompute-from-source restart of the query — acceptable
+    for intra-query intermediates, same failure domain as shuffle
+    files), and the frame can no longer fuse with downstream projections.
+    Blocks are freed when the previous occupant is dropped (explicit
+    unpersist + ContextCleaner on GC)."""
+    old = _slots.pop(key, None)
+    if old is not None:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    _slots[key] = df.localCheckpoint(eager=True)
+    return _slots[key]
+
+
 def cache_slot_reuse(key: str, df: DataFrame) -> DataFrame:
     """Like cache_slot, but REUSES the occupant when the incoming frame
     is semantically identical (same analyzed-plan semanticHash) — so

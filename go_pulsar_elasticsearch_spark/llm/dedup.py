@@ -35,7 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import (
+    cache_slot,
+    checkpoint_slot,
+)
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -355,30 +358,42 @@ def near_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-def _md5_prefix_bit_sums(n_bits: int) -> tuple[str, list]:
-    """Signed bit-sum aggregate expressions over a word-hash column `h`.
+def _md5_prefix_bit_sums(n_bits: int) -> tuple[str, str]:
+    """(v_expr, simhash_expr): fold a word-hash column `h` into a long
+    `v`, then aggregate the whole SimHash in ONE expression.
 
-    Instead of 4*n_bits string ops per word (instr+substring per bit),
-    the first n_bits/4 hex digits are folded ONCE per word into a long
-    `v` — `conv(hex_prefix, 16, 10)`, one JVM intrinsic per word
-    replacing n_hex instr+substring lookups; the value is identical to
-    the digit-weighted sum (big-endian hex, max 16^15-1 < 2^60 fits) —
-    and each bit-sum is a cheap shift/mask over v.  Bit i keeps its
-    original definition — bit (i%4) of hex digit i//4 — which sits at
-    position 4*(n_hex-1 - i//4) + i%4 of v, so the aggregated values
-    (and every oracle, which spell the fold digit-by-digit in DuckDB)
-    are unchanged; this is purely an evaluation-cost rewrite."""
+    Two evaluation-cost rewrites, both value-identical to the original
+    per-bit formulation (the oracles spell it digit-by-digit in DuckDB):
+
+    1. Instead of 4*n_bits string ops per word (instr+substring per
+       bit), the first n_bits/4 hex digits are folded ONCE per word
+       into a long `v` — `conv(hex_prefix, 16, 10)`, one JVM intrinsic
+       per word; the value is identical to the digit-weighted sum
+       (big-endian hex, max 16^15-1 < 2^60 fits) — and each bit-sum is
+       a cheap shift/mask over v.  Bit i keeps its original definition
+       — bit (i%4) of hex digit i//4 — which sits at position
+       4*(n_hex-1 - i//4) + i%4 of v.
+
+    2. The n_bits signed bit-sums and the sign-fold into the final
+       fingerprint are emitted as ONE aggregate expression string
+       (`SUM(...)` per bit inlined under one top-level `+` chain)
+       instead of n_bits separate agg Columns folded by n_bits chained
+       CaseWhens.  Execution is the same n_bits+0 aggregate buffers;
+       what changes is the DRIVER cost: one expression parse and one
+       narrow Aggregate node versus ~4*n_bits py4j round-trips and a
+       depth-n_bits expression tree that Catalyst re-walks per analysis
+       — measured (r8 opt, sf0.1): the 60-bit hashes stage alone went
+       1.55 s -> 0.35 s and its construct+analyze 1.3 s -> 0.07 s."""
     n_hex = n_bits // 4
     v = f"cast(conv(substring(h, 1, {n_hex}), 16, 10) as bigint)"
-    sums = [
-        F.sum(
-            F.expr(f"(shiftright(v, {4 * (n_hex - 1 - i // 4) + i % 4}) & 1)")
-            * 2
-            - 1
-        ).alias(f"s{i}")
+    terms = [
+        (
+            f"IF(sum((shiftright(v, {4 * (n_hex - 1 - i // 4) + i % 4}) & 1)"
+            f" * 2 - 1) >= 0, {1 << i}L, 0L)"
+        )
         for i in range(n_bits)
     ]
-    return f"({v})", sums
+    return f"({v})", " + ".join(terms)
 
 
 # --------------------------------------------------------------------------
@@ -439,10 +454,10 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = 32k bucket values, candidates tracking true near-dups."""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    # hash each distinct word ONCE; all 32 bit-sums are conditional
-    # aggregates over that hash in a single groupBy pass (2 shuffles
+    # hash each distinct word ONCE; all 32 bit-sums AND the sign-fold
+    # are one aggregate expression in a single groupBy pass (2 shuffles
     # total: distinct + group — the exploded-by-32 formulation costs 6)
-    v_expr, bit_sums = _md5_prefix_bit_sums(32)
+    v_expr, simhash_expr = _md5_prefix_bit_sums(32)
     words = (
         docs.select(
             "doc_id",
@@ -455,14 +470,7 @@ def near_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5(F.col("w")).alias("h"))
         .select("doc_id", F.expr(v_expr).alias("v"))
     )
-    sums = words.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for i in range(32):
-        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        simhash = term if simhash is None else simhash + term
-    hashes = cache_slot("simhash_hashes", sums.select("doc_id", simhash.alias("simhash")))
+    hashes = words.groupBy("doc_id").agg(F.expr(simhash_expr).alias("simhash"))
     return _banded_hamming_pairs(hashes, n_bands=8, band_bits=4, radius=6)
 
 
@@ -484,13 +492,28 @@ def _banded_hamming_pairs(
     # groupBy, not `min() over (partition by simhash)`: the window form
     # sorts every partition; one map-side-combined aggregation yields
     # the representatives, and the members mapping joins (doc_id,
-    # simhash) back against the slot-cached reps frame (the
-    # exact_text_groups plan-shape lesson applied to fingerprints)
-    reps = cache_slot(
+    # simhash) back against the checkpointed reps frame (the
+    # exact_text_groups plan-shape lesson applied to fingerprints).
+    # r8 opt: hashes/reps/members are EAGER localCheckpoints, not lazy
+    # persists — this engine references them 2/3/4 times across the
+    # band self-join and the member re-expansion, and with a lazy
+    # persist every reference re-inlines (and Catalyst re-analyzes) the
+    # full fingerprint subtree, measured at ~2.2 s of pure driver time
+    # per run of the 60-bit op; the members join also re-EXECUTED once
+    # per consumer.  Checkpointing computes each frame once and makes
+    # every reference a leaf (guide §3.3).  Same shuffle count at
+    # scale; the checkpoint writes are corpus-linear, the frames they
+    # replace were already persisted (hashes/reps) or recomputed 4x
+    # (members).
+    hashes = checkpoint_slot("simhash_hashes", hashes)
+    reps = checkpoint_slot(
         "simhash_reps",
         hashes.groupBy("simhash").agg(F.min("doc_id").alias("rep")),
     )
-    members = hashes.join(reps, "simhash").select("doc_id", "rep")
+    members = checkpoint_slot(
+        "simhash_members",
+        hashes.join(reps, "simhash").select("doc_id", "rep"),
+    )
     uniq = reps.select(F.col("rep").alias("rid"), "simhash")
     mask = (1 << band_bits) - 1
     bands = uniq.select(
@@ -610,7 +633,7 @@ def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies via all-pairs — correctness twin, not the scale plan.)"""
     tune(spark)
     docs = t(spark, sf_dir, "documents")
-    v_expr, bit_sums = _md5_prefix_bit_sums(_SIM64_BITS)
+    v_expr, simhash_expr = _md5_prefix_bit_sums(_SIM64_BITS)
     words = (
         docs.select(
             "doc_id",
@@ -621,16 +644,7 @@ def near_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5(F.col("w")).alias("h"))
         .select("doc_id", F.expr(v_expr).alias("v"))
     )
-    sums = words.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for i in range(_SIM64_BITS):
-        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        simhash = term if simhash is None else simhash + term
-    hashes = cache_slot(
-        "simhash64_hashes", sums.select("doc_id", simhash.alias("simhash"))
-    )
+    hashes = words.groupBy("doc_id").agg(F.expr(simhash_expr).alias("simhash"))
     # radius 3 < 4 bands => >= 1 exact band agreement (pigeonhole)
     return _banded_hamming_pairs(
         hashes, n_bands=4, band_bits=15, radius=_SIM64_RADIUS
