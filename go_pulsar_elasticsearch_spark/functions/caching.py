@@ -73,8 +73,38 @@ def checkpoint_slot(key: str, df: DataFrame) -> DataFrame:
             old.unpersist(blocking=False)
         except Exception:
             pass
+    # a direct (non-reuse) turnover invalidates any reuse lineage
+    # recorded under this key, or the next checkpoint_slot_reuse call
+    # could match the stale lineage and serve the wrong occupant
+    _reuse_orig.pop(key, None)
     _slots[key] = df.localCheckpoint(eager=True)
     return _slots[key]
+
+
+# original (pre-checkpoint) frame per reuse key, for sameSemantics
+# comparison — a checkpointed frame is a LogicalRDD leaf, so the
+# incoming lineage must be compared against the lineage that BUILT the
+# occupant, not the occupant itself
+_reuse_orig: dict[str, DataFrame] = {}
+
+
+def checkpoint_slot_reuse(key: str, df: DataFrame) -> DataFrame:
+    """checkpoint_slot with cache_slot_reuse's occupancy rule: when the
+    incoming frame is semantically identical to the one that built the
+    current occupant, return the occupant (two operators sharing a
+    builder over the same input share one materialization per session);
+    a different lineage evicts and re-checkpoints."""
+    orig = _reuse_orig.get(key)
+    cur = _slots.get(key)
+    if orig is not None and cur is not None:
+        try:
+            if df.sameSemantics(orig):
+                return cur
+        except Exception:
+            pass  # can't compare -> fall through to turnover
+    out = checkpoint_slot(key, df)  # clears _reuse_orig[key]; re-record
+    _reuse_orig[key] = df
+    return out
 
 
 def cache_slot_reuse(key: str, df: DataFrame) -> DataFrame:

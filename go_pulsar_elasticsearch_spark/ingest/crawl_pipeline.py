@@ -94,10 +94,25 @@ def kept_by_canonical_url(corpus: DataFrame) -> DataFrame:
     per canonical URL.  One hash aggregate on the canonical string plus
     one id-join back to the text (the text column never rides the URL
     shuffle)."""
-    canon = corpus.select(
-        "doc_id",
-        canonicalize_url(F.col("raw_url")).alias("canonical_url"),
-        "text",
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
+
+    # the WARC read is a PYTHON data-source scan (warc_sim) — by far
+    # the most expensive leaf in this pipeline — and `canon` feeds two
+    # consumers here while the returned frame feeds two more
+    # downstream, so without truncation the Python scan's lineage is
+    # re-analyzed AND re-executed once per reference (measured r8 opt:
+    # construct+analyze of the full flagship was 14 s).  One eager
+    # checkpoint runs the scan+canonicalize once; every consumer reads
+    # the materialized frame (guide §3.3).
+    canon = checkpoint_slot(
+        "crawl_canon",
+        corpus.select(
+            "doc_id",
+            canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+            "text",
+        ),
     )
     kept_ids = canon.groupBy("canonical_url").agg(
         F.min("doc_id").alias("doc_id")
@@ -113,8 +128,16 @@ def curated_manifest(kept: DataFrame) -> DataFrame:
     token-budget bin manifest.  Shared verbatim by the batch flagship
     and the streaming twin's finalize, so convergence is by
     construction once the kept sets agree."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
+
     gate = gopher_gate(kept).filter(F.col("keep")).select("doc_id")
-    corpus1 = kept.join(gate, "doc_id")
+    # corpus1 feeds the band-sig builder (whose self-join references it
+    # twice more) AND the near-dup anti-join: checkpoint so the
+    # URL-keep-best join + gopher regex battery run once, not once per
+    # reference (see kept_by_canonical_url's note; same guide §3.3 fix)
+    corpus1 = checkpoint_slot("crawl_corpus1", kept.join(gate, "doc_id"))
     sigs = minhash_band_sigs(corpus1)
     a, b = sigs.alias("a"), sigs.alias("b")
     drops = (

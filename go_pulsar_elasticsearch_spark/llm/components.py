@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import (
+    cache_slot,
+    checkpoint_slot,
+)
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -52,7 +55,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     new labels, so the change check is a filter over the
     just-checkpointed frame instead of a per-iteration labels⋈labels
     join."""
-    bi_raw = cache_slot(
+    bi_raw = checkpoint_slot(
         "cc_edges_raw",
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -60,7 +63,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     # rep(u) = min over N(u) ∪ {u}; every node of `edges` appears as an
     # `a` because bi_raw carries both directions
-    reps = cache_slot(
+    reps = checkpoint_slot(
         "cc_reps",
         bi_raw.groupBy("a").agg(F.min("b").alias("_mn")).select(
             F.col("a").alias("node"), F.least("a", "_mn").alias("rep")
@@ -68,7 +71,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     ra = reps.select(F.col("node").alias("a"), F.col("rep").alias("_ra"))
     rb = reps.select(F.col("node").alias("b"), F.col("rep").alias("_rb"))
-    bi = cache_slot(
+    bi = checkpoint_slot(
         "cc_edges",
         bi_raw.join(ra, "a").join(rb, "b")
         .filter(F.col("_ra") != F.col("_rb"))
