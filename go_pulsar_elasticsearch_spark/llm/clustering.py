@@ -160,9 +160,22 @@ def lloyd_iterations(emb: DataFrame, iters: int = _ITERS) -> DataFrame:
     cents: list[list[float]] = [
         [x / 64.0 for x in row] for row in _centroid_weights()
     ]
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
+
+    # (vec_id, embedding, n2) is iteration-invariant but was rebuilt
+    # from the scan for every assignment AND every means pass (~7
+    # executions across 3 iterations); checkpoint it once — each
+    # iteration's plan then starts at a leaf instead of re-deriving the
+    # scan + dot product, and the driver stops re-analyzing a lineage
+    # that doubles per iteration (r8 opt; guide §3.3/§5)
+    base = checkpoint_slot(
+        "kmeans_base", emb.withColumn("n2", _dot("embedding", "embedding"))
+    )
     assigned = None
     for _ in range(iters):
-        df = emb.withColumn("n2", _dot("embedding", "embedding"))
+        df = base
         for c, w in enumerate(cents):
             warr = "array(" + ", ".join(repr(x) for x in w) + ")"
             vc = _dot("embedding", warr)

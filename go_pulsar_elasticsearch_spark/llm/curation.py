@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import checkpoint_slot
 from go_pulsar_elasticsearch_spark.functions.prefix import global_running_sum
 from go_pulsar_elasticsearch_spark.llm.dedup import minhash_band_sigs
 from go_pulsar_elasticsearch_spark.llm.text_analysis import _BPE_RE, _MARKERS, _STOPWORDS_RE
@@ -132,7 +132,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is scanned three times.  MEMORY_AND_DISK spills instead of OOMing
     # at scale — and a curated snapshot is exactly what a production
     # corpus build materializes at this point anyway.
-    kept = cache_slot(
+    kept = checkpoint_slot(
         "curation_kept",
         gated.withColumn("_rk", F.row_number().over(hash_w))
         .filter(F.col("_rk") == 1)

@@ -1595,7 +1595,9 @@ def multimodal_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood-sized window — all keyed exchanges proportional to
     the EDGE set, not the corpus.  At 100 TB edges are the rare output
     of the LSH stages, so the fusion is the cheap tail of the plan."""
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
     from go_pulsar_elasticsearch_spark.llm.dedup import minhash_verify_jaccard
 
     tune(spark)
@@ -1605,7 +1607,7 @@ def multimodal_dedup_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
     img_pairs = image_ahash_neardup(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(0).alias("vt"), F.lit(1).alias("vi")
     )
-    edges = cache_slot(
+    edges = checkpoint_slot(
         "joint_dedup_edges",
         text_pairs.unionAll(img_pairs)
         .groupBy("doc_a", "doc_b")
