@@ -1019,7 +1019,18 @@ _PQ_TOPK = 5
 
 
 def pq_unit_vectors(emb: DataFrame) -> DataFrame:
-    """unit-normalize so inner product == cosine and L2^2 == 2 - 2*cos"""
+    """unit-normalize so inner product == cosine and L2^2 == 2 - 2*cos.
+
+    Checkpointed (r8 opt): every PQ-family op hands this frame to 3-4
+    consumers (codebook training, encode, query-vector collect, exact
+    re-rank), each of which otherwise re-derives the scan + normalize
+    and re-analyzes its lineage; the frame is corpus-sized but narrow
+    (id + 64 doubles), exactly what the ops already persisted
+    implicitly via their own downstream caches at 100 TB."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
+
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -1027,9 +1038,12 @@ def pq_unit_vectors(emb: DataFrame) -> DataFrame:
             lambda a, x: a + x,
         )
     )
-    return emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+    return checkpoint_slot(
+        "pq_unit",
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / norm).alias("u"),
+        ),
     )
 
 
