@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import register_views, t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import (
+    cache_slot,
+    checkpoint_slot,
+)
 from go_pulsar_elasticsearch_spark.functions.exact import AVGD, SUMD, davg, dsum
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -899,7 +902,7 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
     )
-    ob = cache_slot("basket_ob", ob)
+    ob = checkpoint_slot("basket_ob", ob)
     n_orders = ob.select("ok").distinct().count()  # one scalar, driver-safe
     bc = ob.groupBy("b").agg(F.count("*").alias("cnt"))
     a, c = ob.alias("a"), ob.alias("c")

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import checkpoint_slot
 from go_pulsar_elasticsearch_spark.functions.exact import SUMD, dsum
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
@@ -236,7 +236,7 @@ def matrix_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = t(spark, sf_dir, "lineitem")
     q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
-    m = cache_slot(
+    m = checkpoint_slot(
         "matrix_stats_moments",
         li.agg(
             F.count("*").alias("n"),
