@@ -335,14 +335,17 @@ def kl_domain_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocab-sized corpus-count join and the |sources|-row totals ride
     broadcasts, and the exact-decimal weighted-log-ratio sum collapses
     straight to |sources| rows."""
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot,
+        checkpoint_slot,
+    )
 
     tune(spark)
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
-    sc = cache_slot(
+    sc = checkpoint_slot(
         "kl_source_word",
         tok.groupBy("source", "word").agg(F.count("*").alias("cs")),
     )

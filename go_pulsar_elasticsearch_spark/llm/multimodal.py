@@ -920,9 +920,11 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     words = ids.mapInPandas(hash_words, "doc_id long, j int, word long")
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
 
-    words = cache_slot("ahash_words", words)
+    words = checkpoint_slot("ahash_words", words)
     return _word_band_pairs(words, _AHASH_RADIUS)
 
 
@@ -1027,9 +1029,11 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
 
-    words = cache_slot(
+    words = checkpoint_slot(
         "afp_words", ids.mapInPandas(fp_words, "doc_id long, j int, word long")
     )
     return _word_band_pairs(words, _AFP_RADIUS)
@@ -1103,7 +1107,10 @@ def image_ahash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_verify_jaccard), so the exact check never touches
     non-candidate pairs.  All arithmetic after the codec emit is
     JVM-side DataFrame ops."""
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot,
+        checkpoint_slot,
+    )
     from go_pulsar_elasticsearch_spark.llm.media_codec import (
         decode_bmp_pixels,
         encode_bmp,
@@ -1145,7 +1152,7 @@ def image_ahash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    px = cache_slot(
+    px = checkpoint_slot(
         "ahash_thumbs", ids.mapInPandas(thumbs, "doc_id long, k int, gv int")
     )
     tot = px.groupBy("doc_id").agg(F.sum("gv").alias("total"))
@@ -1448,7 +1455,10 @@ def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `image_ahash_neardup` the way SimHash complements MinHash."""
     import numpy as np
 
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot,
+        checkpoint_slot,
+    )
     from go_pulsar_elasticsearch_spark.llm.media_codec import (
         decode_bmp_pixels,
         decode_png_pixels,
@@ -1519,7 +1529,7 @@ def image_phash_dct_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     words = ids.mapInPandas(hash_words, "doc_id long, j int, word long")
-    words = cache_slot("phash_words", words)
+    words = checkpoint_slot("phash_words", words)
     return _word_band_pairs(words, _PHASH_RADIUS)
 
 

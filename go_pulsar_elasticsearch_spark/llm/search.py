@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot,
+        checkpoint_slot,
+    )
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -477,7 +480,7 @@ def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate side, join-back); slot-cache it so the tokenize ->
     # tf -> df -> idf pipeline runs once instead of per consumer
     # (was 20 shuffle exchanges in the uncached plan)
-    w = cache_slot(
+    w = checkpoint_slot(
         "tfidf_weights",
         tf.join(dfq, "term").crossJoin(F.broadcast(n)).select(
             "doc_id", "term", wgt.alias("wgt")

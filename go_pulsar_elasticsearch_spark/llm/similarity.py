@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
-from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot,
+        checkpoint_slot,
+    )
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
@@ -1724,7 +1727,7 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("code_hi"),
         )
     )
-    codes = cache_slot("bbq_codes", codes)
+    codes = checkpoint_slot("bbq_codes", codes)
     q = codes.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("code_lo").alias("qlo"),

@@ -348,10 +348,13 @@ def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan.  The fact table never shuffles — filtered scan into a
     broadcast join, partial agg, one exchange on the 50-value group key.
     """
-    from go_pulsar_elasticsearch_spark.functions.caching import cache_slot
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        cache_slot,
+        checkpoint_slot,
+    )
 
     tune(spark)
-    p = cache_slot(
+    p = checkpoint_slot(
         "runtime_prefilter_dim",
         t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11"),
     )
