@@ -902,7 +902,13 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
     )
-    ob = checkpoint_slot("basket_ob", ob)
+    # NOT checkpointed (r8 opt, measured): the n_orders count below
+    # already forces the persist to materialize, and a LogicalRDD leaf
+    # loses the size estimate that lets the static planner broadcast
+    # the pair self-join (plan audit regressed 3 -> 5 exchanges with a
+    # checkpoint here; AQE would repair it at runtime, but the lazy
+    # persist needs no repair)
+    ob = cache_slot("basket_ob", ob)
     n_orders = ob.select("ok").distinct().count()  # one scalar, driver-safe
     bc = ob.groupBy("b").agg(F.count("*").alias("cnt"))
     a, c = ob.alias("a"), ob.alias("c")
