@@ -15,14 +15,93 @@ still-referenced plan uses is safe — Spark just recomputes it — so the
 slot turnover can never corrupt an earlier query, only uncache it.
 Frames persist MEMORY_AND_DISK so an oversized frame spills instead of
 evicting executor memory.
+
+Lifecycle caveat for the CHECKPOINT slots (r9, was misdocumented in
+r8): ``DataFrame.unpersist`` only talks to the CacheManager, and a
+``localCheckpoint`` frame was never registered there — the eviction
+unpersist is a no-op for checkpointed occupants.  Their blocks are
+RDD-level persisted storage, freed by the ContextCleaner once the JVM
+RDD becomes unreachable; dropping the slot's reference here (plus the
+py4j proxy GC) is what makes that happen.  This is the SAFE direction:
+eagerly force-freeing the blocks would break any still-unexecuted plan
+referencing the evicted LogicalRDD (a truncated lineage cannot be
+recomputed), which would violate the invariant above.  The cost is
+that reclamation is deferred to GC — bounded in practice because each
+key holds at most one frame and turnover drops the old reference.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
 _slots: dict[str, DataFrame] = {}
+
+# Durable-materialization switch for the checkpoint slots (r9, VERDICT
+# item 8): `localCheckpoint` blocks are non-replicated executor state —
+# losing an executor mid-query forces a restart of the whole query
+# (no lineage to recompute from).  At cluster scale the guide §3.3
+# write-and-read-back form is the safer shape for the biggest frames
+# (the crawl `canon` full-source scan).  Setting
+#   spark.conf.set("spark.gpe.slots.durableCheckpoint", "true")
+# (or env GPE_DURABLE_CHECKPOINT=1) makes every checkpoint_slot write
+# parquet under spark.gpe.slots.dir (default: a per-process tmpdir —
+# production points it at durable shared storage) and return the
+# read-back frame: same eager-materialization semantics, same plan
+# shape otherwise (the leaf is a parquet scan instead of a LogicalRDD),
+# but the intermediate survives executor loss.  Local default stays
+# localCheckpoint so the bench measures the same plan the driver runs;
+# the trade-off note lives in SCALE.md.
+_DURABLE_CONF = "spark.gpe.slots.durableCheckpoint"
+_DURABLE_DIR_CONF = "spark.gpe.slots.dir"
+_durable_seq = 0
+_durable_tmp: str | None = None
+
+
+def _durable_requested(df: DataFrame) -> bool:
+    if os.environ.get("GPE_DURABLE_CHECKPOINT", "") not in ("", "0"):
+        return True
+    try:
+        return (
+            df.sparkSession.conf.get(_DURABLE_CONF, "false").lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
+def _durable_write_read(key: str, df: DataFrame) -> DataFrame:
+    """Guide §3.3 write+read-back: materialize to parquet and return
+    the scan.  Each turnover writes a fresh subdirectory — overwriting
+    in place would corrupt still-unexecuted plans that reference the
+    previous occupant's files (the same stale-plan hazard the
+    GC-deferred block reclamation avoids for localCheckpoint)."""
+    global _durable_seq, _durable_tmp
+    spark = df.sparkSession
+    base = None
+    try:
+        base = spark.conf.get(_DURABLE_DIR_CONF, None)
+    except Exception:
+        pass
+    if not base:
+        if _durable_tmp is None:
+            _durable_tmp = tempfile.mkdtemp(prefix="gpe_slots_")
+        base = _durable_tmp
+    _durable_seq += 1
+    path = os.path.join(base, f"{key}_{_durable_seq}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+# original (pre-checkpoint) frame per reuse key, for sameSemantics
+# comparison — a checkpointed frame is a LogicalRDD leaf, so the
+# incoming lineage must be compared against the lineage that BUILT the
+# occupant, not the occupant itself.  Holds the logical plan only
+# (small); cleared on any turnover or release so it cannot pin a stale
+# lineage for the session lifetime.
+_reuse_orig: dict[str, DataFrame] = {}
 
 
 def cache_slot(key: str, df: DataFrame) -> DataFrame:
@@ -33,16 +112,31 @@ def cache_slot(key: str, df: DataFrame) -> DataFrame:
             old.unpersist(blocking=False)
         except Exception:
             pass  # session torn down / frame already gone
+    _reuse_orig.pop(key, None)
     _slots[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
     return _slots[key]
 
 
 def release_slot(key: str) -> None:
     """Explicitly unpersist and drop a slot (streaming callers that can
-    pair persist/unpersist per micro-batch)."""
+    pair persist/unpersist per micro-batch).  For checkpointed
+    occupants the unpersist is a no-op and dropping the reference is
+    the release (module-header lifecycle note)."""
+    _reuse_orig.pop(key, None)
     old = _slots.pop(key, None)
     if old is not None:
         old.unpersist(blocking=False)
+
+
+def release_all_slots() -> None:
+    """Drop every live slot (and its reuse lineage record).  Bench rep
+    hygiene: calling this between timed reps makes every rep rebuild
+    its shared frames, so reported medians include the build cost
+    instead of reusing a frame materialized by an earlier rep
+    (round-8 VERDICT: warm-median bias of the sameSemantics-reuse
+    family)."""
+    for key in list(_slots):
+        release_slot(key)
 
 
 def checkpoint_slot(key: str, df: DataFrame) -> DataFrame:
@@ -60,13 +154,17 @@ def checkpoint_slot(key: str, df: DataFrame) -> DataFrame:
     references a LogicalRDD leaf.
 
     Trade-offs vs cache_slot (why this is not the default): the build
-    is eager (no lazy composition), the checkpointed blocks are
+    is eager (no lazy composition; an explain-only caller pays the full
+    execution just to print a plan), the checkpointed blocks are
     non-replicated executor state (a lost executor at cluster scale
     forces a recompute-from-source restart of the query — acceptable
     for intra-query intermediates, same failure domain as shuffle
-    files), and the frame can no longer fuse with downstream projections.
-    Blocks are freed when the previous occupant is dropped (explicit
-    unpersist + ContextCleaner on GC)."""
+    files), and the frame can no longer fuse with downstream
+    projections.  Block reclamation is GC-deferred: eviction drops the
+    reference and the ContextCleaner frees the blocks once the RDD is
+    unreachable (the module-header lifecycle note; DataFrame.unpersist
+    cannot free checkpoint blocks, and force-freeing them would break
+    still-unexecuted plans that reference the evicted leaf)."""
     old = _slots.pop(key, None)
     if old is not None:
         try:
@@ -77,15 +175,11 @@ def checkpoint_slot(key: str, df: DataFrame) -> DataFrame:
     # recorded under this key, or the next checkpoint_slot_reuse call
     # could match the stale lineage and serve the wrong occupant
     _reuse_orig.pop(key, None)
-    _slots[key] = df.localCheckpoint(eager=True)
+    if _durable_requested(df):
+        _slots[key] = _durable_write_read(key, df)
+    else:
+        _slots[key] = df.localCheckpoint(eager=True)
     return _slots[key]
-
-
-# original (pre-checkpoint) frame per reuse key, for sameSemantics
-# comparison — a checkpointed frame is a LogicalRDD leaf, so the
-# incoming lineage must be compared against the lineage that BUILT the
-# occupant, not the occupant itself
-_reuse_orig: dict[str, DataFrame] = {}
 
 
 def checkpoint_slot_reuse(key: str, df: DataFrame) -> DataFrame:
