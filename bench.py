@@ -208,11 +208,26 @@ def main() -> None:
     # recorded in `stats` so nothing is hidden.
     import statistics
 
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        release_all_slots,
+    )
+
     stats: dict[str, list[float]] = {}
 
     def run_reps(name: str, n_reps: int, first: float | None = None) -> float:
+        # SLOT-COLD REPS (round-8 VERDICT "what's wrong" #1): the
+        # sameSemantics-reuse slots (shingle_frame, minhash_band_sigs,
+        # tri_edges, ...) would otherwise hand reps 2..n the frame
+        # materialized by rep 1, so the reported median excluded the
+        # shared-frame build cost.  Releasing every slot before each
+        # timed rep makes the median include the build; rep 1 keeps
+        # whatever warmth the previous query left (cross-operator
+        # sharing is a real session feature and stays visible in the
+        # min of `stats_min_med_max`).  The release itself runs OUTSIDE
+        # the timed region.
         reps = [] if first is None else [first]
         while len(reps) < n_reps:
+            release_all_slots()
             t0 = time.time()
             materialize(QUERIES[name](spark, sf_dir))
             reps.append(time.time() - t0)
@@ -332,26 +347,43 @@ def main() -> None:
             }
     except (OSError, ValueError):
         pass
+    # SYMMETRIC since round 9 (round-8 VERDICT "what's wrong" #2: the
+    # slow-only rule was a downward ratchet against the committed
+    # artifact).  Too-FAST readings are now suspects too — a warm-slot
+    # or idle-window fluke reads fast mid-run and honest on retry —
+    # and the acceptance rule mirrors: a slow suspect keeps the FASTER
+    # of (mid-run, retry) because contention inflates, a fast suspect
+    # keeps the SLOWER because measurement luck deflates.  A genuine
+    # optimization survives (both readings are fast); a genuine
+    # regression survives (both are slow).  Both triples are recorded
+    # in `retry_pass` either way.
     retry_pass: dict[str, list[float]] = {}
     for name, v in sorted(full.items()):
         if not isinstance(v, (int, float)) or v <= 0:
             continue
         ref = prev_ref.get(name)
-        suspicious = (
-            v > max(1.5 * ref, ref + 0.5) if ref is not None else v > 2.5
-        )
-        if not suspicious:
+        if ref is not None:
+            too_slow = v > max(1.5 * ref, ref + 0.5)
+            too_fast = v < min(ref / 1.5, ref - 0.5)
+        else:
+            too_slow, too_fast = v > 2.5, False
+        if not (too_slow or too_fast):
             continue
-        print(f"BENCH retry-suspect {name} ({v}s, ref {ref})",
-              file=sys.stderr)
+        print(
+            f"BENCH retry-suspect {name} ({v}s, ref {ref},"
+            f" {'slow' if too_slow else 'fast'})",
+            file=sys.stderr,
+        )
         reps = []
         for _ in range(3):
+            release_all_slots()
             t0 = time.time()
             materialize(QUERIES[name](spark, sf_dir))
             reps.append(time.time() - t0)
         med = statistics.median(reps)
         retry_pass[name] = [round(v, 3), round(med, 3)]
-        if med < v:
+        keep_retry = (med < v) if too_slow else (med > v)
+        if keep_retry:
             full[name] = round(med, 3)
             stats[name] = [round(min(reps), 3), round(med, 3),
                            round(max(reps), 3)]
@@ -464,9 +496,15 @@ def main() -> None:
         "canaries_end_s": {k: round(v, 3) for k, v in end_reps.items()},
         "canary_normalization_applied": at_pinned_sf,
         # suspect-retry audit trail: {query: [mid-run median, end-of-run
-        # retry median]} for every query re-timed by the retry pass; the
-        # reported number is the faster of the two
+        # retry median]} for every query re-timed by the retry pass
+        # (symmetric since r9: slow suspects keep the faster reading,
+        # fast suspects the slower — see the retry-pass comment)
         "retry_pass": retry_pass,
+        # r9 methodology markers: reps are slot-cold (run_reps releases
+        # every builder slot before each timed rep) and the retry pass
+        # examines both directions — see OPTIMIZATION_r09.md
+        "slot_cold_reps": True,
+        "retry_pass_symmetric": True,
         "canary_baseline_s": CANARY_BASELINE_S,
         "value_normalized": norm(sum(timings.values())),
         "queries_normalized": {k: norm(v) for k, v in timings.items()},
