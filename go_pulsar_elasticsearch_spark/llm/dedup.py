@@ -119,8 +119,25 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     ZERO-shuffle: the per-band minimum is `array_min` over the per-doc
     shingle array — the r3 form exploded shingles and aggregated them
     back with a groupBy exchange; this computes identical minima inside
-    the scan stage.  Slot-cached because every consumer self-joins the
-    sig frame (both band-bucket sides)."""
+    the scan stage.
+
+    Eagerly checkpointed via the lineage-keyed reuse slot (r9, VERDICT
+    item 1): every consumer self-joins the sig frame (both band-bucket
+    sides), so the lazy persist still paid Catalyst re-analysis of the
+    shingle-array build per reference AND 8 md5 streams per doc were
+    recomputed on the probe side of the first execution; the eager
+    checkpoint runs the build exactly once and every reference is a
+    LogicalRDD leaf (guide §3.3).  checkpoint_slot_reuse (not
+    checkpoint_slot) keeps the cross-operator contract: ops over the
+    SAME docs lineage (near_dedup_minhash / minhash_verify_jaccard /
+    minhash_recall_eval over the same rep_docs) share one
+    materialization per session, exactly like the cache_slot_reuse
+    family — a different corpus (curation/crawl stage survivors, stream
+    micro-batches) still turns the slot over."""
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot_reuse,
+    )
+
     arrs = doc_shingle_arrays(docs)
     extra = [c for c in arrs.columns if c == "cnt"]
     sig_cols = [
@@ -131,7 +148,7 @@ def minhash_band_sigs(docs: DataFrame, n_bands: int = _N_BANDS) -> DataFrame:
     ]
     wide = arrs.select("doc_id", *extra, *sig_cols)
     stack_args = ", ".join(f"{b}, sig{b}" for b in range(n_bands))
-    return cache_slot(
+    return checkpoint_slot_reuse(
         "minhash_band_sigs",
         wide.select(
             "doc_id",
@@ -249,16 +266,24 @@ def shingle_frame(docs: DataFrame) -> DataFrame:
     the expensive shingle-array build is evaluated once per row as the
     Generate input.  Referencing `arr` from two separate projections
     (`size(arr)` + `explode(arr)`) makes Catalyst re-derive the array
-    build around the Generate — measured 9x slower at sf0.1."""
+    build around the Generate — measured 9x slower at sf0.1.
+
+    Kept a LAZY reuse slot (r9 A/B, measured): converting this frame to
+    the eager checkpoint (checkpoint_slot_reuse) regressed
+    ngram_jaccard 0.62 -> 1.02 s and ngram_containment 0.65 -> 1.01 s
+    median-of-5 — the posting list is the corpus EXPLODED (hundreds of
+    rows per doc), so the eager materialization pass costs more than
+    the per-reference re-analysis it saves; the sig frame (8 rows/doc)
+    is the opposite trade and IS checkpointed.  Lineage-keyed reuse:
+    jaccard + containment over the SAME docs frame share one
+    materialized posting list per session instead of evicting each
+    other (a different corpus still turns the slot over)."""
     from go_pulsar_elasticsearch_spark.functions.caching import (
         cache_slot_reuse,
     )
 
     arrs = doc_shingle_arrays(docs)
     extra = [c for c in arrs.columns if c == "cnt"]
-    # lineage-keyed reuse: jaccard + containment over the SAME docs
-    # frame share one materialized posting list per session instead of
-    # evicting each other (a different corpus still turns the slot over)
     return cache_slot_reuse(
         "shingle_frame",
         arrs.select(
@@ -757,6 +782,18 @@ def near_dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="grams", outputCol="features", numFeatures=1 << 20, binary=True
     ).transform(grams)
     tf = tf.filter(F.size("grams") > 0)
+    # the tokenize->ngram->hashingTF lineage feeds THREE consumers
+    # (model.fit plus BOTH sides of the self approxSimilarityJoin, which
+    # internally re-transforms each side) — checkpoint so the feature
+    # build runs once and every reference is a leaf (guide §3.3; r9
+    # A/B below).  The heavy grams/tokens columns are dropped first so
+    # the materialized frame carries only what the LSH consumes (§2.3
+    # "project before the exchange").
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+    )
+
+    tf = checkpoint_slot("minhash_ml_tf", tf.select("doc_id", "features"))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = lsh.fit(tf)
     pairs = model.approxSimilarityJoin(tf, tf, 0.8, distCol="jaccard_dist")
@@ -1019,7 +1056,17 @@ def minhash_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # denominators ride the posting lists (shingle_frame carries n
-    # map-side): no sizes shuffle, no sizes re-joins
+    # map-side): no sizes shuffle, no sizes re-joins.
+    # r9 measured-and-REJECTED (guide §3.2): checkpointing `cand` and
+    # semi-join-thinning the sb side to candidate doc_bs before its
+    # (doc_b, shingle) exchange read 2.66-2.68 s min-of-3 vs this
+    # shape's 2.19-2.34 in an interleaved A/B at sf0.1 — the eager cand
+    # materialization job + the semi stage cost more than the posting
+    # shuffle they thin at this volume.  At 100 TB, where the posting
+    # list dwarfs the candidate-doc set, that §3.2 pre-filter (semi or
+    # Bloom on cand's distinct doc ids, applied to BOTH posting sides
+    # before their exchanges) is the first knob to turn; it changes no
+    # output row.
     sa = shingles.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "shingle"
     )
