@@ -850,6 +850,38 @@ def _fdct_quant(block: list[list[int]], qtab: list[int]) -> list[int]:
     return out
 
 
+def _fdct_quant_plane(
+    plane: list[list[int]], width: int, height: int, qtab: list[int]
+) -> list[list[int]]:
+    """_jpeg_component_blocks + _fdct_quant for a WHOLE plane in one
+    batched numpy pass (r9, guide §4.2): edge-replicated pad, one
+    reshape into (n_blocks, 8, 8) in the same by-major/bx-minor order
+    as the loop form, one stacked pair of 8x8 matmuls, one vectorized
+    zigzag/quantize.  Per-block results are the identical IEEE ops the
+    per-block _fdct_quant numpy path performs (np.matmul on a stacked
+    operand runs the same 8x8 GEMM per block), asserted block-for-block
+    in tests/test_jpeg_codec.py."""
+    if _np is None:  # pragma: no cover - numpy always present
+        return [
+            _fdct_quant(b, qtab)
+            for b in _jpeg_component_blocks(plane, width, height)
+        ]
+    p = _np.asarray(plane, dtype=_np.float64)
+    hpad = (-height) % 8
+    wpad = (-width) % 8
+    if hpad or wpad:
+        p = _np.pad(p, ((0, hpad), (0, wpad)), mode="edge")
+    p -= 128.0
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    m = _JPEG_COS_NP @ blocks @ _JPEG_COS_NP.T      # m[n, v, u]
+    f = (_JPEG_SCALE_NP * m.transpose(0, 2, 1))[:, _ZIGZAG_U, _ZIGZAG_V]
+    q = _np.asarray(qtab, dtype=_np.float64)
+    out = _np.floor(_np.abs(f) / q + 0.5)
+    _np.copysign(out, f, out=out)
+    return out.astype(_np.int64).tolist()
+
+
 def _idct_block(coefs: list[int], qtab: list[int]) -> list[list[int]]:
     """Dequantize + inverse DCT -> 8x8 pixel block (level-shifted back,
     clamped).  Reconstruction rounding is floor(v + 128.5).
@@ -1045,6 +1077,62 @@ def _ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     )
 
 
+def _rgb_to_ycbcr_planes(
+    rgb_rows, width: int, height: int
+) -> tuple[list[list[int]], list[list[int]], list[list[int]]]:
+    """Vectorized _rgb_to_ycbcr over a full pixel grid (r9, guide §4.2).
+    Bit-identical to the per-pixel loop: ints 0..255 are exact in
+    float64 and every multiply/add below is written in _rgb_to_ycbcr's
+    association order, so each lane performs the same IEEE double ops;
+    floor(x + 0.5) + clip matches the scalar rounding.  Falls back to
+    the scalar loop when the rows are not a clean (h, w, >=3) grid."""
+    import numpy as np
+
+    try:
+        px = np.asarray(rgb_rows, dtype=np.float64)
+    except (TypeError, ValueError):
+        px = None
+    if px is None or px.ndim != 3 or px.shape[:2] != (height, width) or px.shape[2] < 3:
+        ny = [[0] * width for _ in range(height)]
+        ncb = [[0] * width for _ in range(height)]
+        ncr = [[0] * width for _ in range(height)]
+        for yy in range(height):
+            for xx in range(width):
+                r, g, b = rgb_rows[yy][xx][:3]
+                ny[yy][xx], ncb[yy][xx], ncr[yy][xx] = _rgb_to_ycbcr(r, g, b)
+        return ny, ncb, ncr
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    def q(a: "np.ndarray") -> list[list[int]]:
+        return (
+            np.clip(np.floor(a + 0.5), 0, 255).astype(np.int64).tolist()
+        )
+
+    return q(y), q(cb), q(cr)
+
+
+def _ycbcr_to_rgb_planes(py, pcb, pcr):
+    """Vectorized _ycbcr_to_rgb over full planes (r9, guide §4.2):
+    returns (r, g, b) int64 numpy arrays, bit-identical to the scalar
+    form by the same argument as _rgb_to_ycbcr_planes."""
+    import numpy as np
+
+    y = np.asarray(py, dtype=np.float64)
+    cb = np.asarray(pcb, dtype=np.float64)
+    cr = np.asarray(pcr, dtype=np.float64)
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136286 * (cb - 128) - 0.714136286 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+
+    def q(a: "np.ndarray") -> "np.ndarray":
+        return np.clip(np.floor(a + 0.5), 0, 255).astype(np.int64)
+
+    return q(r), q(g), q(b)
+
+
 def _jpeg_component_blocks(
     plane: list[list[int]], width: int, height: int
 ) -> list[list[list[int]]]:
@@ -1083,25 +1171,19 @@ def encode_jpeg(
         raise MediaFormatError("bad JPEG encode dimensions")
     qlum = jpeg_quant_table(_JPEG_QUANT_LUM, quality)
     qchrom = jpeg_quant_table(_JPEG_QUANT_CHROM, quality)
-    # color convert into planes
-    ny = [[0] * width for _ in range(height)]
-    ncb = [[0] * width for _ in range(height)]
-    ncr = [[0] * width for _ in range(height)]
-    for yy in range(height):
-        for xx in range(width):
-            r, g, b = rgb_rows[yy][xx][:3]
-            y_, cb_, cr_ = _rgb_to_ycbcr(r, g, b)
-            ny[yy][xx] = y_
-            ncb[yy][xx] = cb_
-            ncr[yy][xx] = cr_
+    # color convert into planes — vectorized with numpy in the SAME
+    # association order as _rgb_to_ycbcr (r9, guide §4.2; each product
+    # and left-to-right sum is the identical IEEE double op, so the
+    # planes are bit-identical to the per-pixel loop — the property
+    # tests pin encode bytes).  Ragged/odd-arity pixel rows fall back
+    # to the loop.
+    ny, ncb, ncr = _rgb_to_ycbcr_planes(rgb_rows, width, height)
     comps = [(ny, qlum, 0)] if gray else [
         (ny, qlum, 0), (ncb, qchrom, 1), (ncr, qchrom, 1),
     ]
     coef_streams = []
     for plane, qtab, _tq in comps:
-        coef_streams.append(
-            [_fdct_quant(b, qtab) for b in _jpeg_component_blocks(plane, width, height)]
-        )
+        coef_streams.append(_fdct_quant_plane(plane, width, height, qtab))
     n_blocks = len(coef_streams[0])
     # pass 1: symbol statistics per (dc/ac, table id)
     dc_freq: dict[int, dict[int, int]] = {0: {}, 1: {}}
@@ -1310,18 +1392,26 @@ def _jpeg_walk(data: bytes):
 
 def decode_jpeg_planes(data: bytes):
     """Full baseline decode to per-component pixel planes (width,
-    height, [plane]) — planes in SOF component order (Y[, Cb, Cr])."""
+    height, [plane]) — planes in SOF component order (Y[, Cb, Cr]),
+    each an (h, w) int64 numpy array.
+
+    r9 restructure (guide §4.2): the entropy decode is inherently
+    sequential (Huffman + DC prediction) and stays a Python walk, but
+    it now only FILLS a coefficient matrix; the IDCT runs ONCE per
+    component as a batched (n_blocks, 8, 8) matmul — the identical
+    per-block IEEE ops _idct_block performs — and the pixel scatter is
+    one reshape + crop instead of a per-pixel loop."""
     w, h, comps, qtabs, htabs, scan_map, entropy = _jpeg_walk(data)
     dec_tabs = {k: _huff_decode_tables(*v) for k, v in htabs.items()}
     r = _BitReader(entropy)
     bx_n, by_n = (w + 7) // 8, (h + 7) // 8
-    planes = [[[0] * w for _ in range(h)] for _ in comps]
+    n_blocks = bx_n * by_n
+    coef_mat = _np.zeros((len(comps), n_blocks, 64), dtype=_np.float64)
     prev_dc = [0] * len(comps)
-    for blk in range(bx_n * by_n):
-        by, bx = divmod(blk, bx_n)
+    for blk in range(n_blocks):
         for ci, (cid, tq) in enumerate(comps):
             td, ta = scan_map[cid]
-            coefs = [0] * 64
+            coefs = coef_mat[ci, blk]
             s = _huff_read(r, dec_tabs[(0, td)])
             diff = _extend(r.bits(s), s) if s else 0
             prev_dc[ci] += diff
@@ -1342,60 +1432,63 @@ def decode_jpeg_planes(data: bytes):
                     raise MediaFormatError("JPEG AC run overflow")
                 coefs[k] = _extend(r.bits(ss), ss)
                 k += 1
-            px = _idct_block(coefs, qtabs[tq])
-            for dy in range(8):
-                yy = by * 8 + dy
-                if yy >= h:
-                    break
-                row = planes[ci][yy]
-                for dx in range(8):
-                    xx = bx * 8 + dx
-                    if xx < w:
-                        row[xx] = px[dy][dx]
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        q = _np.asarray(qtabs[tq], dtype=_np.float64)
+        deq = _np.zeros((n_blocks, 8, 8))
+        deq[:, _ZIGZAG_U, _ZIGZAG_V] = _JPEG_SCALE_NP[
+            _ZIGZAG_U, _ZIGZAG_V
+        ] * (coef_mat[ci] * q)
+        m = _JPEG_COS_NP.T @ deq @ _JPEG_COS_NP      # m[n, x, y]
+        px = _np.clip(
+            _np.floor(m.transpose(0, 2, 1) + 128.5), 0, 255
+        ).astype(_np.int64)
+        full = (
+            px.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
+        planes.append(full[:h, :w])
     return w, h, planes
+
+
+def _decode_jpeg_rgb_arrays(data: bytes):
+    """(w, h, r, g, b) with the channels as int64 numpy arrays — the
+    shared vectorized core of decode_jpeg_pixels / decode_jpeg (r9:
+    the per-pixel _ycbcr_to_rgb loop and the per-pixel Python channel
+    sums were the residual cost of the decode path, guide §4.2)."""
+    import numpy as np
+
+    w, h, planes = decode_jpeg_planes(data)
+    if len(planes) == 1:
+        v = np.asarray(planes[0], dtype=np.int64)
+        return w, h, v, v, v
+    r, g, b = _ycbcr_to_rgb_planes(*planes)
+    return w, h, r, g, b
 
 
 def decode_jpeg_pixels(data: bytes) -> dict:
     """Baseline JPEG -> full RGB grid (grayscale replicates Y), same
     surface as decode_png_pixels."""
-    w, h, planes = decode_jpeg_planes(data)
-    grid = []
-    if len(planes) == 1:
-        for y in range(h):
-            grid.append([(v, v, v) for v in planes[0][y]])
-    else:
-        py, pcb, pcr = planes
-        for y in range(h):
-            grid.append(
-                [
-                    _ycbcr_to_rgb(py[y][x], pcb[y][x], pcr[y][x])
-                    for x in range(w)
-                ]
-            )
+    w, h, r, g, b = _decode_jpeg_rgb_arrays(data)
+    rl, gl, bl = r.tolist(), g.tolist(), b.tolist()
+    grid = [list(zip(rl[y], gl[y], bl[y])) for y in range(h)]
     return {"width": w, "height": h, "rgb_rows": grid}
 
 
 def decode_jpeg(data: bytes) -> dict:
     """Baseline JPEG -> the integer-fact surface shared by the codec
     family: width/height/n_pixels/n_channels + exact per-channel sums
-    of the DECODED pixels."""
-    parsed = decode_jpeg_pixels(data)
-    w, h = parsed["width"], parsed["height"]
-    n_ch = 3
-    sums = [0, 0, 0]
-    for row in parsed["rgb_rows"]:
-        for px in row:
-            sums[0] += px[0]
-            sums[1] += px[1]
-            sums[2] += px[2]
+    of the DECODED pixels (int64 numpy sums of 8-bit values — exact)."""
+    w, h, r, g, b = _decode_jpeg_rgb_arrays(data)
     return {
         "width": w,
         "height": h,
         "n_pixels": w * h,
-        "n_channels": n_ch,
-        "sum_r": sums[0],
-        "sum_g": sums[1],
-        "sum_b": sums[2],
+        "n_channels": 3,
+        "sum_r": int(r.sum()),
+        "sum_g": int(g.sum()),
+        "sum_b": int(b.sum()),
     }
 
 

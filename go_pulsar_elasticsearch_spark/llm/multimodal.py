@@ -1789,22 +1789,27 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = t(spark, sf_dir, "documents").select("doc_id")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = 10 + d % 23, 9 + d % 17
-                grid = [
+                # mosaic synth as one broadcast expression (r9, §4.2) —
+                # same integers as the per-pixel comprehension; the
+                # (h, w, 3) int array feeds encode_jpeg's vectorized
+                # color path directly
+                bx = np.arange(w, dtype=np.int64)[None, :] // 8
+                by = np.arange(h, dtype=np.int64)[:, None] // 8
+                grid = np.stack(
                     [
-                        (
-                            (d * 7 + 11 * (x // 8) + 13 * (y // 8)) % 256,
-                            (d * 3 + 5 * (x // 8) + 29 * (y // 8)) % 256,
-                            (d * 5 + 17 * (x // 8) + 3 * (y // 8)) % 256,
-                        )
-                        for x in range(w)
-                    ]
-                    for y in range(h)
-                ]
+                        (d * 7 + 11 * bx + 13 * by) % 256,
+                        (d * 3 + 5 * bx + 29 * by) % 256,
+                        (d * 5 + 17 * bx + 3 * by) % 256,
+                    ],
+                    axis=-1,
+                )
                 parsed = decode_jpeg(encode_jpeg(w, h, grid, quality=_JPEG_Q))
                 pw, ph = parsed["width"], parsed["height"]
                 rows.append((

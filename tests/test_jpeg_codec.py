@@ -256,3 +256,67 @@ def test_rejects_truncated_entropy():
 def test_rejects_bad_dimensions():
     with pytest.raises(MediaFormatError):
         encode_jpeg(0, 1, [])
+
+
+# ---------------------------------------------- r9 batched-DCT parity
+
+
+def test_fdct_quant_plane_matches_per_block():
+    """The r9 batched plane FDCT (_fdct_quant_plane) must be
+    coefficient-for-coefficient identical to the per-block numpy path
+    it replaced, on random non-multiple-of-8 planes (padding rows and
+    columns exercised)."""
+    import numpy as np
+
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        _fdct_quant,
+        _fdct_quant_plane,
+        _jpeg_component_blocks,
+        jpeg_quant_table,
+        _JPEG_QUANT_LUM,
+    )
+
+    rng = np.random.default_rng(5)
+    for w, h in [(10, 9), (8, 8), (33, 17), (1, 1), (25, 8)]:
+        plane = [[int(v) for v in rng.integers(0, 256, w)] for _ in range(h)]
+        qtab = jpeg_quant_table(_JPEG_QUANT_LUM, 75)
+        batched = _fdct_quant_plane(plane, w, h, qtab)
+        loop = [
+            _fdct_quant(b, qtab)
+            for b in _jpeg_component_blocks(plane, w, h)
+        ]
+        assert batched == loop, (w, h)
+
+
+def test_color_transform_planes_match_scalar():
+    """The r9 vectorized color transforms must be bit-identical to the
+    scalar per-pixel forms in both directions."""
+    import numpy as np
+
+    from go_pulsar_elasticsearch_spark.llm.media_codec import (
+        _rgb_to_ycbcr,
+        _rgb_to_ycbcr_planes,
+        _ycbcr_to_rgb,
+        _ycbcr_to_rgb_planes,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 19, 23
+    grid = [
+        [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    ny, ncb, ncr = _rgb_to_ycbcr_planes(grid, w, h)
+    for y in range(h):
+        for x in range(w):
+            assert (ny[y][x], ncb[y][x], ncr[y][x]) == _rgb_to_ycbcr(
+                *grid[y][x]
+            )
+    r, g, b = _ycbcr_to_rgb_planes(ny, ncb, ncr)
+    for y in range(h):
+        for x in range(w):
+            assert (
+                int(r[y][x]),
+                int(g[y][x]),
+                int(b[y][x]),
+            ) == _ycbcr_to_rgb(ny[y][x], ncb[y][x], ncr[y][x])
