@@ -903,18 +903,36 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # NOT checkpointed (r8 opt, measured): the n_orders count below
-    # already forces the persist to materialize, and a LogicalRDD leaf
-    # loses the size estimate that lets the static planner broadcast
-    # the pair self-join (plan audit regressed 3 -> 5 exchanges with a
-    # checkpoint here; AQE would repair it at runtime, but the lazy
-    # persist needs no repair)
+    # already forces the persist to materialize; downstream consumers
+    # (bc, baskets) read the cache.
     ob = cache_slot("basket_ob", ob)
     n_orders = ob.select("ok").distinct().count()  # one scalar, driver-safe
     bc = ob.groupBy("b").agg(F.count("*").alias("cnt"))
-    a, c = ob.alias("a"), ob.alias("c")
+    # r9 (VERDICT item 7): the pair SELF-JOIN on ok is gone.  Collect
+    # each order's distinct brands into ONE sorted array (basket width
+    # is bounded by the schema, <= 7 lineitems, so the array is tiny)
+    # and expand the i<j pairs map-side — sorted ascending makes
+    # (bs[i], bs[j]) with i<j exactly the a.b < c.b pairs of the join
+    # form.  This removes the join whose strategy flip-flopped on the
+    # persist's size estimate (the r8 revert note): one exchange on ok
+    # replaces two join inputs + the broadcast-or-SMJ decision, and the
+    # shape is scale-safe — at 100 TB the incidence frame is data-sized
+    # and was never legally broadcastable anyway (guide §2.4/§3.1).
+    baskets = ob.groupBy("ok").agg(F.sort_array(F.collect_set("b")).alias("bs"))
     pairs = (
-        a.join(c, (F.col("a.ok") == F.col("c.ok")) & (F.col("a.b") < F.col("c.b")))
-        .groupBy(F.col("a.b").alias("brand1"), F.col("c.b").alias("brand2"))
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(bs, (x, i) ->"
+                        " transform(slice(bs, i + 2, size(bs) - i - 1),"
+                        " y -> struct(x AS brand1, y AS brand2)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.brand1", "p.brand2")
+        .groupBy("brand1", "brand2")
         .agg(F.count("*").alias("co"))
         .filter(F.col("co") >= _BASKET_MIN_CO)
     )
