@@ -60,15 +60,26 @@ def write_ordered_batches(
     """Write one parquet file per predicate and stamp STRICTLY
     INCREASING mtimes so the file source delivers the micro-batches in
     exactly this order even when sequential writes land in one
-    timestamp tick."""
+    timestamp tick.
+
+    The source is persisted across the per-predicate writes (r9,
+    VERDICT item 3 / guide §5): each filtered write is an independent
+    action, so without the persist the source lineage re-executed once
+    PER PREDICATE — for the crawl drain that was three full scans of
+    the Python WARC source just to spool three epochs.  One scan now
+    materializes the frame; the filters read the cache."""
     stamped: set[str] = set()
     t0 = time.time()
-    for i, pred in enumerate(predicates):
-        df.filter(pred).coalesce(1).write.mode("append").parquet(src)
-        for f in glob.glob(os.path.join(src, "*.parquet")):
-            if f not in stamped:
-                os.utime(f, (t0 + 10 * i, t0 + 10 * i))
-                stamped.add(f)
+    df = df.persist()
+    try:
+        for i, pred in enumerate(predicates):
+            df.filter(pred).coalesce(1).write.mode("append").parquet(src)
+            for f in glob.glob(os.path.join(src, "*.parquet")):
+                if f not in stamped:
+                    os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+                    stamped.add(f)
+    finally:
+        df.unpersist(blocking=False)
 
 
 def id_range_predicates(col: Column, ranges) -> list[Column]:
