@@ -29,9 +29,9 @@ from pyspark.sql import functions as F
 
 from go_pulsar_elasticsearch_spark.catalog import t
 from go_pulsar_elasticsearch_spark.functions.caching import (
-        cache_slot,
-        checkpoint_slot,
-    )
+    cache_slot,
+    checkpoint_slot,
+)
 from go_pulsar_elasticsearch_spark.registry import register
 from go_pulsar_elasticsearch_spark.session import tune
 
