@@ -147,21 +147,38 @@ def crawl_batch_body(
     (ingest/crawl_pipeline._drive_crawl_stream)."""
 
     def body(batch_df: DataFrame, epoch_id: int) -> None:
+        # The two or three store writes are INDEPENDENT jobs over the
+        # same persisted batch; running them from a small thread pool
+        # overlaps their fixed per-job latency (scheduling + commit
+        # protocol — the dominant cost of a drain epoch at certification
+        # volume, measured r9: 8.1 s of a 10.4 s drain was sequential
+        # body writes) instead of paying it serially (guide §2.6).
+        # Every write still completes before the body returns, so the
+        # checkpoint barrier and replay idempotence are unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
         batch_df.persist()
         try:
-            batch_df.write.mode("overwrite").parquet(
-                f"{spool_path}/epoch={epoch_id}"
-            )
-            url_dedup_batch(
-                batch_df.sparkSession,
-                batch_df.withColumn("n_chars", F.length("text")),
-                store_path,
-                epoch_id,
-            )
+            writes = [
+                lambda: batch_df.write.mode("overwrite").parquet(
+                    f"{spool_path}/epoch={epoch_id}"
+                ),
+                lambda: url_dedup_batch(
+                    batch_df.sparkSession,
+                    batch_df.withColumn("n_chars", F.length("text")),
+                    store_path,
+                    epoch_id,
+                ),
+            ]
             if stats_path is not None:
-                _stats_partial(batch_df).write.mode("overwrite").parquet(
-                    f"{stats_path}/epoch={epoch_id}"
+                writes.append(
+                    lambda: _stats_partial(batch_df)
+                    .write.mode("overwrite")
+                    .parquet(f"{stats_path}/epoch={epoch_id}")
                 )
+            with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+                for f in [pool.submit(w) for w in writes]:
+                    f.result()  # surface the first failure
         finally:
             batch_df.unpersist()
 

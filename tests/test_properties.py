@@ -243,3 +243,54 @@ def test_avro_codec_roundtrip_any_record(rec):
 
     schema = parse_schema(INGESTION_AVRO_SCHEMA)
     assert decode(schema, encode(schema, rec)) == rec
+
+
+def test_durable_checkpoint_slot_round_trips(spark, tmp_path):
+    """r9: with spark.gpe.slots.durableCheckpoint=true, checkpoint_slot
+    materializes to parquet under spark.gpe.slots.dir and returns the
+    read-back scan — same rows, a file-scan leaf instead of a
+    LogicalRDD, fresh subdirectory per turnover (an in-place overwrite
+    would corrupt still-unexecuted plans over the previous occupant)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_pulsar_elasticsearch_spark.functions.caching import (
+        checkpoint_slot,
+        checkpoint_slot_reuse,
+        release_slot,
+    )
+
+    spark.conf.set("spark.gpe.slots.durableCheckpoint", "true")
+    spark.conf.set("spark.gpe.slots.dir", str(tmp_path))
+    try:
+        src = spark.range(50).select(
+            "id", (F.col("id") * 2).alias("twice")
+        )
+        out = checkpoint_slot("_test_durable", src)
+        assert sorted(r["twice"] for r in out.collect()) == [
+            2 * i for i in range(50)
+        ]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "parquet" in plan.lower()
+        first_dirs = set(os.listdir(tmp_path))
+        assert first_dirs  # wrote under the configured dir
+        # turnover writes a FRESH subdirectory; the old frame stays valid
+        out2 = checkpoint_slot("_test_durable", spark.range(5).select(
+            "id", (F.col("id") * 3).alias("twice")
+        ))
+        assert set(os.listdir(tmp_path)) > first_dirs
+        assert out.count() == 50  # previous occupant still readable
+        assert out2.count() == 5
+        # the reuse variant returns the SAME materialization for an
+        # identical lineage
+        s2 = spark.range(7).select("id")
+        a = checkpoint_slot_reuse("_test_durable_r", s2)
+        b = checkpoint_slot_reuse(
+            "_test_durable_r", spark.range(7).select("id")
+        )
+        assert a is b
+    finally:
+        spark.conf.set("spark.gpe.slots.durableCheckpoint", "false")
+        release_slot("_test_durable")
+        release_slot("_test_durable_r")
